@@ -1,0 +1,599 @@
+"""The declared query corpus — one entry per operator family from
+SURVEY.md §2, each with a DataFrame plan and (where SQL-expressible) a
+DuckDB oracle string.
+
+Determinism rules applied throughout (both sides identically):
+
+- money aggregates go through ``decimal(18,2|4)`` casts so summation is
+  exact and order-independent, then back to double for presentation;
+- every ORDER BY under a LIMIT carries a unique tiebreak key;
+- floats in output are ``round(x, 4)`` (or 2 for money);
+- column names are aliased identically in the DataFrame plan and the
+  oracle SQL (the driver's compare sorts columns by name).
+
+Scale posture: every plan here is shuffle-minimal — aggregations are
+partial (map-side combine) by construction, small dimensions are
+broadcast, top-k is TakeOrderedAndProject, and predicates sit directly
+on the scan so Parquet gets pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.similarity import cosine_sim, query_vector_lit
+from ..functions.textfns import exact_fingerprint, quality_columns, token_count_col
+from ..sources.tables import load_table
+
+__all__ = ["CORPUS", "query_map", "oracle_sql_map", "QuerySpec"]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL; None → driver does rows-only check
+    doc: str = ""
+
+
+def _dec2(c):  # exact money arithmetic: sum(decimal) is order-independent
+    return c.cast("decimal(18,2)")
+
+
+def _dec4(c):
+    return c.cast("decimal(18,4)")
+
+
+# --------------------------------------------------------------------------
+# T1 — top-k cosine similarity search (the reference's core query,
+# QA_using_pinecone.py:31-48). Query vector = embedding of vec_id 0;
+# searched over all other vectors, k=10, deterministic vec_id tiebreak.
+# --------------------------------------------------------------------------
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    score = cosine_sim(F.col("embedding"), query_vector_lit(qvec))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .withColumn("score", score)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("score", 4).alias("score"))
+    )
+
+
+_SQL_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) AS score
+FROM embeddings
+WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) DESC, vec_id
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# T1b — filtered top-k: metadata predicate pushed below the distance math
+# (the reference's {"title": {"$in": ...}} filter, QA_using_pinecone.py:41).
+# Here the predicate is label ∈ {1,2,3} — same shape: filter THEN score.
+# --------------------------------------------------------------------------
+
+
+def q_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    score = cosine_sim(F.col("embedding"), query_vector_lit(qvec))
+    return (
+        emb.filter(F.col("label").isin(1, 2, 3) & (F.col("vec_id") != 0))
+        .withColumn("score", score)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", "label", F.round("score", 4).alias("score"))
+    )
+
+
+_SQL_TOPK_FILTERED = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) AS score
+FROM embeddings
+WHERE label IN (1,2,3) AND vec_id <> 0
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) DESC, vec_id
+LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
+# A* — pricing summary (grouped aggregation with exact decimal sums;
+# the engine's hash-agg showcase; TPC-H Q1 shape).
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    # price/discount/tax carry 2 decimal digits, so disc_price is exact
+    # at 4 decimals and charge at 6; casting wider than the true scale
+    # avoids half-boundary rounding (where Spark HALF_UP and DuckDB
+    # disagree on the same double).
+    disc_price = _dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec2(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_dec2(F.col("l_extendedprice"))).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.sum(_dec2(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.sum(_dec2(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round((sum(l_quantity::DECIMAL(18,2)))::DOUBLE, 2) AS sum_qty,
+       round((sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE, 2) AS sum_base_price,
+       round((sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4)))::DOUBLE, 2) AS sum_disc_price,
+       round((sum((l_extendedprice*(1-l_discount)*(1+l_tax))::DECIMAL(18,6)))::DOUBLE, 2) AS sum_charge,
+       round((sum(l_quantity::DECIMAL(18,2)))::DOUBLE / count(*), 4) AS avg_qty,
+       round((sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE / count(*), 4) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# P1/P2 — point lookup by key (crud.py:8-12 analog).
+# --------------------------------------------------------------------------
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    )
+
+
+_SQL_POINT = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey = 42
+"""
+
+
+# --------------------------------------------------------------------------
+# P4 — projection with predicate (column pruning into the scan;
+# main.py:80-93 analog).
+# --------------------------------------------------------------------------
+
+
+def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") >= 10) & (F.col("p_size") < 30))
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    )
+
+
+_SQL_PROJECTION = """
+SELECT p_partkey, p_name, p_brand, p_retailprice
+FROM part WHERE p_size >= 10 AND p_size < 30
+"""
+
+
+# --------------------------------------------------------------------------
+# J1 — FK join, small side broadcast (user↔chats analog, main.py:64-74).
+# --------------------------------------------------------------------------
+
+
+def q_fk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "o_totalprice", "o_orderpriority")
+    )
+
+
+_SQL_FK_JOIN = """
+SELECT o_orderkey, c_name, o_totalprice, o_orderpriority
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+# --------------------------------------------------------------------------
+# J2/P5 — membership semi-join ($in metadata filter analog).
+# --------------------------------------------------------------------------
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src1", "src5", "src7"))
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+_SQL_SEMI = """
+SELECT doc_id, source, lang, n_chars
+FROM documents WHERE source IN ('src1','src5','src7')
+"""
+
+
+# --------------------------------------------------------------------------
+# J3/J4 — anti-join (delete-cascade orphan detection, pipeline2.py:342-354:
+# "forms with no surviving vectors" ≡ customers with no recent orders).
+# --------------------------------------------------------------------------
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_SQL_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# W1/A2 — cumulative sum window (CummulativeTokenCount analog,
+# pipeline1.py:187). Exact decimal running total per customer.
+# --------------------------------------------------------------------------
+
+
+def q_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum(_dec2(F.col("o_totalprice"))).over(w).cast("double"), 2).alias(
+            "running_total"
+        ),
+    )
+
+
+_SQL_CUMSUM = """
+SELECT o_orderkey, o_custkey,
+       round((sum(o_totalprice::DECIMAL(18,2)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE, 2) AS running_total
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# W3/T2 — per-group top-N via row_number (chat history newest-first analog).
+# --------------------------------------------------------------------------
+
+
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_SQL_TOPN = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# T2/T3 — ordered scan with limit (chathistory ORDER BY created_datetime
+# DESC, main.py:73) + deterministic tiebreak.
+# --------------------------------------------------------------------------
+
+
+def q_ordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 7)
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(20)
+        .select("event_id", "event_type", F.round("value", 2).alias("value"), "ts")
+    )
+
+
+_SQL_ORDERED = """
+SELECT event_id, event_type, round(value, 2) AS value, ts
+FROM events WHERE user_id = 7
+ORDER BY ts DESC, event_id
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# T3 — pagination (offset/limit, crud.py:30-33 analog) via row_number.
+# --------------------------------------------------------------------------
+
+
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 150))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+_SQL_PAGINATION = """
+SELECT event_id, user_id, event_type
+FROM events ORDER BY event_id LIMIT 50 OFFSET 100
+"""
+
+
+# --------------------------------------------------------------------------
+# A3 — distinct (distinct form titles analog, pipeline2.py:126).
+# --------------------------------------------------------------------------
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+_SQL_DISTINCT = "SELECT DISTINCT lang, source FROM documents"
+
+
+# --------------------------------------------------------------------------
+# A4 — count by group (index stats per namespace analog).
+# --------------------------------------------------------------------------
+
+
+def q_count_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(_dec2(F.col("value"))).cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+_SQL_COUNT_GROUP = """
+SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       round((sum(value::DECIMAL(18,2)))::DOUBLE, 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# S15/A6 — index stats: total vector count + dimension
+# (describe_index_stats analog, pipeline2.py:204-208).
+# --------------------------------------------------------------------------
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("total_vector_count"),
+        F.min(F.size("embedding")).alias("dim_min"),
+        F.max(F.size("embedding")).alias("dim_max"),
+    )
+
+
+_SQL_INDEX_STATS = """
+SELECT count(*) AS total_vector_count,
+       min(len(embedding)) AS dim_min, max(len(embedding)) AS dim_max
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# A1 — order-preserving group concat (section text assembly,
+# pipeline1.py:184-185: groupby('Section')['ParaContent'].agg('\n'.join)
+# must preserve paragraph order).
+# --------------------------------------------------------------------------
+
+
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ordered = F.array_sort(F.collect_list(F.struct("doc_id")))
+    return docs.groupBy("lang").agg(
+        F.array_join(
+            F.transform(ordered, lambda x: x["doc_id"].cast("string")), ","
+        ).alias("doc_ids"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+_SQL_GROUP_CONCAT = """
+SELECT lang, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# T4 — union (vertical concat of per-form chunk tables, pipeline1.py:690).
+# --------------------------------------------------------------------------
+
+
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
+    b = docs.filter(F.col("source") == "src3").select("doc_id", "lang")
+    return a.unionByName(b).distinct()
+
+
+_SQL_UNION = """
+SELECT doc_id, lang FROM documents WHERE lang = 'en'
+UNION
+SELECT doc_id, lang FROM documents WHERE source = 'src3'
+"""
+
+
+# --------------------------------------------------------------------------
+# F8 — regex extraction (filename from URL, pipeline1.py:383-388 analog:
+# key extraction from the events JSON props column).
+# --------------------------------------------------------------------------
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+        .cast("int")
+        .alias("props_k"),
+    )
+
+
+_SQL_REGEX = """
+SELECT event_id, regexp_extract(props, '"k":\\s*(\\d+)', 1)::INT AS props_k
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup (exact) — md5 fingerprint of normalized text; the exact-dedup key
+# for a 100 TB corpus (group/join on 32 hex chars, not multi-KB strings).
+# --------------------------------------------------------------------------
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", exact_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_SQL_FINGERPRINT = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", exact_fingerprint(F.col("text")).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+        )
+    )
+
+
+_SQL_DEDUP_EXACT = """
+SELECT count(*) AS n_unique FROM (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis — quality-scoring feature columns (all native expressions).
+# --------------------------------------------------------------------------
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["n_tokens"].alias("n_tokens"),
+        cols["mean_token_len"].alias("mean_token_len"),
+        cols["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+_SQL_QUALITY = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       round(length(text)::DOUBLE / (CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+             THEN len(regexp_extract_all(text, '\\S+')) ELSE 1 END), 4) AS mean_token_len,
+       round(len(regexp_extract_all(lower(text),
+             '\\b(?:the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|was|at|by|be|this)\\b'))::DOUBLE
+             / (CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                THEN len(regexp_extract_all(text, '\\S+')) ELSE 1 END), 4) AS stopword_ratio
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+CORPUS: dict[str, QuerySpec] = {
+    "topk_cosine": QuerySpec(q_topk_cosine, _SQL_TOPK, "T1 exact top-k cosine"),
+    "topk_cosine_filtered": QuerySpec(
+        q_topk_filtered, _SQL_TOPK_FILTERED, "T1 + P5 metadata predicate pushdown"
+    ),
+    "pricing_summary": QuerySpec(q_pricing_summary, _SQL_PRICING, "hash-agg showcase"),
+    "point_lookup": QuerySpec(q_point_lookup, _SQL_POINT, "P1/P2"),
+    "projection_filter": QuerySpec(q_projection, _SQL_PROJECTION, "P4"),
+    "fk_join_broadcast": QuerySpec(q_fk_join, _SQL_FK_JOIN, "J1"),
+    "semi_join_membership": QuerySpec(q_semi_join, _SQL_SEMI, "J2/P5"),
+    "anti_join_orphans": QuerySpec(q_anti_join, _SQL_ANTI, "J3/J4"),
+    "window_cumsum": QuerySpec(q_window_cumsum, _SQL_CUMSUM, "W1/A2"),
+    "topn_per_group": QuerySpec(q_topn_per_group, _SQL_TOPN, "W3"),
+    "ordered_scan_limit": QuerySpec(q_ordered_scan, _SQL_ORDERED, "T2/T3"),
+    "pagination": QuerySpec(q_pagination, _SQL_PAGINATION, "T3"),
+    "distinct": QuerySpec(q_distinct, _SQL_DISTINCT, "A3"),
+    "count_by_group": QuerySpec(q_count_by_group, _SQL_COUNT_GROUP, "A4"),
+    "index_stats": QuerySpec(q_index_stats, _SQL_INDEX_STATS, "S15/A6"),
+    "group_concat_ordered": QuerySpec(q_group_concat, _SQL_GROUP_CONCAT, "A1"),
+    "union_distinct": QuerySpec(q_union, _SQL_UNION, "T4/T5"),
+    "regex_extract": QuerySpec(q_regex_extract, _SQL_REGEX, "F8"),
+    "doc_fingerprint": QuerySpec(q_fingerprint, _SQL_FINGERPRINT, "exact-dedup key"),
+    "dedup_exact_count": QuerySpec(q_dedup_exact, _SQL_DEDUP_EXACT, "exact dedup"),
+    "quality_scores": QuerySpec(q_quality, _SQL_QUALITY, "text quality features"),
+}
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in CORPUS.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in CORPUS.items() if spec.oracle}

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+One place to set the engine-wide physical-execution posture:
+
+- **Arrow on** — every pandas UDF / ``applyInPandas`` operator in this
+  engine moves data JVM↔Python in Arrow batches, never row-at-a-time
+  (the reference loops ``df.iterrows()`` everywhere, e.g.
+  ``airflow-pipeline/dags/pipeline1.py:170,196,233,873``; vectorized
+  batches are the Spark-first replacement).
+- **AQE on** — runtime re-planning (skew-join splitting, partition
+  coalescing) so plans built at sf0.001 survive 100 TB inputs.
+- **shuffle.partitions** sized for local testing but overridable via
+  ``SPARK_GRAFT_CPUS``; on a real cluster AQE coalescing makes the
+  static number mostly irrelevant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "qa-vector-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local test default is ``local[$SPARK_GRAFT_CPUS]``; on a cluster the
+    caller passes no master and spark-submit decides.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    nshuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Timestamps in testdata are naive; keep session TZ fixed so
+        # Spark and the DuckDB oracle agree on rendered values.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

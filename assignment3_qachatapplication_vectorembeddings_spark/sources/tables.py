@@ -1,0 +1,65 @@
+"""Testdata / warehouse table access.
+
+The reference round-trips every stage through GCS CSV files
+(``pipeline1.py:431-440`` upload + ``:490-496`` re-download per stage);
+here a table is just a parquet path read lazily — Catalyst prunes
+columns and pushes predicates into the scan, and stage handoff is a
+DataFrame, not a file copy.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TESTDATA_TABLES
+
+__all__ = ["default_sf_dir", "load_table", "load_tables", "register_views"]
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Per-path cache of the file's nanosecond-timestamp columns (pyarrow
+# schema probe; footer-only read, cheap even on object stores).
+_NANOS_COLS: dict[str, tuple[str, ...]] = {}
+
+
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    if path not in _NANOS_COLS:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        _NANOS_COLS[path] = tuple(
+            f.name for f in schema if str(f.type) == "timestamp[ns]"
+        )
+    return _NANOS_COLS[path]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    nanos = _nanos_columns(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    # Spark has no nanosecond timestamp type; read nanos as long and
+    # truncate to microseconds (the same precision DuckDB / Python
+    # datetime presents, so oracles agree).
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for colname in nanos:
+        df = df.withColumn(colname, F.expr(f"timestamp_micros({colname} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for ``spark.sql``."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
