@@ -561,6 +561,90 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# W2 — section numbering (pipeline1.py:167-179 semantics) as pure window
+# expressions, exercised on the events table: a 'signup' event is the
+# "heading"; every pre-first-signup event opens its own section.
+# --------------------------------------------------------------------------
+
+
+def q_sectionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import sectionize_expr
+
+    events = load_table(spark, sf_dir, "events")
+    is_heading = F.col("event_type") == "signup"
+    return events.select(
+        "user_id",
+        "event_id",
+        sectionize_expr(is_heading, ["user_id"], [F.col("ts"), F.col("event_id")])
+        .cast("bigint")
+        .alias("section"),
+    )
+
+
+_SQL_SECTIONIZE = """
+SELECT user_id, event_id,
+       sum(CASE WHEN is_heading OR NOT heading_seen_before THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS section
+FROM (
+  SELECT user_id, event_id, ts, (event_type = 'signup') AS is_heading,
+         coalesce(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+           AS heading_seen_before
+  FROM events
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# F2/F3 + F4 — token-aware chunk packing (sequential fold per document;
+# genuinely non-SQL-expressible → rows-only driver check; full golden
+# coverage against the transcribed reference loops lives in
+# tests/test_chunking.py).
+# --------------------------------------------------------------------------
+
+
+def q_pypdf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import pypdf_chunk_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("FormName"),
+        # documents.text is single-line; fold every 12th space into a
+        # newline so the line-level pack has real work to do
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+\s+){12})", "$1\n"
+        ).alias("text"),
+    )
+    return pypdf_chunk_table(docs, token_limit=32, tokenizer="bpe")
+
+
+def q_nougat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import nougat_chunk_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("FormName"),
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+\s+){12})", "$1\n"
+        ).alias("text"),
+    )
+    return nougat_chunk_table(docs, token_limit=48, tokenizer="bpe")
+
+
+# --------------------------------------------------------------------------
+# Language ID (pandas UDF heuristic; rows-only — the documents table has
+# a ground-truth lang column, so the pytest suite checks accuracy).
+# --------------------------------------------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("predicted_lang"))
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -588,6 +672,10 @@ CORPUS: dict[str, QuerySpec] = {
     "doc_fingerprint": QuerySpec(q_fingerprint, _SQL_FINGERPRINT, "exact-dedup key"),
     "dedup_exact_count": QuerySpec(q_dedup_exact, _SQL_DEDUP_EXACT, "exact dedup"),
     "quality_scores": QuerySpec(q_quality, _SQL_QUALITY, "text quality features"),
+    "sectionize": QuerySpec(q_sectionize, _SQL_SECTIONIZE, "W2 section numbering"),
+    "pypdf_chunks": QuerySpec(q_pypdf_chunks, None, "F2/F3 two-pass chunk pack"),
+    "nougat_chunks": QuerySpec(q_nougat_chunks, None, "F4/F5/F6/W2/A1 nougat pack"),
+    "lang_id": QuerySpec(q_lang_id, None, "language identification"),
 }
 
 

@@ -1,0 +1,315 @@
+"""Golden tests for the chunking operators.
+
+The oracle here is a LITERAL transcription of the reference's loops
+(pipeline1.py:75-104 chunkCreator, :106-253 nougatChunkCreator,
+:689-700 two-pass + ChunkId) run as plain Python — deliberately naive,
+O(n²) token recounting and all — so any divergence in the engine's
+optimized fold shows up as a golden diff.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from assignment3_qachatapplication_vectorembeddings_spark.operators.chunking import (
+    TOKENIZERS,
+    nougat_chunk_table,
+    nougat_semantics_py,
+    pack_lines,
+    pack_words_second_pass,
+    pypdf_chunk_table,
+    sectionize_expr,
+    semantics_table,
+)
+
+# --------------------------------------------------------------------------
+# Reference-transcribed oracles (naive on purpose)
+# --------------------------------------------------------------------------
+
+
+def oracle_chunk_creator(lines, delimiter, limit, num_tokens):
+    # pipeline1.py:75-104, verbatim control flow
+    oversized, chunks, buf = [], [], ""
+    for line in lines:
+        i = line.strip()
+        if i == "":
+            continue
+        if num_tokens(i) > limit:
+            oversized.append(i)
+            if buf != "":
+                chunks.append(buf)
+                buf = ""
+        elif num_tokens(buf + i) < limit:
+            buf = buf + delimiter + i
+        else:
+            chunks.append(buf)
+            buf = i
+    if buf != "":
+        chunks.append(buf)
+    return chunks, oversized
+
+
+def oracle_pypdf(form, text, limit, num_tokens):
+    # task_chunkingForPyPDF_MMDs (pipeline1.py:689-700)
+    first, oversized = oracle_chunk_creator(text.split("\n"), "\n", limit, num_tokens)
+    rows = [(c, num_tokens(c)) for c in first]
+    if oversized:
+        words = [w for line in oversized for w in line.strip().split()]
+        second, _ = oracle_chunk_creator(words, " ", limit, num_tokens)
+        rows += [(c, num_tokens(c)) for c in second]
+    # pd.concat without ignore_index: ids restart per pass
+    ids = list(range(len(first))) + list(range(len(rows) - len(first)))
+    return [
+        (content, tc, form, f"{form}_{i}")
+        for (content, tc), i in zip(rows, ids)
+    ]
+
+
+def oracle_nougat_semantics(form, text, limit, num_tokens):
+    # pipeline1.py:106-179
+    for pat in (
+        r"\\begin\{tabular\}.*?\n",
+        r"\\end\{tabular\}.*?\n",
+        r"\\begin\{table\}.*?\n",
+        r"\\end\{table\}.*?\n",
+    ):
+        text = re.sub(pat, "\n", text)
+    text = re.sub(r"\+\+\+(.*?)\+\+\+", "\n", text, flags=re.DOTALL)
+
+    rows, cumulative = [], 0
+    for i, paragraph in enumerate(text.split("\n")):
+        if len(paragraph) == 0:
+            continue
+        tokencount = num_tokens(paragraph)
+        cumulative += tokencount
+        if paragraph.startswith("###"):
+            sem = "Heading3"
+        elif paragraph.startswith("##"):
+            sem = "Heading2"
+        elif paragraph.startswith("#"):
+            sem = "Heading1"
+        elif paragraph.startswith("**"):
+            sem = "Bold"
+        elif paragraph.startswith("*"):
+            sem = "Bullet"
+        else:
+            sem = "Paragraph"
+        rows.append([form, i, paragraph, len(paragraph), sem, None, tokencount, cumulative])
+
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "FormName", "ParaNumber", "ParaContent", "ParaCharacterCount",
+            "ParaSemantics", "Section", "TokenCount", "CummulativeTokenCount",
+        ],
+    )
+    current, firstheading = 0, False
+    for index, row in df.iterrows():
+        if row["ParaSemantics"] not in ("Heading1", "Heading2", "Heading3") and not firstheading:
+            current += 1
+        elif firstheading and row["ParaSemantics"] not in ("Heading1", "Heading2", "Heading3"):
+            pass
+        else:
+            firstheading = True
+            current += 1
+        df.iloc[index, df.columns.get_loc("Section")] = current
+    return df
+
+
+def oracle_nougat_chunks(form, text, limit, num_tokens):
+    # pipeline1.py:184-248
+    sem = oracle_nougat_semantics(form, text, limit, num_tokens)
+    if sem.empty:
+        return []
+    sections = sem.groupby("Section")["ParaContent"].agg("\n".join).tolist()
+
+    chunks, oversized_sections, buf, buf_tokens = [], [], "", 0
+    for section in sections:
+        tc = num_tokens(section)
+        if tc > limit:
+            oversized_sections.append(section)
+            if buf != "":
+                chunks.append(buf)
+                buf = ""
+        elif tc + buf_tokens < limit:
+            buf = buf + "\n" + section
+        else:
+            chunks.append(buf)
+            buf = section
+        buf_tokens = num_tokens(buf)
+
+    if buf != "":
+        chunks.append(buf)
+
+    for oversized in oversized_sections:
+        sentences = [s.strip() for s in re.split(r"(.*?)\n", oversized) if s.strip()]
+        heading = ""
+        if sentences and sentences[0].startswith("#"):
+            heading = sentences[0]
+            sentences = sentences[1:]
+        buf, buf_tokens = heading, 0
+        for s in sentences:
+            if num_tokens(s) + buf_tokens < limit:
+                buf = buf + "\n" + s
+            else:
+                chunks.append(buf)
+                buf = heading + s
+            buf_tokens = num_tokens(buf)
+        if buf != "":
+            chunks.append(buf)
+    return [(c, num_tokens(c), form, f"{form}_{i}") for i, c in enumerate(chunks)]
+
+
+# --------------------------------------------------------------------------
+# Synthetic adversarial markdown corpus (deterministic)
+# --------------------------------------------------------------------------
+
+
+def make_doc(seed: int) -> str:
+    import random
+
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "theta", "zeta"]
+    parts = []
+    for i in range(rng.randint(5, 40)):
+        roll = rng.random()
+        line_words = rng.choices(words, k=rng.randint(1, 30))
+        if roll < 0.12:
+            parts.append("# " + " ".join(line_words[:4]))
+        elif roll < 0.2:
+            parts.append("## " + " ".join(line_words[:4]))
+        elif roll < 0.25:
+            parts.append("### " + " ".join(line_words[:4]))
+        elif roll < 0.3:
+            parts.append("** " + " ".join(line_words[:6]))
+        elif roll < 0.35:
+            parts.append("* " + " ".join(line_words[:6]))
+        elif roll < 0.4:
+            parts.append("")  # blank line
+        elif roll < 0.45:
+            parts.append(" ".join(rng.choices(words, k=60)))  # oversized line
+        elif roll < 0.5:
+            parts.append("\\begin{tabular}{ll}")
+            parts.append("a & b")
+            parts.append("\\end{tabular}")
+        elif roll < 0.55:
+            parts.append("+++ warning " + " ".join(line_words[:3]) + " +++")
+        else:
+            parts.append(" ".join(line_words))
+    return "\n".join(parts)
+
+
+DOCS = [(f"form{i}", make_doc(i)) for i in range(12)]
+LIMIT = 24
+
+
+@pytest.mark.parametrize("tokenizer", ["ws", "bpe"])
+def test_pack_lines_matches_reference_fold(tokenizer):
+    count = TOKENIZERS[tokenizer]
+    for form, text in DOCS:
+        want = oracle_chunk_creator(text.split("\n"), "\n", LIMIT, count)
+        got = pack_lines(text.split("\n"), "\n", LIMIT, count)
+        assert got == want, f"{form} ({tokenizer})"
+
+
+@pytest.mark.parametrize("tokenizer", ["ws", "bpe"])
+def test_second_pass_matches_reference(tokenizer):
+    count = TOKENIZERS[tokenizer]
+    for form, text in DOCS:
+        _, oversized = oracle_chunk_creator(text.split("\n"), "\n", LIMIT, count)
+        if not oversized:
+            continue
+        words = [w for line in oversized for w in line.strip().split()]
+        want, _ = oracle_chunk_creator(words, " ", LIMIT, count)
+        got = pack_words_second_pass(oversized, LIMIT, count)
+        assert got == want, f"{form} ({tokenizer})"
+
+
+@pytest.mark.parametrize("tokenizer", ["ws", "bpe"])
+def test_pypdf_chunk_table_golden(spark, tokenizer):
+    count = TOKENIZERS[tokenizer]
+    docs = spark.createDataFrame(DOCS, "FormName string, text string")
+    got = sorted(
+        tuple(r)
+        for r in pypdf_chunk_table(
+            docs, token_limit=LIMIT, tokenizer=tokenizer
+        ).collect()
+    )
+    want = sorted(
+        row for form, text in DOCS for row in oracle_pypdf(form, text, LIMIT, count)
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("tokenizer", ["ws", "bpe"])
+def test_nougat_chunk_table_golden(spark, tokenizer):
+    count = TOKENIZERS[tokenizer]
+    docs = spark.createDataFrame(DOCS, "FormName string, text string")
+    got = sorted(
+        tuple(r)
+        for r in nougat_chunk_table(
+            docs, token_limit=LIMIT, tokenizer=tokenizer
+        ).collect()
+    )
+    want = sorted(
+        row
+        for form, text in DOCS
+        for row in oracle_nougat_chunks(form, text, LIMIT, count)
+    )
+    assert got == want
+
+
+def test_semantics_table_golden(spark):
+    count = TOKENIZERS["ws"]
+    docs = spark.createDataFrame(DOCS, "FormName string, text string")
+    got = (
+        semantics_table(docs)
+        .orderBy("FormName", "ParaNumber")
+        .toPandas()
+    )
+    want = pd.concat(
+        [oracle_nougat_semantics(f, t, LIMIT, count) for f, t in DOCS],
+        ignore_index=True,
+    ).sort_values(["FormName", "ParaNumber"]).reset_index(drop=True)
+    for col in ("FormName", "ParaNumber", "ParaContent", "ParaSemantics", "Section", "TokenCount", "CummulativeTokenCount"):
+        assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_sectionize_expr_matches_loop(spark):
+    count = TOKENIZERS["ws"]
+    docs = spark.createDataFrame(DOCS, "FormName string, text string")
+    sem = semantics_table(docs)
+    is_heading = F.col("ParaSemantics").isin("Heading1", "Heading2", "Heading3")
+    recomputed = sem.withColumn(
+        "SectionExpr",
+        sectionize_expr(is_heading, ["FormName"], [F.col("ParaNumber")]),
+    )
+    mismatches = recomputed.filter(F.col("Section") != F.col("SectionExpr")).count()
+    assert mismatches == 0
+
+
+def test_parity_quirks_explicit():
+    """The sharp edges from SURVEY.md §5.4, asserted directly."""
+    ws = TOKENIZERS["ws"]
+    # leading delimiter on the first append (pipeline1.py:92)
+    chunks, _ = pack_lines(["one two", "three"], "\n", 10, ws)
+    assert chunks == ["\none two\nthree"]
+    # oversized routed before buffer flush (pipeline1.py:85-89)
+    chunks, oversized = pack_lines(["a b", " ".join(["w"] * 20)], "\n", 10, ws)
+    assert oversized == [" ".join(["w"] * 20)] and chunks == ["\na b"]
+    # strict < comparison: a grow that lands exactly AT the limit emits.
+    # NB the reference's grow test concatenates WITHOUT the delimiter
+    # (pipeline1.py:91: num_tokens(buffer + i)), so "…e"+"f…" merges into
+    # one token: ws_count(" a b c d e" + "f g h i j") == 9.
+    chunks, _ = pack_lines(["a b c d e", "f g h i j"], " ", 9, ws)
+    assert chunks == [" a b c d e", "f g h i j"]
+    # classification precedence: ### wins over ##
+    sem = nougat_semantics_py("f", "### x\n## y\n# z", ws)
+    assert sem["ParaSemantics"].tolist() == ["Heading3", "Heading2", "Heading1"]
+    # pre-first-heading paragraphs each get their own section
+    sem = nougat_semantics_py("f", "p1\np2\n# h\np3\np4", ws)
+    assert sem["Section"].tolist() == [1, 2, 3, 3, 3]
