@@ -1,0 +1,136 @@
+"""Embedding generation (reference M1/M2) behind a pluggable interface.
+
+The reference calls OpenAI ada-002 one row at a time with a
+``sleep(65)`` after every third call (pipeline1.py:870-880, free-tier
+3 RPM pacing) and silently writes ``""`` on failure (:259-261). The
+engine contract is ``embed: texts -> array<float>`` with two
+implementations:
+
+- ``HashingEmbedder`` — deterministic, dependency-free feature hashing
+  (token → md5 bucket, tf-weighted, signed, L2-normalized). Unit-norm
+  like ada-002, so dot ≡ cosine. Default everywhere tests run.
+- ``RateLimitedHTTPEmbedder`` — the production shape: Arrow-batched
+  ``mapInPandas`` with real request batching, a client-side token
+  bucket and exponential backoff, failures → NULL + quarantine filter
+  (never silent empty strings). The HTTP call itself is injected so
+  nothing in this repo needs network.
+
+Both run as iterator-of-batches pandas UDFs: one model/client init per
+executor, vectorized batches, partition-parallel — the 100 TB path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Callable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, FloatType
+
+__all__ = ["HashingEmbedder", "RateLimitedHTTPEmbedder", "embed_column"]
+
+
+class HashingEmbedder:
+    """Deterministic local embedder (feature hashing, public technique).
+
+    Same text → same vector on every executor and every run; unrelated
+    texts decorrelate. Enough structure for top-k/near-dup semantics to
+    be meaningful in tests.
+    """
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+
+    def embed_one(self, text: str) -> list[float]:
+        vec = [0.0] * self.dim
+        for token in (text or "").lower().split():
+            digest = hashlib.md5(token.encode("utf-8")).digest()
+            bucket = int.from_bytes(digest[:4], "little") % self.dim
+            sign = 1.0 if digest[4] % 2 == 0 else -1.0
+            vec[bucket] += sign
+        norm = math.sqrt(sum(v * v for v in vec))
+        if norm == 0.0:
+            vec[0] = 1.0
+            norm = 1.0
+        return [float(v / norm) for v in vec]
+
+    def udf(self):
+        embed_one = self.embed_one
+
+        @pandas_udf(ArrayType(FloatType()))
+        def _embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for texts in it:
+                yield texts.map(embed_one)
+
+        return _embed
+
+
+class RateLimitedHTTPEmbedder:
+    """Production-shaped remote embedder: batches texts per Arrow batch,
+    paces requests with a token bucket (the Spark-side replacement for
+    the reference's sleep-after-3 loop), retries with exponential
+    backoff, and yields NULL for rows that still fail.
+
+    ``request_fn(texts: list[str]) -> list[list[float]] `` is injected;
+    tests pass a fake, production passes a real HTTP client.
+    """
+
+    def __init__(
+        self,
+        request_fn: Callable[[list[str]], list[list[float]]],
+        *,
+        batch_size: int = 256,
+        requests_per_minute: float = 3000.0,
+        max_retries: int = 3,
+    ):
+        self.request_fn = request_fn
+        self.batch_size = batch_size
+        self.requests_per_minute = requests_per_minute
+        self.max_retries = max_retries
+
+    def udf(self):
+        request_fn = self.request_fn
+        batch_size = self.batch_size
+        rpm = self.requests_per_minute
+        max_retries = self.max_retries
+
+        @pandas_udf(ArrayType(FloatType()))
+        def _embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            import time
+
+            min_interval = 60.0 / rpm
+            last_request = [0.0]
+
+            def call(texts: list[str]) -> list[list[float] | None]:
+                for attempt in range(max_retries + 1):
+                    wait = last_request[0] + min_interval - time.monotonic()
+                    if wait > 0:
+                        time.sleep(wait)
+                    try:
+                        last_request[0] = time.monotonic()
+                        return request_fn(texts)
+                    except Exception:
+                        if attempt == max_retries:
+                            return [None] * len(texts)
+                        time.sleep(min(2.0**attempt, 30.0))
+                return [None] * len(texts)
+
+            for texts in it:
+                values = texts.fillna("").tolist()
+                out: list[list[float] | None] = []
+                for start in range(0, len(values), batch_size):
+                    out.extend(call(values[start : start + batch_size]))
+                yield pd.Series(out, index=texts.index, dtype=object)
+
+        return _embed
+
+
+def embed_column(df: DataFrame, text_col: str | Column, embedder, out_col: str = "embedding") -> DataFrame:
+    """Attach an embedding column; quarantine policy is the caller's
+    (filter ``isNull`` for failures — the engine never writes '')."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return df.withColumn(out_col, embedder.udf()(col))

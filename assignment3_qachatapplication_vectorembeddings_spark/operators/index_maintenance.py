@@ -1,0 +1,264 @@
+"""Vector index table + maintenance operators (reference pipeline2).
+
+The reference maintains a Pinecone index (create/upsert/fetch/delete/
+stats, ``airflow-pipeline/dags/pipeline2.py:104-225``) plus a MySQL
+``vectordatabasestats`` catalog kept in sync by insert-if-absent and
+delete-cascade passes (``:315-367``). Here the index is a **parquet
+table partitioned by title**:
+
+- the reference's metadata filter ``{"title": {"$in": ...}}`` becomes
+  partition pruning — Catalyst never touches other forms' files;
+- upsert = per-partition merge (replace-by-id) using dynamic partition
+  overwrite, so only the touched titles rewrite — the 100 TB analogue
+  of Delta MERGE without requiring Delta;
+- delete-by-form = dropping partition directories (metadata-only, no
+  data rewrite);
+- the reference's ``sleep(60)`` eventual-consistency dance
+  (pipeline2.py:178) disappears: table and catalog update in the same
+  job, reads after writes see truth immediately.
+
+Id semantics: the reference *recomputes* ``vector_id = title + "_" +
+combined-frame index`` at load time (pipeline2.py:130-132), silently
+discarding pipeline1's ChunkId. ``vector_ids_like_reference`` provides
+that recomputation; at scale the combined-frame index is a global
+row_number over a deterministic ordering.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schemas import FORM_CATALOG_SCHEMA, INDEX_SCHEMA
+
+__all__ = ["VectorIndex", "vector_ids_like_reference"]
+
+
+def vector_ids_like_reference(chunks: DataFrame, *, order_cols: Sequence[str] = ("title", "chunk_pos")) -> DataFrame:
+    """Recompute ``vector_id = title + '_' + global_index`` exactly like
+    pipeline2.py:130-132 (index over the combined frame, 0-based). The
+    combined-CSV row order is made explicit via ``order_cols``."""
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    # single-window global row_number: acceptable because id assignment
+    # is a one-time load-format step; steady-state loads use natural ids
+    return chunks.withColumn(
+        "id", F.concat_ws("_", F.col("title"), (F.row_number().over(w) - 1).cast("string"))
+    )
+
+
+class VectorIndex:
+    """Parquet-backed vector index with Pinecone-parity maintenance ops.
+
+    Layout: ``{path}/title=<form>/part-*.parquet`` with columns
+    (id, vector, text). The catalog (``vectordatabasestats`` analogue)
+    lives at ``{path}__catalog`` as (form_name, recent_activity).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.catalog_path = path + "__catalog"
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- helpers ----------------------------------------------------------
+
+    def _fs(self):
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(self.path)
+        return path.getFileSystem(hconf), jvm
+
+    def exists(self) -> bool:
+        fs, jvm = self._fs()
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(self.path))
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], INDEX_SCHEMA)
+        df = self.spark.read.parquet(self.path)
+        # partition column comes back typed; normalize to the schema order
+        return df.select("id", "vector", F.col("title").cast("string"), "text")
+
+    def read_catalog(self) -> DataFrame:
+        fs, jvm = self._fs()
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(self.catalog_path)):
+            return self.spark.createDataFrame([], FORM_CATALOG_SCHEMA)
+        return self.spark.read.parquet(self.catalog_path)
+
+    def dimension(self) -> int | None:
+        """S11: dimension inferred from data (pipeline2.py:134)."""
+        row = self.read().select(F.size("vector").alias("d")).head()
+        return None if row is None else row["d"]
+
+    # -- S11/S12: create + bulk upsert (replace-by-id) ---------------------
+
+    def upsert(self, updates: DataFrame) -> None:
+        """MERGE-by-id limited to the touched title partitions.
+
+        updates: DataFrame(id, vector, title, text). Only partitions
+        whose title appears in ``updates`` are rewritten: survivors =
+        old rows of those titles anti-joined on id, union the updates.
+        """
+        updates = updates.select("id", "vector", "title", "text")
+        if self.exists():
+            dim = self.dimension()
+            if dim is not None:
+                # S11 dimension check: reject mismatched vectors upfront
+                bad = updates.filter(F.size("vector") != dim).limit(1).count()
+                if bad:
+                    raise ValueError(f"vector dimension mismatch (index dim={dim})")
+            titles = [r["title"] for r in updates.select("title").distinct().collect()]
+            old = self.read().filter(F.col("title").isin(titles))
+            survivors = old.join(
+                updates.select("id"), "id", "left_anti"
+            ).select("id", "vector", "title", "text")
+            merged = survivors.unionByName(updates)
+            # cut lineage before overwriting the path being read
+            merged = merged.localCheckpoint(eager=True)
+        else:
+            merged = updates
+        (
+            merged.repartition("title")
+            .write.mode("overwrite")
+            .partitionBy("title")
+            .parquet(self.path)
+        )
+        self._catalog_add([r["title"] for r in updates.select("title").distinct().collect()])
+
+    # -- S13: point fetch ---------------------------------------------------
+
+    def fetch_by_ids(self, vector_ids: Sequence[str]) -> DataFrame:
+        return self.read().filter(F.col("id").isin(list(vector_ids)))
+
+    def forms_of_ids(self, vector_ids: Sequence[str]) -> list[str]:
+        """get_forms_by_id (pipeline2.py:152-157): titles of the ids, in
+        input order (duplicates preserved)."""
+        rows = {
+            r["id"]: r["title"]
+            for r in self.fetch_by_ids(vector_ids).select("id", "title").collect()
+        }
+        return [rows[v] for v in vector_ids if v in rows]
+
+    # -- P9: existence check ------------------------------------------------
+
+    def form_check(self, form_name: str) -> bool:
+        return (
+            self.read().filter(F.col("title") == form_name).limit(1).count() > 0
+        )
+
+    # -- S14: deletes ---------------------------------------------------------
+
+    def delete_by_ids(self, vector_ids: Sequence[str]) -> None:
+        """Delete ids, then cascade: forms left with no vectors are
+        removed from the catalog (pipeline2.py:171-193 without the
+        sleep — the rewrite is transactional per partition)."""
+        affected_forms = sorted(set(self.forms_of_ids(vector_ids)))
+        if not affected_forms:
+            return
+        remaining = (
+            self.read()
+            .filter(F.col("title").isin(affected_forms))
+            .filter(~F.col("id").isin(list(vector_ids)))
+            .select("id", "vector", "title", "text")
+            .localCheckpoint(eager=True)
+        )
+        surviving_titles = {
+            r["title"] for r in remaining.select("title").distinct().collect()
+        }
+        if surviving_titles:
+            (
+                remaining.repartition("title")
+                .write.mode("overwrite")
+                .partitionBy("title")
+                .parquet(self.path)
+            )
+        # dynamic overwrite only rewrites partitions present in the new
+        # data; emptied partitions must be dropped explicitly
+        emptied = [t for t in affected_forms if t not in surviving_titles]
+        self._drop_partitions(emptied)
+        self._catalog_remove(emptied)
+
+    def delete_by_form(self, form_titles: Sequence[str]) -> None:
+        """delete_by_form (pipeline2.py:195-197): metadata-only partition
+        drop — no full-index enumeration with a dummy query vector
+        (pipeline2.py:214-225) and no data rewrite."""
+        present = [t for t in form_titles if self.form_check(t)]
+        self._drop_partitions(present)
+        self._catalog_remove(list(form_titles))
+
+    def delete_all(self) -> None:
+        """delete_all (pipeline2.py:199-202) + catalog truncate (:333-338)."""
+        fs, jvm = self._fs()
+        for p in (self.path, self.catalog_path):
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            if fs.exists(hp):
+                fs.delete(hp, True)
+
+    def _drop_partitions(self, titles: Sequence[str]) -> None:
+        if not titles:
+            return
+        fs, jvm = self._fs()
+        for t in titles:
+            hp = jvm.org.apache.hadoop.fs.Path(f"{self.path}/title={t}")
+            if fs.exists(hp):
+                fs.delete(hp, True)
+
+    # -- S15: stats -----------------------------------------------------------
+
+    def stats(self) -> dict:
+        agg = self.read().agg(
+            F.count(F.lit(1)).alias("total_vector_count"),
+            F.min(F.size("vector")).alias("dimension"),
+        ).head()
+        per_form = {
+            r["title"]: r["n"]
+            for r in self.read().groupBy("title").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        return {
+            "total_vector_count": agg["total_vector_count"],
+            "dimension": agg["dimension"],
+            "namespaces": per_form,
+        }
+
+    # -- J3/J4: catalog sync ---------------------------------------------------
+
+    def _catalog_add(self, form_names: Sequence[str]) -> None:
+        """Insert-if-absent (pipeline2.py:315-331): left-anti then append."""
+        if not form_names:
+            return
+        new = self.spark.createDataFrame(
+            [(n,) for n in form_names], "form_name string"
+        ).withColumn("recent_activity", F.current_timestamp())
+        existing = self.read_catalog()
+        to_add = new.join(existing.select("form_name"), "form_name", "left_anti")
+        to_add.write.mode("append").parquet(self.catalog_path)
+
+    def _catalog_remove(self, form_names: Sequence[str]) -> None:
+        if not form_names:
+            return
+        kept = (
+            self.read_catalog()
+            .filter(~F.col("form_name").isin(list(form_names)))
+            .localCheckpoint(eager=True)
+        )
+        kept.write.mode("overwrite").parquet(self.catalog_path)
+
+    def sync_catalog_orphans(self) -> list[str]:
+        """J4: forms in the catalog with no surviving vectors → removed.
+        One anti-join replaces the reference's poll-sleep-recheck loop."""
+        orphans = [
+            r["form_name"]
+            for r in self.read_catalog()
+            .join(
+                self.read().select(F.col("title").alias("form_name")).distinct(),
+                "form_name",
+                "left_anti",
+            )
+            .collect()
+        ]
+        self._catalog_remove(orphans)
+        return orphans

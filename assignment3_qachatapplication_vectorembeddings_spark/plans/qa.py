@@ -1,0 +1,88 @@
+"""The online Q&A query (reference §3.3, ``/askQuestion``).
+
+Reference flow (``fastapi-backend/fastapiservice/QA_using_pinecone.py:31-65``):
+embed the question (M2) → Pinecone top-k=2 query with title ``$in``
+filter (T1) → '\n'-join the match texts, build the prompt
+``f"{context} \n\n Question: {q}"`` (F14) → chat completion (M3).
+
+Spark-first: one DataFrame expression — partition-pruned scan (title
+filter) → cosine score → TakeOrderedAndProject limit k → context
+assembly via ``concat_ws`` aggregation. The answer model is injected
+(``answer_fn``); the default is a deterministic extractive stub so the
+whole path runs offline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.embedding import HashingEmbedder
+from ..operators.topk import topk_cosine
+
+__all__ = ["QAPipeline", "assemble_context"]
+
+DEFAULT_TOP_K = 2  # QA_using_pinecone.py:31
+
+
+def assemble_context(matches: DataFrame, question: str, text_col: str = "text") -> str:
+    """F14 (QA_using_pinecone.py:45-50): '\n'-joined match texts in
+    score order, then the prompt template."""
+    row = (
+        matches.orderBy(F.desc("score"))
+        .agg(F.concat_ws("\n", F.collect_list(text_col)).alias("ctx"))
+        .head()
+    )
+    context = row["ctx"] if row else ""
+    return f"{context} \n\n Question: {question}"
+
+
+def _extractive_answer(prompt: str) -> str:
+    """Deterministic stand-in for the chat model (M3): returns the first
+    context line — "answers using the provided context only" taken
+    literally. Production injects a real LLM call here."""
+    first_line = prompt.split("\n", 1)[0].strip()
+    return first_line or "I don't know."
+
+
+class QAPipeline:
+    """ask(question, form_titles) over a VectorIndex."""
+
+    def __init__(
+        self,
+        index,
+        embedder=None,
+        answer_fn: Callable[[str], str] = _extractive_answer,
+        top_k: int = DEFAULT_TOP_K,
+    ):
+        self.index = index
+        self.embedder = embedder or HashingEmbedder(dim=64)
+        self.answer_fn = answer_fn
+        self.top_k = top_k
+
+    def search(self, question: str, form_titles: Sequence[str] | None = None) -> DataFrame:
+        """T1 with P5 predicate: filter titles BEFORE scoring."""
+        qvec = self.embedder.embed_one(question)
+        filter_expr = (
+            F.col("title").isin(list(form_titles)) if form_titles else None
+        )
+        return topk_cosine(
+            self.index.read(), qvec, self.top_k, filter_expr=filter_expr
+        )
+
+    def ask(self, question: str, form_titles: Sequence[str] | None = None) -> dict:
+        matches = self.search(question, form_titles).cache()
+        prompt = assemble_context(matches, question)
+        answer = self.answer_fn(prompt)
+        out = {
+            "question": question,
+            "answer": answer,
+            "matches": [
+                (r["id"], r["title"], round(r["score"], 6))
+                for r in matches.select("id", "title", "score").collect()
+            ],
+        }
+        matches.unpersist()
+        return out

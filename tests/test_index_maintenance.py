@@ -1,0 +1,130 @@
+"""Vector index lifecycle: create → upsert → fetch → delete → stats →
+catalog sync, mirroring pipeline2's operation dispatch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from assignment3_qachatapplication_vectorembeddings_spark.functions.embedding import (
+    HashingEmbedder,
+)
+from assignment3_qachatapplication_vectorembeddings_spark.operators.index_maintenance import (
+    VectorIndex,
+    vector_ids_like_reference,
+)
+from assignment3_qachatapplication_vectorembeddings_spark.plans.qa import QAPipeline
+
+
+EMB = HashingEmbedder(dim=16)
+
+
+def make_updates(spark, rows):
+    data = [(i, EMB.embed_one(text), title, text) for i, title, text in rows]
+    return spark.createDataFrame(
+        data, "id string, vector array<float>, title string, text string"
+    )
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    return VectorIndex(spark, str(tmp_path / "index"))
+
+
+def test_upsert_creates_and_replaces_by_id(index, spark):
+    index.upsert(
+        make_updates(
+            spark,
+            [("a_0", "formA", "alpha text"), ("a_1", "formA", "beta text"), ("b_0", "formB", "gamma text")],
+        )
+    )
+    assert index.stats()["total_vector_count"] == 3
+    assert index.stats()["dimension"] == 16
+
+    # upsert same id → replace, not duplicate (S12 upsert-as-replace)
+    index.upsert(make_updates(spark, [("a_0", "formA", "alpha REVISED")]))
+    assert index.stats()["total_vector_count"] == 3
+    got = index.fetch_by_ids(["a_0"]).select("text").head()["text"]
+    assert got == "alpha REVISED"
+    # untouched partition intact
+    assert index.form_check("formB")
+
+
+def test_upsert_dimension_mismatch_rejected(index, spark):
+    index.upsert(make_updates(spark, [("a_0", "formA", "alpha")]))
+    bad = spark.createDataFrame(
+        [("x_0", [0.1, 0.2], "formX", "bad dim")],
+        "id string, vector array<float>, title string, text string",
+    )
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        index.upsert(bad)
+
+
+def test_delete_by_ids_with_catalog_cascade(index, spark):
+    index.upsert(
+        make_updates(
+            spark,
+            [("a_0", "formA", "alpha"), ("a_1", "formA", "beta"), ("b_0", "formB", "gamma")],
+        )
+    )
+    catalog = {r["form_name"] for r in index.read_catalog().collect()}
+    assert catalog == {"formA", "formB"}
+
+    index.delete_by_ids(["b_0"])  # formB becomes empty → cascade
+    assert index.stats()["total_vector_count"] == 2
+    assert not index.form_check("formB")
+    catalog = {r["form_name"] for r in index.read_catalog().collect()}
+    assert catalog == {"formA"}
+
+    index.delete_by_ids(["a_0"])  # formA survives with one vector
+    assert index.form_check("formA")
+    assert {r["form_name"] for r in index.read_catalog().collect()} == {"formA"}
+
+
+def test_delete_by_form_drops_partition(index, spark):
+    index.upsert(
+        make_updates(spark, [("a_0", "formA", "alpha"), ("b_0", "formB", "gamma")])
+    )
+    index.delete_by_form(["formA"])
+    assert not index.form_check("formA")
+    assert index.form_check("formB")
+    assert {r["form_name"] for r in index.read_catalog().collect()} == {"formB"}
+
+
+def test_delete_all(index, spark):
+    index.upsert(make_updates(spark, [("a_0", "formA", "alpha")]))
+    index.delete_all()
+    assert not index.exists()
+    assert index.stats()["total_vector_count"] == 0
+    assert index.read_catalog().count() == 0
+
+
+def test_vector_ids_like_reference(spark):
+    chunks = spark.createDataFrame(
+        [("formA", 0, "t0"), ("formA", 1, "t1"), ("formB", 0, "t2")],
+        "title string, chunk_pos int, text string",
+    )
+    ids = sorted(
+        r["id"] for r in vector_ids_like_reference(chunks).select("id").collect()
+    )
+    # global 0-based index over (title, chunk_pos) order — pipeline2.py:130-132
+    assert ids == ["formA_0", "formA_1", "formB_2"]
+
+
+def test_qa_pipeline_end_to_end(index, spark):
+    rows = [
+        ("a_0", "formA", "spark is a distributed engine"),
+        ("a_1", "formA", "catalyst optimizes logical plans"),
+        ("b_0", "formB", "pinecone stores dense vectors"),
+        ("b_1", "formB", "embeddings capture meaning"),
+    ]
+    index.upsert(make_updates(spark, rows))
+    qa = QAPipeline(index, embedder=EMB)
+
+    res = qa.ask("what optimizes logical plans in spark")
+    assert len(res["matches"]) == 2  # top_k=2, QA_using_pinecone.py:31
+    assert res["answer"]  # deterministic extractive stub answered
+
+    # P5: title filter restricts the search scope BEFORE scoring
+    res_b = qa.ask("what optimizes logical plans in spark", form_titles=["formB"])
+    assert all(title == "formB" for _, title, _ in res_b["matches"])
