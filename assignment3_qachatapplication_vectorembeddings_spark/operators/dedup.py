@@ -1,0 +1,350 @@
+"""Near-duplicate detection operators for large-scale corpus curation.
+
+The reference deduplicates only by exact vector id (Pinecone upsert
+replaces by id, ``airflow-pipeline/dags/pipeline2.py:130-146``); a
+training-data pipeline at 100 TB needs real near-dup detection. Four
+families, all expressed as shuffle-conscious DataFrame plans over a
+``documents(doc_id, text)`` table:
+
+1. **Exact** — md5 fingerprint of normalized text (see
+   ``functions.textfns.exact_fingerprint``; corpus queries
+   ``doc_fingerprint`` / ``dedup_exact_count``).
+2. **n-gram Jaccard** — word-shingle inverted index self-join; exact
+   set similarity. The candidate generator is the shingle join (docs
+   sharing zero shingles never meet — no O(n²) cross product).
+3. **MinHash + LSH** — K min-hashes per doc, banded into B bands of R
+   rows; docs sharing a band signature become candidates; candidates
+   are verified with exact Jaccard. This is the 100 TB path: cost is
+   O(total shingles × K) + a join on (band, sig) buckets.
+4. **SimHash** — tf-weighted 60-bit signature; pairs within hamming
+   distance d found by pigeonhole banding (split into d+1 chunks; any
+   pair with ≤d differing bits shares ≥1 exact chunk) — the banded
+   join is *lossless*, so results equal the brute-force cross join
+   without ever materializing it.
+
+Hashing: the engine's fast path is ``xxhash64`` (JVM codegen, no md5
+cost); ``hash_mode="md5"`` derives a 60-bit integer from the md5 hex
+prefix — bit-identical to the DuckDB oracle expression
+``('0x' || substring(md5(s),1,15))::BIGINT``, which is what the
+correctness gate runs. Both modes share every plan below.
+
+Scale notes (100 TB): shingle explosion is linear in corpus size and
+shuffles once per groupBy; hot shingles (boilerplate) should be
+dropped with ``max_doc_freq`` before the self-join — that bounds the
+inverted-index skew; AQE skew-join handles the rest. Band-bucket
+joins shuffle only (band, sig) keys — tiny compared to text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalized_tokens",
+    "shingle_table",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_band_buckets",
+    "minhash_lsh_pairs",
+    "simhash_table",
+    "simhash_pairs",
+    "embedding_topk_pairs",
+]
+
+
+def hash60(c: Column, *, mode: str = "md5") -> Column:
+    """60-bit non-negative integer hash of a string column.
+
+    ``md5`` mode matches DuckDB ``('0x'||substring(md5(s),1,15))::BIGINT``
+    exactly (oracle parity); ``xx`` mode is xxhash64 (fast path, stays
+    in whole-stage codegen).
+    """
+    if mode == "md5":
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(c)
+
+
+def normalized_tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased, trimmed text (array<string>)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def shingle_table(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles: (id_col, shingle).
+
+    Documents with fewer than ``n`` tokens produce no rows (explode of
+    an empty array), mirroring the SQL oracle's empty range.
+    """
+    toks = docs.select(id_col, normalized_tokens(F.col(text_col)).alias("_toks"))
+    gram = "concat(" + ", ' ', ".join(f"_toks[i+{j}]" for j in range(n)) + ")"
+    shingles = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(_toks)-{n}), i -> {gram})) "
+        "ELSE array() END"
+    )
+    return toks.select(id_col, F.explode(shingles).alias("shingle"))
+
+
+def _pair_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every pair sharing ≥1 shingle."""
+    cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = cnt.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return inter.join(ca, "doc_a").join(cb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+        ).alias("jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact near-dup pairs: word-n-gram Jaccard ≥ threshold.
+
+    Plan: shingle explode → inverted-index self-join on shingle →
+    per-pair intersection count → Jaccard from per-doc shingle counts.
+    No cross product: pairs sharing no shingle never materialize.
+    """
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n)
+    return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    sh: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """(id, seed, mh): min over shingles of hash60(seed || ':' || shingle).
+
+    Seeding by prefix-concat keeps the K hash functions independent
+    while using one underlying hash — one explode of K rows per
+    shingle, combined map-side by the min() partial aggregate.
+    """
+    if hash_mode == "md5":
+        h = (
+            f"cast(conv(substring(md5(concat(cast(s as string), ':', shingle)),"
+            f" 1, 15), 16, 10) as bigint)"
+        )
+    else:
+        h = "xxhash64(concat(cast(s as string), ':', shingle))"
+    seeded = F.expr(
+        f"transform(sequence(0, {num_hashes - 1}),"
+        f" s -> struct(s as seed, {h} as h))"
+    )
+    return (
+        sh.select(id_col, F.explode(seeded).alias("x"))
+        .select(id_col, F.col("x.seed").alias("seed"), F.col("x.h").alias("h"))
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def minhash_band_buckets(
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band, sig): band signature = comma-joined minhashes in seed
+    order. Docs agreeing on all R minhashes of a band share a bucket."""
+    return (
+        sigs.withColumn("band", F.expr(f"seed div {rows_per_band}"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified: shingle → K minhashes →
+    band buckets → candidate pairs → exact-Jaccard verify ≥ threshold.
+
+    Candidate generation touches only (band, sig) buckets — the 100 TB
+    path; the verify join runs only over candidates (few), so the
+    exact-Jaccard cost is bounded by true-ish pairs, not all pairs.
+    """
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n)
+    sigs = minhash_signatures(
+        sh, id_col=id_col, num_hashes=num_hashes, hash_mode=hash_mode
+    )
+    buckets = minhash_band_buckets(sigs, id_col=id_col, rows_per_band=rows_per_band)
+    a = buckets.select(F.col(id_col).alias("doc_a"), "band", "sig")
+    b = buckets.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = _pair_jaccard(sh, id_col).join(
+        F.broadcast(cands), ["doc_a", "doc_b"], "left_semi"
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_table(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """(id, simhash): tf-weighted SimHash over whitespace tokens.
+
+    Per doc: token hashes weighted by term frequency vote each of the
+    ``bits`` positions up (bit set) or down; simhash = the sign
+    bitmap. Implemented as one explode(tokens) → tf groupBy → bit
+    cross-product groupBy — two shuffles, each on (doc, small-key).
+    """
+    toks = docs.select(
+        id_col, F.explode(normalized_tokens(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w"))
+    th = tf.select(id_col, "w", hash60(F.col("tok"), mode=hash_mode).alias("h"))
+    bit = th.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bits - 1}),"
+                " b -> struct(b as b, CASE WHEN (shiftright(h, b) & 1) = 1 THEN w ELSE -w END as v))"
+            )
+        ).alias("x"),
+    ).select(id_col, F.col("x.b").alias("b"), F.col("x.v").alias("v"))
+    votes = bit.groupBy(id_col, "b").agg(F.sum("v").alias("s"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.expr("CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END")
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    max_distance: int = 4,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ max_distance) — lossless banded join.
+
+    Pigeonhole: with the signature split into ``max_distance + 1``
+    chunks, any pair differing in ≤ max_distance bits agrees exactly
+    on ≥ 1 chunk — so joining on (chunk_index, chunk_value) finds every
+    qualifying pair without an O(n²) cross join, and the post-filter
+    on true hamming distance makes the result identical to brute force.
+    """
+    sh = simhash_table(
+        docs, id_col=id_col, text_col=text_col, bits=bits, hash_mode=hash_mode
+    )
+    nchunks = max_distance + 1
+    width = (bits + nchunks - 1) // nchunks
+    mask = (1 << width) - 1
+    chunks = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {nchunks - 1}),"
+                f" c -> struct(c as c, shiftright(simhash, c * {width}) & {mask} as v))"
+            )
+        ).alias("x"),
+    ).select(id_col, "simhash", F.col("x.c").alias("c"), F.col("x.v").alias("v"))
+    a = chunks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "c", "v"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "c", "v"
+    )
+    return (
+        a.join(b, ["c", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+
+
+def embedding_topk_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most cosine-similar vector pairs (exact, brute force).
+
+    The all-pairs baseline for embedding near-dup: O(n²) dot products
+    via a self-join, TakeOrderedAndProject for the top k. At corpus
+    scale use the LSH-bucketed ANN path (operators.ann) to generate
+    candidates and this scorer only within buckets.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    na = F.sqrt(
+        F.expr("aggregate(va, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))")
+    )
+    nb = F.sqrt(
+        F.expr("aggregate(vb, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(k)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )

@@ -532,6 +532,146 @@ SELECT count(*) AS n_unique FROM (
 
 
 # --------------------------------------------------------------------------
+# Near-dup dedup suite (operators/dedup.py). All four families run on the
+# documents table; the md5-derived 60-bit hash is bit-identical between
+# Spark (conv(substr(md5 ...))) and DuckDB (('0x'||substr(md5 ...))::BIGINT),
+# so MinHash/SimHash signatures — not just final answers — are oracled.
+# --------------------------------------------------------------------------
+
+_SH_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') t FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM idx),
+cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+pair_j AS (
+  SELECT doc_a, doc_b, inter::DOUBLE / (ca.n + cb.n - inter) AS jaccard
+  FROM (
+    SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+_SQL_NGRAM_JACCARD = (
+    _SH_CTE
+    + """
+SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+FROM pair_j WHERE jaccard >= 0.8
+"""
+)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_hashes=16, rows_per_band=2, threshold=0.8, hash_mode="md5"
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+_SQL_MINHASH_LSH = (
+    _SH_CTE
+    + """,
+mh AS (
+  SELECT doc_id, s.s AS seed,
+         min(('0x' || substring(md5(s.s::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(16)) s) s
+  GROUP BY doc_id, s.s),
+bands AS (
+  SELECT doc_id, seed // 2 AS band, string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
+  FROM mh GROUP BY doc_id, seed // 2),
+cands AS (
+  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+  FROM bands a JOIN bands b USING (band, sig)
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+FROM pair_j JOIN cands USING (doc_a, doc_b)
+WHERE jaccard >= 0.8
+"""
+)
+
+_SIMHASH_CTE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, count(*) w FROM toks GROUP BY 1, 2),
+th AS (SELECT doc_id, w, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tf),
+votes AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) s
+  FROM th CROSS JOIN (SELECT unnest(range(60)) b) GROUP BY doc_id, b),
+simh AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+  FROM votes GROUP BY doc_id)
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_table(docs, bits=60, hash_mode="md5")
+
+
+_SQL_SIMHASH = _SIMHASH_CTE + "SELECT doc_id, simhash FROM simh"
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, bits=60, max_distance=4, hash_mode="md5")
+
+
+# oracle is the brute-force cross join; the Spark plan is the banded join,
+# which is provably equivalent (pigeonhole) — the gate checks exactly that.
+_SQL_SIMHASH_PAIRS = (
+    _SIMHASH_CTE
+    + """
+SELECT a.doc_id doc_a, b.doc_id doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM simh a, simh b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 4
+"""
+)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import embedding_topk_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_topk_pairs(emb, k=20)
+
+
+_SQL_EMBEDDING_NEAR_DUP = """
+SELECT id_a, id_b, round(c, 4) AS cosine FROM (
+  SELECT a.vec_id id_a, b.vec_id id_b,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) c
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+ORDER BY c DESC, id_a, id_b LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Text analysis — quality-scoring feature columns (all native expressions).
 # --------------------------------------------------------------------------
 
@@ -671,6 +811,21 @@ CORPUS: dict[str, QuerySpec] = {
     "regex_extract": QuerySpec(q_regex_extract, _SQL_REGEX, "F8"),
     "doc_fingerprint": QuerySpec(q_fingerprint, _SQL_FINGERPRINT, "exact-dedup key"),
     "dedup_exact_count": QuerySpec(q_dedup_exact, _SQL_DEDUP_EXACT, "exact dedup"),
+    "ngram_jaccard_dedup": QuerySpec(
+        q_ngram_jaccard, _SQL_NGRAM_JACCARD, "word-3-gram Jaccard near-dup pairs"
+    ),
+    "minhash_lsh_dedup": QuerySpec(
+        q_minhash_lsh, _SQL_MINHASH_LSH, "MinHash+LSH banded near-dup (verified)"
+    ),
+    "simhash_signatures": QuerySpec(
+        q_simhash, _SQL_SIMHASH, "tf-weighted 60-bit SimHash per doc"
+    ),
+    "simhash_near_dup": QuerySpec(
+        q_simhash_pairs, _SQL_SIMHASH_PAIRS, "SimHash hamming≤4 via pigeonhole bands"
+    ),
+    "embedding_near_dup": QuerySpec(
+        q_embedding_near_dup, _SQL_EMBEDDING_NEAR_DUP, "top-20 cosine-closest pairs"
+    ),
     "quality_scores": QuerySpec(q_quality, _SQL_QUALITY, "text quality features"),
     "sectionize": QuerySpec(q_sectionize, _SQL_SECTIONIZE, "W2 section numbering"),
     "pypdf_chunks": QuerySpec(q_pypdf_chunks, None, "F2/F3 two-pass chunk pack"),

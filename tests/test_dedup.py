@@ -1,0 +1,135 @@
+"""Near-dup dedup operators vs brute-force python/numpy baselines.
+
+The banded/LSH plans must produce results identical to (MinHash: a
+verified subset of; SimHash: exactly) the quadratic baselines — these
+tests compute the baselines in-process on the sf0.001 documents table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from assignment3_qachatapplication_vectorembeddings_spark.operators.dedup import (
+    embedding_topk_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_table,
+)
+from assignment3_qachatapplication_vectorembeddings_spark.sources.tables import load_table
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    toks = re.split(r"\s+", text.strip().lower())
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@pytest.fixture(scope="module")
+def docs_pd(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    )
+
+
+@pytest.fixture(scope="module")
+def jaccard_baseline(docs_pd):
+    sh = {r.doc_id: _shingles(r.text) for r in docs_pd.itertuples()}
+    out = {}
+    for a, b in combinations(sorted(sh), 2):
+        sa, sb = sh[a], sh[b]
+        inter = len(sa & sb)
+        if inter:
+            out[(a, b)] = inter / (len(sa) + len(sb) - inter)
+    return out
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, sf_dir, jaccard_baseline):
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    want = {p: j for p, j in jaccard_baseline.items() if j >= 0.8}
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p] == pytest.approx(want[p], abs=1e-12)
+
+
+def test_minhash_lsh_finds_all_planted_dups(spark, sf_dir, jaccard_baseline):
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    want = {p for p, j in jaccard_baseline.items() if j >= 0.8}
+    # verified-LSH output is a subset of exact pairs by construction;
+    # on the planted ~0.99-Jaccard dups recall must be total
+    assert got == want
+
+
+def test_simhash_signature_matches_python(spark, sf_dir, docs_pd):
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_table(load_table(spark, sf_dir, "documents")).collect()
+    }
+    for r in docs_pd.itertuples():
+        toks = re.split(r"\s+", r.text.strip().lower())
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        votes = [0] * 60
+        for t, w in tf.items():
+            h = _h60(t)
+            for b in range(60):
+                votes[b] += w if (h >> b) & 1 else -w
+        want = sum(1 << b for b in range(60) if votes[b] > 0)
+        assert got[r.doc_id] == want, r.doc_id
+
+
+def test_simhash_banded_equals_bruteforce(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_table(docs).collect()}
+    brute = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for a, b in combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 4
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_distance=4).collect()
+    }
+    assert banded == brute
+
+
+def test_embedding_topk_pairs_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    cand = [
+        (ids[i], ids[j], cos[i, j])
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j]
+    ]
+    cand.sort(key=lambda t: (-t[2], t[0], t[1]))
+    want = [(a, b, round(c, 4)) for a, b, c in cand[:10]]
+    got = [
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_topk_pairs(emb, k=10).collect()
+    ]
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, g), (_, _, w) in zip(got, want):
+        assert g == pytest.approx(w, abs=1e-4)
