@@ -1,0 +1,219 @@
+"""Approximate nearest-neighbor search — the 100 TB scale path for the
+reference's top-k vector query (``QA_using_pinecone.py:31-48``).
+
+Exact brute-force cosine (``operators.topk.topk_cosine``) is the
+baseline and stays the correctness oracle. At corpus scale the scan
+must touch a small fraction of vectors; two standard index layouts:
+
+- **LSH (random hyperplane)**: per table t, signature = sign bits of
+  ``planes_t @ vec`` packed into an int. Vectors colliding with the
+  query signature in ≥1 table are candidates; candidates are rescored
+  with exact cosine. Multiprobe widens each table's probe set to all
+  signatures within hamming distance 1 — recall climbs without more
+  tables. On disk the index is parquet partitioned by (table, sig):
+  a query prunes to L × (1 + bits) partitions regardless of corpus
+  size.
+- **IVF (inverted file)**: k-means coarse quantizer (pyspark.ml,
+  seeded); every vector is assigned to its nearest centroid; a query
+  probes the ``nprobe`` nearest centroid cells and rescans only those.
+  Partitioned-by-cluster parquet gives the same pruning property.
+
+Signatures and assignments are computed with Arrow-batched pandas
+UDFs (one numpy matmul per batch — the measured fast path for wide
+vectors, see SURVEY §4.2); candidate pruning and rescoring stay in
+native Spark expressions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+from .topk import topk_cosine
+
+__all__ = [
+    "make_planes",
+    "lsh_signatures",
+    "query_signatures",
+    "lsh_topk",
+    "ivf_fit_centroids",
+    "ivf_assign",
+    "ivf_topk",
+]
+
+
+def make_planes(dim: int, *, num_tables: int = 8, bits: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic gaussian hyperplanes, shape (num_tables, bits, dim)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((num_tables, bits, dim))
+
+
+def _pack_signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) vectors → (n, num_tables) packed sign-bit signatures."""
+    weights = (1 << np.arange(planes.shape[1], dtype=np.int64))  # (bits,)
+    out = np.empty((mat.shape[0], planes.shape[0]), dtype=np.int64)
+    for t in range(planes.shape[0]):
+        bits = (mat @ planes[t].T) > 0  # (n, bits)
+        out[:, t] = bits @ weights
+    return out
+
+
+def lsh_signatures(
+    df: DataFrame,
+    planes: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds (table, sig) — one output row per input row per table."""
+    num_tables = planes.shape[0]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sigs(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            if mat.size == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            packed = _pack_signatures(mat, planes)
+            yield pd.Series(list(packed))
+
+    sigs = df.withColumn("_sigs", _sigs(F.col(vec_col)))
+    return (
+        sigs.select(
+            "*",
+            F.posexplode("_sigs").alias("table", "sig"),
+        )
+        .drop("_sigs")
+        .withColumn("table", F.col("table").cast("int"))
+    )
+
+
+def query_signatures(
+    qvec: Sequence[float], planes: np.ndarray, *, multiprobe: int = 1
+) -> list[tuple[int, int]]:
+    """(table, sig) probe set for a query vector; multiprobe=1 adds all
+    hamming-1 neighbors of each table's signature (bits × tables extra
+    buckets — constant, independent of corpus size)."""
+    packed = _pack_signatures(
+        np.asarray(qvec, dtype=np.float64)[None, :], planes
+    )[0]
+    bits = planes.shape[1]
+    probes = []
+    for t, s in enumerate(packed):
+        probes.append((t, int(s)))
+        if multiprobe >= 1:
+            probes.extend((t, int(s) ^ (1 << b)) for b in range(bits))
+    return probes
+
+
+def lsh_topk(
+    emb: DataFrame,
+    qvec: Sequence[float],
+    k: int,
+    planes: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 1,
+    filter_expr=None,
+) -> DataFrame:
+    """Approximate top-k: probe LSH buckets, rescore exactly.
+
+    ``emb`` may be the raw vector table (signatures computed on the
+    fly) or a pre-signed table already carrying (table, sig) — the
+    persisted layout. The probe filter is a literal IN list over
+    (table, sig), so a partitioned index prunes at planning time.
+    """
+    signed = (
+        emb
+        if {"table", "sig"} <= set(emb.columns)
+        else lsh_signatures(emb, planes, vec_col=vec_col)
+    )
+    probes = query_signatures(qvec, planes, multiprobe=multiprobe)
+    probe_key = F.concat_ws(":", F.col("table"), F.col("sig"))
+    probe_lits = [f"{t}:{s}" for t, s in probes]
+    cands = (
+        signed.filter(probe_key.isin(probe_lits))
+        .drop("table", "sig")
+        .dropDuplicates([id_col])
+    )
+    if filter_expr is not None:
+        cands = cands.filter(filter_expr)
+    return topk_cosine(cands, qvec, k, vec_col=vec_col)
+
+
+# ----------------------------------------------------------------------
+# IVF
+# ----------------------------------------------------------------------
+
+
+def ivf_fit_centroids(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Coarse quantizer: seeded k-means over the vector column.
+
+    Uses pyspark.ml KMeans (scalable, one pass per iteration); returns
+    the centroid matrix (nlist, dim) for driver-side probe selection.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ds = emb.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(ds)
+    return np.array(model.clusterCenters())
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``cluster`` = argmin L2 distance to centroids (pandas UDF,
+    one matmul per Arrow batch). Persist partitioned by cluster for
+    planning-time pruning."""
+
+    @F.pandas_udf(IntegerType())
+    def _assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        c = centroids
+        c_norm2 = (c * c).sum(axis=1)  # (nlist,)
+        for vecs in batches:
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            if mat.size == 0:
+                yield pd.Series([], dtype="int32")
+                continue
+            # argmin ||x-c||² = argmin (||c||² - 2 x·c)
+            d = c_norm2[None, :] - 2.0 * (mat @ c.T)
+            yield pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return emb.withColumn("cluster", _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    qvec: Sequence[float],
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    filter_expr=None,
+) -> DataFrame:
+    """Approximate top-k: scan only the nprobe nearest centroid cells."""
+    q = np.asarray(qvec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d)[:nprobe]]
+    cands = assigned.filter(F.col("cluster").isin(probe)).drop("cluster")
+    if filter_expr is not None:
+        cands = cands.filter(filter_expr)
+    return topk_cosine(cands, qvec, k, vec_col=vec_col)

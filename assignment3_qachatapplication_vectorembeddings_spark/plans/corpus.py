@@ -772,6 +772,39 @@ def q_nougat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ANN — the approximate scale path for T1 (rows-only: approximate top-k has
+# no SQL oracle; tests/test_ann.py checks recall vs the exact baseline and
+# that candidate pruning really prunes).
+# --------------------------------------------------------------------------
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import ivf_assign, ivf_fit_centroids, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    cents = ivf_fit_centroids(rest, nlist=16)
+    hits = ivf_topk(ivf_assign(rest, cents), cents, qvec, 10, nprobe=8)
+    return hits.orderBy(F.desc("score"), F.asc("vec_id")).select(
+        "vec_id", "label", F.round("score", 4).alias("score")
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import lsh_topk, make_planes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    planes = make_planes(len(qvec), num_tables=16, bits=10)
+    hits = lsh_topk(rest, qvec, 10, planes, multiprobe=1)
+    return hits.orderBy(F.desc("score"), F.asc("vec_id")).select(
+        "vec_id", "label", F.round("score", 4).alias("score")
+    )
+
+
+# --------------------------------------------------------------------------
 # Language ID (pandas UDF heuristic; rows-only — the documents table has
 # a ground-truth lang column, so the pytest suite checks accuracy).
 # --------------------------------------------------------------------------
@@ -828,6 +861,8 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "quality_scores": QuerySpec(q_quality, _SQL_QUALITY, "text quality features"),
     "sectionize": QuerySpec(q_sectionize, _SQL_SECTIONIZE, "W2 section numbering"),
+    "ann_ivf_topk": QuerySpec(q_ann_ivf, None, "IVF (k-means cells) approx top-k"),
+    "ann_lsh_topk": QuerySpec(q_ann_lsh, None, "hyperplane-LSH approx top-k"),
     "pypdf_chunks": QuerySpec(q_pypdf_chunks, None, "F2/F3 two-pass chunk pack"),
     "nougat_chunks": QuerySpec(q_nougat_chunks, None, "F4/F5/F6/W2/A1 nougat pack"),
     "lang_id": QuerySpec(q_lang_id, None, "language identification"),

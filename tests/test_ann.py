@@ -1,0 +1,114 @@
+"""ANN (LSH / IVF) vs exact brute-force top-k: recall and pruning.
+
+Everything is seeded, so recall on the fixed testdata is
+deterministic; thresholds below are floors under the measured values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+    ivf_assign,
+    ivf_fit_centroids,
+    ivf_topk,
+    lsh_signatures,
+    lsh_topk,
+    make_planes,
+    query_signatures,
+)
+from assignment3_qachatapplication_vectorembeddings_spark.operators.topk import topk_cosine
+from assignment3_qachatapplication_vectorembeddings_spark.sources.tables import load_table
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").filter("vec_id != 0").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(spark, sf_dir):
+    row = (
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).head()
+    )
+    return [float(v) for v in row["embedding"]]
+
+
+@pytest.fixture(scope="module")
+def exact_ids(emb, qvec):
+    return {
+        r["vec_id"]
+        for r in topk_cosine(emb, qvec, K, vec_col="embedding")
+        .select("vec_id")
+        .collect()
+    }
+
+
+def test_lsh_signature_determinism_and_shape(emb):
+    planes = make_planes(64, num_tables=4, bits=8)
+    signed = lsh_signatures(emb, planes)
+    n = emb.count()
+    assert signed.count() == 4 * n
+    # signatures fit in the packed bit range
+    mx = signed.agg(F.max("sig"), F.min("sig")).head()
+    assert 0 <= mx[1] and mx[0] < (1 << 8)
+    # recompute → identical (pure function of data + seed)
+    again = lsh_signatures(emb, planes)
+    assert signed.exceptAll(again).count() == 0
+
+
+def test_lsh_candidates_prune_and_recall(emb, qvec, exact_ids):
+    planes = make_planes(64, num_tables=16, bits=10)
+    probes = query_signatures(qvec, planes, multiprobe=1)
+    assert len(probes) == 16 * 11  # per table: exact sig + 10 hamming-1
+    signed = lsh_signatures(emb, planes)
+    key = F.concat_ws(":", "table", "sig")
+    cands = (
+        signed.filter(key.isin([f"{t}:{s}" for t, s in probes]))
+        .dropDuplicates(["vec_id"])
+        .count()
+    )
+    assert cands < emb.count()  # actually prunes
+    got = {
+        r["vec_id"]
+        for r in lsh_topk(emb, qvec, K, planes, multiprobe=1).select("vec_id").collect()
+    }
+    assert len(got & exact_ids) / K >= 0.3  # honest floor for uniform-ish data
+
+
+def test_ivf_recall_and_pruning(emb, qvec, exact_ids):
+    cents = ivf_fit_centroids(emb, nlist=16)
+    assert cents.shape == (16, 64)
+    assigned = ivf_assign(emb, cents).cache()
+    # every vector lands in exactly one cell
+    assert assigned.count() == emb.count()
+    assert assigned.filter(~F.col("cluster").between(0, 15)).count() == 0
+    probe = [int(c) for c in np.argsort(((cents - np.asarray(qvec)) ** 2).sum(1))[:8]]
+    scanned = assigned.filter(F.col("cluster").isin(probe)).count()
+    assert scanned < emb.count()
+    got = {
+        r["vec_id"]
+        for r in ivf_topk(assigned, cents, qvec, K, nprobe=8).select("vec_id").collect()
+    }
+    assert len(got & exact_ids) / K >= 0.7
+
+
+def test_ivf_scores_are_exact_on_candidates(emb, qvec):
+    """ANN rescoring is exact cosine — scores must equal the brute-force
+    scores for whichever ids it returns."""
+    cents = ivf_fit_centroids(emb, nlist=16)
+    assigned = ivf_assign(emb, cents)
+    approx = {
+        r["vec_id"]: r["score"]
+        for r in ivf_topk(assigned, cents, qvec, K, nprobe=8).collect()
+    }
+    full = {
+        r["vec_id"]: r["score"]
+        for r in topk_cosine(emb, qvec, emb.count(), vec_col="embedding").collect()
+    }
+    for vid, s in approx.items():
+        assert s == pytest.approx(full[vid], abs=1e-9)
