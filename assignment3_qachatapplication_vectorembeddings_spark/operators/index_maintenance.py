@@ -79,7 +79,12 @@ class VectorIndex:
     def read(self) -> DataFrame:
         if not self.exists():
             return self.spark.createDataFrame([], INDEX_SCHEMA)
-        df = self.spark.read.parquet(self.path)
+        try:
+            df = self.spark.read.parquet(self.path)
+        except Exception:
+            # root dir survives after the last partition is dropped —
+            # an index with zero partitions is an empty index
+            return self.spark.createDataFrame([], INDEX_SCHEMA)
         # partition column comes back typed; normalize to the schema order
         return df.select("id", "vector", F.col("title").cast("string"), "text")
 
