@@ -772,6 +772,215 @@ def q_nougat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Relational breadth — TPC-H-shaped multi-join analytics. The reference has
+# no general join executor (SURVEY §2.3); these exercise what Spark gives
+# natively and prove the engine handles the full join/agg/sort pipeline
+# shape at scale (broadcast dims, partial aggs, TakeOrdered top-N).
+# --------------------------------------------------------------------------
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: revenue of unshipped orders for one segment."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01")
+    )
+    revenue = F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round((sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4)))::DOUBLE, 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join, customer and supplier co-national."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_SQL_LOCAL_SUPPLIER = """
+SELECT n_name,
+       round((sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4)))::DOUBLE, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by returned-item revenue."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_SQL_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round((sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4)))::DOUBLE, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Event-stream analytics over the events table: tumbling windows,
+# gap-based sessionization, JSON prop extraction — the batch forms of the
+# streaming operators (streaming/ runs the same logic incrementally).
+# --------------------------------------------------------------------------
+
+
+def q_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec2(F.col("value"))).cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+_SQL_EVENT_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n,
+       round((sum(value::DECIMAL(18,2)))::DOUBLE, 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions: >30 min of silence starts a new session.
+    Microsecond-exact on both sides via unix_micros/epoch_us."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = events.withColumn("sid", F.sum(new_session).over(wc))
+    return sess.groupBy("user_id").agg(
+        F.max("sid").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_SQL_SESSIONIZATION = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM lagged),
+sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id, max(sid)::BIGINT AS n_sessions, count(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_SQL_JSON_PROPS = """
+SELECT event_type,
+       sum(json_extract_string(props, '$.k')::INT) AS sum_k,
+       min(json_extract_string(props, '$.k')::INT) AS min_k,
+       max(json_extract_string(props, '$.k')::INT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # ANN — the approximate scale path for T1 (rows-only: approximate top-k has
 # no SQL oracle; tests/test_ann.py checks recall vs the exact baseline and
 # that candidate pruning really prunes).
@@ -861,6 +1070,24 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "quality_scores": QuerySpec(q_quality, _SQL_QUALITY, "text quality features"),
     "sectionize": QuerySpec(q_sectionize, _SQL_SECTIONIZE, "W2 section numbering"),
+    "shipping_priority": QuerySpec(
+        q_shipping_priority, _SQL_SHIPPING_PRIORITY, "TPC-H Q3 shape, 3-way join top-N"
+    ),
+    "local_supplier_volume": QuerySpec(
+        q_local_supplier_volume, _SQL_LOCAL_SUPPLIER, "TPC-H Q5 shape, 6-table join"
+    ),
+    "returned_items": QuerySpec(
+        q_returned_items, _SQL_RETURNED_ITEMS, "TPC-H Q10 shape, top customers"
+    ),
+    "event_hourly_window": QuerySpec(
+        q_event_hourly, _SQL_EVENT_HOURLY, "tumbling-hour event aggregation"
+    ),
+    "event_sessionization": QuerySpec(
+        q_sessionization, _SQL_SESSIONIZATION, "gap-based sessionization windows"
+    ),
+    "json_props_extract": QuerySpec(
+        q_json_props, _SQL_JSON_PROPS, "JSON prop extraction + agg"
+    ),
     "ann_ivf_topk": QuerySpec(q_ann_ivf, None, "IVF (k-means cells) approx top-k"),
     "ann_lsh_topk": QuerySpec(q_ann_lsh, None, "hyperplane-LSH approx top-k"),
     "pypdf_chunks": QuerySpec(q_pypdf_chunks, None, "F2/F3 two-pass chunk pack"),
