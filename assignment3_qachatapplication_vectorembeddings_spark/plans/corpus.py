@@ -1014,6 +1014,55 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Token counting (F1 family). Whitespace counts are native expressions
+# (SQL-oracled); the BPE-ish pre-tokenizer needs lookahead regex → pandas
+# UDF, RE2-less DuckDB can't mirror it → rows-only + golden pytest.
+# --------------------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+_SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count(F.col("text")).alias("bpe_tokens"))
+
+
+def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 as a batch query: deterministic hashing embedder over documents;
+    output is the shape+norm summary (vectors themselves aren't SQL)."""
+    from ..functions.embedding import HashingEmbedder, embed_column
+    from ..functions.similarity import l2_norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    embedded = embed_column(docs, "text", HashingEmbedder(dim=64), out_col="emb")
+    return embedded.select(
+        "doc_id",
+        F.size("emb").alias("dim"),
+        F.round(l2_norm(F.col("emb")), 4).alias("norm"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Language ID (pandas UDF heuristic; rows-only — the documents table has
 # a ground-truth lang column, so the pytest suite checks accuracy).
 # --------------------------------------------------------------------------
@@ -1093,6 +1142,15 @@ CORPUS: dict[str, QuerySpec] = {
     "pypdf_chunks": QuerySpec(q_pypdf_chunks, None, "F2/F3 two-pass chunk pack"),
     "nougat_chunks": QuerySpec(q_nougat_chunks, None, "F4/F5/F6/W2/A1 nougat pack"),
     "lang_id": QuerySpec(q_lang_id, None, "language identification"),
+    "token_counts": QuerySpec(
+        q_token_counts, _SQL_TOKEN_COUNTS, "whitespace/distinct token + char counts"
+    ),
+    "bpe_token_counts": QuerySpec(
+        q_bpe_token_counts, None, "BPE-ish pre-tokenizer counts (pandas UDF)"
+    ),
+    "embed_documents": QuerySpec(
+        q_embed_documents, None, "M1 batch embedding generation (hashing embedder)"
+    ),
 }
 
 
