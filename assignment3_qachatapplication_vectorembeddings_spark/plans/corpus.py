@@ -1076,6 +1076,36 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Multimodal plumbing as a corpus query: documents' utf-8 bytes stand in
+# for media payloads; decode (FakeCodec) → feature extraction. Rows-only —
+# the decode is the documented deterministic fake; schemas/batch shapes
+# are the thing under test (tests/test_multimodal.py golden-checks them).
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_images, image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    feats = image_features(decode_images(media), bins=8)
+    return feats.select(
+        "media_id",
+        F.size("feature").alias("dim"),
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1150,6 +1180,9 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "embed_documents": QuerySpec(
         q_embed_documents, None, "M1 batch embedding generation (hashing embedder)"
+    ),
+    "multimodal_features": QuerySpec(
+        q_multimodal_features, None, "binary decode → feature extract plumbing"
     ),
 }
 
