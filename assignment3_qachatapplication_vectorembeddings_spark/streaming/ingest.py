@@ -1,0 +1,199 @@
+"""Structured Streaming ingestion — the incremental mode of Pipeline 1.
+
+The reference is batch-only (both DAGs are manually triggered,
+``pipeline1.py:920`` / ``pipeline2.py:375`` — SURVEY §2.9); its only
+"streaming" is a cosmetic sleep loop. But the operator set is already
+incremental-friendly, so this module runs the SAME chunk/embed
+transforms continuously:
+
+- **file-arrival source**: new document files land in a directory →
+  ``readStream`` picks them up (checkpointed, exactly-once per file);
+- **foreachBatch**: each micro-batch runs the identical batch
+  operators (``pypdf_chunk_table`` → ``embed_column``) and appends to
+  the chunk/embedding parquet table — one code path for batch and
+  streaming, the core Spark-first win;
+- **watermarked windowed aggs** over an event stream (tumbling
+  windows, late-data tolerance);
+- **custom stateful operator** via ``applyInPandasWithState``:
+  per-user session tracking with explicit state (the gap-session
+  analogue of the batch ``event_sessionization`` corpus query).
+
+``Trigger.AvailableNow`` drains everything pending then stops — the
+batch-parity mode used by the tests; production uses processingTime
+triggers with the same code.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = [
+    "DOC_STREAM_SCHEMA",
+    "stream_documents",
+    "run_streaming_ingest",
+    "windowed_event_counts",
+    "sessionize_stream",
+]
+
+#: Incoming document records (one json per line in the landing dir).
+DOC_STREAM_SCHEMA = StructType(
+    [
+        StructField("FormName", StringType(), False),
+        StructField("text", StringType(), True),
+    ]
+)
+
+EVENT_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", StringType(), True),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-arrival source: json-lines documents appearing in a dir."""
+    return (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(landing_dir)
+    )
+
+
+def run_streaming_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    token_limit: int = 1000,
+    tokenizer: str = "ws",
+    embedder=None,
+    available_now: bool = True,
+):
+    """Streaming Pipeline-1: each micro-batch runs the batch operators.
+
+    foreachBatch is the bridge: grouped-map chunk packing
+    (applyInPandas) isn't allowed directly on a stream, but inside the
+    batch callback the full batch API — and therefore ONE shared
+    implementation — applies. Returns the started query.
+    """
+    from ..functions.embedding import HashingEmbedder, embed_column
+    from ..operators.chunking import pypdf_chunk_table
+
+    emb = embedder or HashingEmbedder(dim=64)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        chunks = pypdf_chunk_table(
+            batch_df, token_limit=token_limit, tokenizer=tokenizer
+        )
+        embedded = embed_column(chunks, "Content", emb, out_col="Embeddings")
+        embedded.write.mode("append").parquet(out_path)
+
+    writer = (
+        stream_documents(spark, landing_dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_process)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts with late-data watermark (streaming-safe
+    aggregation; same result as the batch date_trunc agg once all data
+    arrives)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+_SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_sessions", IntegerType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType(), True),
+        StructField("n_sessions", IntegerType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+
+_GAP_US = 1800 * 1_000_000  # 30 min, matching the batch sessionization
+
+
+def _session_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful gap-sessionizer: carries (last_ts, session count, event
+    count) across micro-batches for one user."""
+    if state.exists:
+        last_ts_us, n_sessions, n_events = state.get
+    else:
+        last_ts_us, n_sessions, n_events = None, 0, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts in pdf["ts"]:
+            ts_us = int(ts.value // 1000)  # pandas ns → µs
+            if last_ts_us is None or ts_us - last_ts_us > _GAP_US:
+                n_sessions += 1
+            last_ts_us = ts_us
+            n_events += 1
+    state.update((last_ts_us, n_sessions, n_events))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_sessions": [n_sessions],
+            "n_events": [n_events],
+        }
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState: per-user session counts, updated per
+    micro-batch — the custom-stateful-operator pattern (SURVEY §2.9's
+    'not required for parity' op, provided anyway for the streaming
+    mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,166 @@
+"""Structured Streaming ingestion: batch parity, windowed aggs, state.
+
+Uses Trigger.AvailableNow so each test drains its input and stops —
+deterministic, no sleeps.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from assignment3_qachatapplication_vectorembeddings_spark.functions.embedding import (
+    HashingEmbedder,
+    embed_column,
+)
+from assignment3_qachatapplication_vectorembeddings_spark.operators.chunking import (
+    pypdf_chunk_table,
+)
+from assignment3_qachatapplication_vectorembeddings_spark.sources.tables import load_table
+from assignment3_qachatapplication_vectorembeddings_spark.streaming.ingest import (
+    EVENT_STREAM_SCHEMA,
+    run_streaming_ingest,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+DOCS = [
+    {"FormName": "alpha", "text": "one two three\nfour five six\nseven eight"},
+    {"FormName": "beta", "text": "lorem ipsum dolor\nsit amet"},
+    {"FormName": "gamma", "text": "spark streams files\nexactly once\nper file"},
+]
+
+
+def test_streaming_ingest_matches_batch(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # two arrival waves → two micro-batches under availableNow
+    (landing / "wave1.json").write_text(
+        "\n".join(json.dumps(d) for d in DOCS[:2])
+    )
+    (landing / "wave2.json").write_text(json.dumps(DOCS[2]))
+
+    out = str(tmp_path / "out")
+    q = run_streaming_ingest(
+        spark,
+        str(landing),
+        out,
+        str(tmp_path / "ckpt"),
+        token_limit=4,
+        tokenizer="ws",
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch_in = spark.createDataFrame(
+        [(d["FormName"], d["text"]) for d in DOCS], "FormName string, text string"
+    )
+    want = embed_column(
+        pypdf_chunk_table(batch_in, token_limit=4, tokenizer="ws"),
+        "Content",
+        HashingEmbedder(dim=64),
+        out_col="Embeddings",
+    )
+    # identical rows regardless of micro-batch split: one code path
+    assert got.count() == want.count()
+    g = {(r["FormName"], r["ChunkId"], r["Content"]) for r in got.collect()}
+    w = {(r["FormName"], r["ChunkId"], r["Content"]) for r in want.collect()}
+    assert g == w
+
+
+def test_streaming_resume_is_exactly_once(spark, tmp_path):
+    """New files after a restart are processed; old files are not re-run."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.json").write_text(json.dumps(DOCS[0]))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    q = run_streaming_ingest(spark, str(landing), out, ckpt, token_limit=4, tokenizer="ws")
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    (landing / "b.json").write_text(json.dumps(DOCS[1]))
+    q = run_streaming_ingest(spark, str(landing), out, ckpt, token_limit=4, tokenizer="ws")
+    q.awaitTermination(120)
+    df = spark.read.parquet(out)
+    # alpha rows unchanged (no duplicates), beta rows appended
+    assert df.filter("FormName = 'alpha'").count() == n1
+    assert df.filter("FormName = 'beta'").count() > 0
+
+
+@pytest.fixture()
+def event_stream_dir(spark, sf_dir, tmp_path):
+    """Events table staged as a streamable parquet dir (value→string to
+    exercise schema-projection too)."""
+    p = tmp_path / "events"
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", F.col("value").cast("string")
+    ).coalesce(2).write.parquet(str(p))
+    return str(p)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, tmp_path, event_stream_dir):
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .parquet(event_stream_dir)
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour_start"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    want = {
+        (r["hour_start"], r["event_type"]): r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stateful_sessionization_stream(spark, sf_dir, tmp_path, event_stream_dir):
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .parquet(event_stream_dir)
+    )
+    sess = sessionize_stream(stream)
+    q = (
+        sess.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest state per user must match the batch sessionization exactly
+    got_df = spark.sql(
+        "select user_id, max(n_sessions) n_sessions, max(n_events) n_events"
+        " from sessions group by user_id"
+    )
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got_df.collect()
+    }
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.corpus import (
+        q_sessionization,
+    )
+
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q_sessionization(spark, sf_dir).collect()
+    }
+    assert got == want
