@@ -43,7 +43,7 @@ Reference semantics reproduced exactly (quirks included):
 from __future__ import annotations
 
 import re
-from typing import Callable, Iterable, Sequence
+from typing import Callable, Iterable, Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -186,36 +186,46 @@ def pypdf_chunk_table(
     """One row per document in → N chunk rows out (UDTF-shaped), with
     the reference's two-pass pack and ChunkId quirks.
 
-    Scale: ``groupBy(form).applyInPandas`` — one shuffle on the document
-    key, then embarrassing parallelism; no collect, no driver loop.
+    Scale: each input row is one complete document, so rows are
+    independent — ``mapInPandas`` packs them partition-local with ZERO
+    shuffle (a ``groupBy(form)`` would move every text byte through an
+    exchange for nothing). Parallelism = input partitions; no collect,
+    no driver loop.
     """
     count_tokens = TOKENIZERS[tokenizer]
 
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_rows: list[tuple[str, int, str, str]] = []
-        for _, row in pdf.iterrows():
-            form = row[form_col]
-            lines = (row[text_col] or "").split("\n")
-            first, oversized = pack_lines(lines, "\n", token_limit, count_tokens)
-            second = (
-                pack_words_second_pass(oversized, token_limit, count_tokens)
-                if oversized
-                else []
+    def _pack_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out_rows: list[tuple[str, int, str, str]] = []
+            for row in pdf.itertuples(index=False):
+                form = getattr(row, form_col)
+                lines = (getattr(row, text_col) or "").split("\n")
+                first, oversized = pack_lines(
+                    lines, "\n", token_limit, count_tokens
+                )
+                second = (
+                    pack_words_second_pass(oversized, token_limit, count_tokens)
+                    if oversized
+                    else []
+                )
+                # pandas-concat-without-ignore_index quirk: ids restart per pass
+                for idx, chunk in enumerate(first):
+                    out_rows.append(
+                        (chunk, count_tokens(chunk), form, f"{form}_{idx}")
+                    )
+                for idx, chunk in enumerate(second):
+                    out_rows.append(
+                        (chunk, count_tokens(chunk), form, f"{form}_{idx}")
+                    )
+            yield pd.DataFrame(
+                out_rows, columns=["Content", "TokenCount", "FormName", "ChunkId"]
             )
-            # pandas-concat-without-ignore_index quirk: ids restart per pass
-            for idx, chunk in enumerate(first):
-                out_rows.append((chunk, count_tokens(chunk), form, f"{form}_{idx}"))
-            for idx, chunk in enumerate(second):
-                out_rows.append((chunk, count_tokens(chunk), form, f"{form}_{idx}"))
-        return pd.DataFrame(
-            out_rows, columns=["Content", "TokenCount", "FormName", "ChunkId"]
-        )
 
     prepared = docs.select(
         F.col(form_col).cast("string").alias(form_col),
         F.col(text_col).cast("string").alias(text_col),
     )
-    return prepared.groupBy(form_col).applyInPandas(_pack, _CHUNK_OUT_SCHEMA)
+    return prepared.mapInPandas(_pack_rows, _CHUNK_OUT_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -399,32 +409,39 @@ def nougat_chunk_table(
     token_limit: int = 1000,
     tokenizer: str = "ws",
 ) -> DataFrame:
-    """Full nougat chunking path as one grouped-map operator."""
+    """Full nougat chunking path, shuffle-free: one document per input
+    row → rows are independent → ``mapInPandas`` (see pypdf_chunk_table
+    scale note)."""
     count_tokens = TOKENIZERS[tokenizer]
 
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_rows: list[tuple[str, int, str, str]] = []
-        for _, row in pdf.iterrows():
-            form = row[form_col]
-            sem = nougat_semantics_py(form, row[text_col] or "", count_tokens)
-            # A1: '\n'-join per section, paragraph order preserved
-            section_texts = (
-                sem.groupby("Section", sort=True)["ParaContent"]
-                .agg("\n".join)
-                .tolist()
+    def _pack_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out_rows: list[tuple[str, int, str, str]] = []
+            for row in pdf.itertuples(index=False):
+                form = getattr(row, form_col)
+                sem = nougat_semantics_py(
+                    form, getattr(row, text_col) or "", count_tokens
+                )
+                # A1: '\n'-join per section, paragraph order preserved
+                section_texts = (
+                    sem.groupby("Section", sort=True)["ParaContent"]
+                    .agg("\n".join)
+                    .tolist()
+                )
+                chunks = _pack_sections_py(section_texts, token_limit, count_tokens)
+                for idx, chunk in enumerate(chunks):
+                    out_rows.append(
+                        (chunk, count_tokens(chunk), form, f"{form}_{idx}")
+                    )
+            yield pd.DataFrame(
+                out_rows, columns=["Content", "TokenCount", "FormName", "ChunkId"]
             )
-            chunks = _pack_sections_py(section_texts, token_limit, count_tokens)
-            for idx, chunk in enumerate(chunks):
-                out_rows.append((chunk, count_tokens(chunk), form, f"{form}_{idx}"))
-        return pd.DataFrame(
-            out_rows, columns=["Content", "TokenCount", "FormName", "ChunkId"]
-        )
 
     prepared = docs.select(
         F.col(form_col).cast("string").alias(form_col),
         F.col(text_col).cast("string").alias(text_col),
     )
-    return prepared.groupBy(form_col).applyInPandas(_pack, _CHUNK_OUT_SCHEMA)
+    return prepared.mapInPandas(_pack_rows, _CHUNK_OUT_SCHEMA)
 
 
 def semantics_table(
@@ -440,19 +457,24 @@ def semantics_table(
     count_tokens = TOKENIZERS[tokenizer]
     from ..schemas import SEMANTICS_SCHEMA
 
-    def _sem(pdf: pd.DataFrame) -> pd.DataFrame:
-        frames = [
-            nougat_semantics_py(row[form_col], row[text_col] or "", count_tokens)
-            for _, row in pdf.iterrows()
-        ]
-        if not frames:
-            return pd.DataFrame(columns=[f.name for f in SEMANTICS_SCHEMA.fields])
-        out = pd.concat(frames, ignore_index=True)
-        out["CummulativeTokenCount"] = out["CummulativeTokenCount"].astype("int64")
-        return out
+    def _sem_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SEMANTICS_SCHEMA.fields]
+        for pdf in pdfs:
+            frames = [
+                nougat_semantics_py(
+                    getattr(row, form_col), getattr(row, text_col) or "", count_tokens
+                )
+                for row in pdf.itertuples(index=False)
+            ]
+            if not frames:
+                yield pd.DataFrame(columns=cols)
+                continue
+            out = pd.concat(frames, ignore_index=True)
+            out["CummulativeTokenCount"] = out["CummulativeTokenCount"].astype("int64")
+            yield out
 
     prepared = docs.select(
         F.col(form_col).cast("string").alias(form_col),
         F.col(text_col).cast("string").alias(text_col),
     )
-    return prepared.groupBy(form_col).applyInPandas(_sem, SEMANTICS_SCHEMA)
+    return prepared.mapInPandas(_sem_rows, SEMANTICS_SCHEMA)

@@ -589,13 +589,25 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_MINHASH_LSH = (
-    _SH_CTE
-    + """,
+def _minhash_oracle_sql() -> str:
+    """Mirror of minhash_signatures' universal-hash family — same (a, b)
+    constants, same integer arithmetic (no overflow on either engine)."""
+    from ..operators.dedup import MINHASH_P, minhash_coeffs
+
+    coeffs = minhash_coeffs(16)
+    a_lit = "[" + ",".join(str(a) for a, _ in coeffs) + "]"
+    b_lit = "[" + ",".join(str(b) for _, b in coeffs) + "]"
+    return (
+        _SH_CTE
+        + f""",
+based AS (
+  SELECT doc_id, shingle,
+         ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS base
+  FROM sh),
 mh AS (
   SELECT doc_id, s.s AS seed,
-         min(('0x' || substring(md5(s.s::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(16)) s) s
+         min(({a_lit}[s.s + 1] * base + {b_lit}[s.s + 1]) % {MINHASH_P}) AS mh
+  FROM based CROSS JOIN (SELECT unnest(range(16)) s) s
   GROUP BY doc_id, s.s),
 bands AS (
   SELECT doc_id, seed // 2 AS band, string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
@@ -608,7 +620,10 @@ SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
 FROM pair_j JOIN cands USING (doc_a, doc_b)
 WHERE jaccard >= 0.8
 """
-)
+    )
+
+
+_SQL_MINHASH_LSH = _minhash_oracle_sql()
 
 _SIMHASH_CTE = """
 WITH toks AS (
