@@ -38,6 +38,8 @@ from .topk import topk_cosine
 
 __all__ = [
     "make_planes",
+    "build_ivf_index",
+    "load_ivf_index",
     "lsh_signatures",
     "query_signatures",
     "lsh_topk",
@@ -217,3 +219,49 @@ def ivf_topk(
     if filter_expr is not None:
         cands = cands.filter(filter_expr)
     return topk_cosine(cands, qvec, k, vec_col=vec_col)
+
+
+# ----------------------------------------------------------------------
+# Persisted IVF index: parquet partitioned by cluster. The probe filter
+# is a literal IN list over the partition column, so Catalyst prunes to
+# nprobe directories at PLANNING time — query cost is independent of
+# corpus size (the claim tests/test_ann.py asserts via the scan plan).
+# ----------------------------------------------------------------------
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+) -> np.ndarray:
+    """Fit the quantizer, assign, and write the partitioned index +
+    centroid sidecar table. Returns the centroid matrix."""
+    centroids = ivf_fit_centroids(emb, vec_col=vec_col, nlist=nlist, seed=seed)
+    assigned = ivf_assign(emb, centroids, vec_col=vec_col)
+    (
+        assigned.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+    spark = emb.sparkSession
+    cent_rows = [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "cluster int, centroid array<double>").write.mode(
+        "overwrite"
+    ).parquet(path + "__centroids")
+    return centroids
+
+
+def load_ivf_index(spark, path: str):
+    """(assigned DataFrame, centroid matrix) from a persisted index."""
+    assigned = spark.read.parquet(path)
+    cent = (
+        spark.read.parquet(path + "__centroids")
+        .orderBy("cluster")
+        .collect()
+    )
+    centroids = np.array([r["centroid"] for r in cent])
+    return assigned, centroids

@@ -76,33 +76,37 @@ def knn_join(
     index_df: DataFrame,
     k: int,
     *,
+    q_id_col: str = "qid",
     q_vec_col: str = "embedding",
     i_vec_col: str = "vector",
     score_col: str = "score",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Brute-force k-NN join: for every query row, its k nearest index
     rows. Broadcast the smaller queries side so the big index table
-    never shuffles; per-query top-k via a rank window partitioned by the
-    query id (map-side partial aggregation of the heap is handled by the
-    window's partial sort under AQE).
+    never shuffles for the join itself; per-query top-k via a
+    row_number window partitioned by the QUERY ID (a scalar key — never
+    window over the vector column, that shuffles 100-TB rows on an
+    array comparator).
 
-    The scale path for huge query sets is the LSH-bucketed variant in
-    ``operators/ann.py``; this is the exact baseline.
+    The scale path for huge query sets is the LSH/IVF-bucketed variant
+    in ``operators/ann.py``; this is the exact baseline.
     """
     from pyspark.sql.window import Window
 
     q = F.broadcast(
         queries_df.select(
-            F.col("*"),
-            F.col(q_vec_col).alias("__qvec"),
-        ).drop(q_vec_col)
+            F.col(q_id_col).alias("__qid"), F.col(q_vec_col).alias("__qvec")
+        )
     )
     joined = index_df.crossJoin(q).withColumn(
         score_col, cosine_sim(F.col(i_vec_col), F.col("__qvec"))
     )
-    w = Window.partitionBy("__qvec").orderBy(F.desc(score_col))
+    order = [F.desc(score_col)] + [F.asc(c) for c in tiebreak]
+    w = Window.partitionBy("__qid").orderBy(*order)
     return (
         joined.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= k)
+        .withColumnRenamed("__qid", q_id_col)
         .drop("__qvec", "__rank")
     )

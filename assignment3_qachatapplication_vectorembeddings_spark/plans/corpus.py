@@ -787,6 +787,43 @@ def q_nougat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# T1c — batch k-NN join: every query vector gets its k nearest index
+# vectors in ONE job (the reference answers one question at a time; the
+# engine form is a broadcast nested-loop + per-query-id rank window).
+# --------------------------------------------------------------------------
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    index = emb.filter(F.col("vec_id") >= 5).select(
+        "vec_id", F.col("embedding").alias("vector")
+    )
+    hits = knn_join(queries, index, 3, tiebreak=("vec_id",))
+    return hits.select(
+        "qid", "vec_id", F.round("score", 4).alias("score")
+    )
+
+
+_SQL_KNN_JOIN = """
+SELECT qid, vec_id, round(score, 4) AS score FROM (
+  SELECT q.vec_id AS qid, i.vec_id,
+         list_cosine_similarity(i.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS score,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(i.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                    i.vec_id) AS rn
+  FROM embeddings q CROSS JOIN embeddings i
+  WHERE q.vec_id < 5 AND i.vec_id >= 5
+) WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # Relational breadth — TPC-H-shaped multi-join analytics. The reference has
 # no general join executor (SURVEY §2.3); these exercise what Spark gives
 # natively and prove the engine handles the full join/agg/sort pipeline
@@ -1029,6 +1066,52 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# F6 — paragraph semantic classification (pipeline1.py:151-162): prefix
+# precedence ### > ## > # > ** > *. Pseudo-markdown is derived
+# deterministically from doc_id so every class appears; the oracle
+# replays the same derivation + precedence chain.
+# --------------------------------------------------------------------------
+
+
+def q_classify_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import classify_paragraph
+
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("### "))
+        .when(F.col("doc_id") % 6 == 1, F.lit("## "))
+        .when(F.col("doc_id") % 6 == 2, F.lit("# "))
+        .when(F.col("doc_id") % 6 == 3, F.lit("** "))
+        .when(F.col("doc_id") % 6 == 4, F.lit("* "))
+        .otherwise(F.lit(""))
+    )
+    para = F.concat(prefix, F.col("text"))
+    return docs.select(
+        "doc_id",
+        classify_paragraph(para).alias("semantics"),
+        F.length(para).alias("n_chars"),
+    )
+
+
+_SQL_CLASSIFY = """
+WITH paras AS (
+  SELECT doc_id,
+         CASE doc_id % 6 WHEN 0 THEN '### ' WHEN 1 THEN '## ' WHEN 2 THEN '# '
+                         WHEN 3 THEN '** ' WHEN 4 THEN '* ' ELSE '' END || text AS para
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN starts_with(para, '###') THEN 'Heading3'
+            WHEN starts_with(para, '##') THEN 'Heading2'
+            WHEN starts_with(para, '#') THEN 'Heading1'
+            WHEN starts_with(para, '**') THEN 'Bold'
+            WHEN starts_with(para, '*') THEN 'Bullet'
+            ELSE 'Paragraph' END AS semantics,
+       length(para) AS n_chars
+FROM paras
+"""
+
+
+# --------------------------------------------------------------------------
 # Token counting (F1 family). Whitespace counts are native expressions
 # (SQL-oracled); the BPE-ish pre-tokenizer needs lookahead regex → pandas
 # UDF, RE2-less DuckDB can't mirror it → rows-only + golden pytest.
@@ -1164,6 +1247,9 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "quality_scores": QuerySpec(q_quality, _SQL_QUALITY, "text quality features"),
     "sectionize": QuerySpec(q_sectionize, _SQL_SECTIONIZE, "W2 section numbering"),
+    "knn_join_topk": QuerySpec(
+        q_knn_join, _SQL_KNN_JOIN, "batch k-NN join (broadcast + rank window)"
+    ),
     "shipping_priority": QuerySpec(
         q_shipping_priority, _SQL_SHIPPING_PRIORITY, "TPC-H Q3 shape, 3-way join top-N"
     ),
@@ -1187,6 +1273,9 @@ CORPUS: dict[str, QuerySpec] = {
     "pypdf_chunks": QuerySpec(q_pypdf_chunks, None, "F2/F3 two-pass chunk pack"),
     "nougat_chunks": QuerySpec(q_nougat_chunks, None, "F4/F5/F6/W2/A1 nougat pack"),
     "lang_id": QuerySpec(q_lang_id, None, "language identification"),
+    "classify_paragraphs": QuerySpec(
+        q_classify_paragraphs, _SQL_CLASSIFY, "F6 prefix-precedence classification"
+    ),
     "token_counts": QuerySpec(
         q_token_counts, _SQL_TOKEN_COUNTS, "whitespace/distinct token + char counts"
     ),

@@ -112,3 +112,41 @@ def test_ivf_scores_are_exact_on_candidates(emb, qvec):
     }
     for vid, s in approx.items():
         assert s == pytest.approx(full[vid], abs=1e-9)
+
+
+def test_persisted_ivf_index_prunes_partitions(spark, emb, qvec, exact_ids, tmp_path):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        build_ivf_index,
+        load_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb, path, nlist=16)
+    assigned, loaded_cents = load_ivf_index(spark, path)
+    assert np.allclose(cents, loaded_cents)
+
+    got = {
+        r["vec_id"]
+        for r in ivf_topk(assigned, loaded_cents, qvec, K, nprobe=8)
+        .select("vec_id")
+        .collect()
+    }
+    # persisted index answers like the in-memory one
+    mem = {
+        r["vec_id"]
+        for r in ivf_topk(ivf_assign(emb, cents), cents, qvec, K, nprobe=8)
+        .select("vec_id")
+        .collect()
+    }
+    assert got == mem
+
+    # the probe filter must reach the scan as a partition filter
+    # (planning-time pruning: cost independent of corpus size)
+    probe = [int(c) for c in np.argsort(((loaded_cents - np.asarray(qvec)) ** 2).sum(1))[:8]]
+    plan = (
+        assigned.filter(F.col("cluster").isin(probe))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cluster" in plan
