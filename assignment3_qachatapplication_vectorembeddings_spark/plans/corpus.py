@@ -948,6 +948,155 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# SQL-surface breadth: rollup, pivot, set ops, rank-family windows,
+# exact percentiles, date part extraction — the long tail a user of a
+# general engine expects, each hash-checked against DuckDB.
+# --------------------------------------------------------------------------
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec2(F.col("l_quantity"))).cast("double"), 2).alias(
+                "sum_qty"
+            ),
+        )
+    )
+
+
+_SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round((sum(l_quantity::DECIMAL(18,2)))::DOUBLE, 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+_SQL_PIVOT = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_custkey")
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_custkey")
+    both = y96.intersect(y97).withColumn("cohort", F.lit("both"))
+    only96 = y96.exceptAll(y97).distinct().withColumn("cohort", F.lit("only_1996"))
+    return both.unionByName(only96)
+
+
+_SQL_SET_OPS = """
+WITH y96 AS (SELECT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+     y97 AS (SELECT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+SELECT o_custkey, 'both' AS cohort FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+UNION ALL
+SELECT DISTINCT o_custkey, 'only_1996' AS cohort FROM (SELECT o_custkey FROM y96 EXCEPT ALL SELECT o_custkey FROM y97)
+"""
+
+
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("s_suppkey", 1).over(w).alias("prev_supp"),
+        F.lead("s_suppkey", 1).over(w).alias("next_supp"),
+    )
+
+
+_SQL_WINDOW_RANKS = """
+SELECT s_suppkey, s_nationkey,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4)     OVER w AS quartile,
+       lag(s_suppkey, 1)  OVER w AS prev_supp,
+       lead(s_suppkey, 1) OVER w AS next_supp
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # ISO day-of-week (1=Mon..7=Sun) on both engines: Spark dayofweek is
+    # 1=Sun..7=Sat -> remap; DuckDB isodow is already ISO
+    isodow = (F.dayofweek("o_orderdate") + 5) % 7 + 1
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(isodow >= 6, 1).otherwise(0)).alias("weekend_orders"),
+        )
+    )
+
+
+_SQL_DATE_EXTRACT = """
+SELECT year(o_orderdate)::INT AS y, quarter(o_orderdate)::INT AS q,
+       count(*) AS n,
+       sum(CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END) AS weekend_orders
+FROM orders GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Event-stream analytics over the events table: tumbling windows,
 # gap-based sessionization, JSON prop extraction — the batch forms of the
 # streaming operators (streaming/ runs the same logic incrementally).
@@ -1258,6 +1407,18 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "returned_items": QuerySpec(
         q_returned_items, _SQL_RETURNED_ITEMS, "TPC-H Q10 shape, top customers"
+    ),
+    "rollup_agg": QuerySpec(q_rollup_agg, _SQL_ROLLUP, "ROLLUP grouping sets"),
+    "pivot_status": QuerySpec(q_pivot_status, _SQL_PIVOT, "pivot / filtered counts"),
+    "set_ops": QuerySpec(q_set_ops, _SQL_SET_OPS, "INTERSECT / EXCEPT cohorts"),
+    "window_ranks": QuerySpec(
+        q_window_ranks, _SQL_WINDOW_RANKS, "rank/dense_rank/ntile/lag/lead"
+    ),
+    "percentiles": QuerySpec(
+        q_percentiles, _SQL_PERCENTILES, "exact interpolated percentiles"
+    ),
+    "date_extract": QuerySpec(
+        q_date_extract, _SQL_DATE_EXTRACT, "date part extraction + ISO dow"
     ),
     "event_hourly_window": QuerySpec(
         q_event_hourly, _SQL_EVENT_HOURLY, "tumbling-hour event aggregation"
