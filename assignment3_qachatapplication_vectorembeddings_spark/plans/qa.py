@@ -65,6 +65,13 @@ class QAPipeline:
     def search(self, question: str, form_titles: Sequence[str] | None = None) -> DataFrame:
         """T1 with P5 predicate: filter titles BEFORE scoring."""
         qvec = self.embedder.embed_one(question)
+        dim = self.index.dimension()
+        if dim is not None and dim != len(qvec):
+            # zip_with over mismatched lengths yields null scores — fail
+            # loudly instead (S11 dimension check, query side)
+            raise ValueError(
+                f"embedder dim {len(qvec)} != index dim {dim}"
+            )
         filter_expr = (
             F.col("title").isin(list(form_titles)) if form_titles else None
         )
