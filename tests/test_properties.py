@@ -1,0 +1,93 @@
+"""Property-based fuzzing of the sequential text operators (SURVEY §5.2-5).
+
+Pure-python (no Spark session): the fold implementations are the same
+objects the Spark mapInPandas operators call per document, so the
+invariants proven here hold inside the distributed operators too.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from assignment3_qachatapplication_vectorembeddings_spark.operators.chunking import (
+    TOKENIZERS,
+    nougat_semantics_py,
+    pack_lines,
+    pack_words_second_pass,
+)
+
+_ws = TOKENIZERS["ws"]
+
+lines_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("abcdef xyz#*\t")),
+        max_size=60,
+    ),
+    max_size=30,
+)
+limit_strategy = st.integers(min_value=1, max_value=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lines=lines_strategy, limit=limit_strategy)
+def test_pack_lines_invariants(lines, limit):
+    chunks, oversized = pack_lines(lines, "\n", limit, _ws)
+
+    # 1. oversized routing is strict '>': every oversized line exceeds
+    #    the limit; no emitted NON-EMPTY chunk exceeds it
+    for line in oversized:
+        assert _ws(line) > limit
+    for c in chunks:
+        assert _ws(c) <= limit or c == ""
+
+    # 2. token conservation: every non-blank input line's tokens appear
+    #    in the concatenated output (chunks + oversized)
+    in_tokens = [t for ln in lines if ln.strip() for t in ln.strip().split()]
+    out_tokens = [t for c in chunks for t in c.split()] + [
+        t for ln in oversized for t in ln.split()
+    ]
+    assert sorted(in_tokens) == sorted(out_tokens)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lines=lines_strategy, limit=limit_strategy)
+def test_pack_determinism(lines, limit):
+    assert pack_lines(lines, "\n", limit, _ws) == pack_lines(
+        lines, "\n", limit, _ws
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(lines=lines_strategy, limit=limit_strategy)
+def test_second_pass_bounds_every_chunk(lines, limit):
+    _chunks, oversized = pack_lines(lines, "\n", limit, _ws)
+    repacked = pack_words_second_pass(oversized, limit, _ws)
+    # word-level repack can always fit (single words > limit are dropped
+    # by the reference; with ws counting a single word is 1 token ≤ limit)
+    for c in repacked:
+        assert _ws(c) <= limit
+
+
+text_strategy = st.text(
+    alphabet=st.sampled_from(list("ab c\n#*")),
+    max_size=300,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=text_strategy)
+def test_semantics_sections_monotonic(text):
+    sem = nougat_semantics_py("doc", text, _ws)
+    if len(sem) == 0:
+        return
+    sections = sem["Section"].tolist()
+    # sections start at 1, never decrease, step by at most 1
+    assert sections[0] == 1
+    for prev, cur in zip(sections, sections[1:]):
+        assert cur in (prev, prev + 1)
+    # cumulative token count is the running sum of TokenCount
+    assert sem["CummulativeTokenCount"].tolist() == sem["TokenCount"].cumsum().tolist()
+    # ParaNumber strictly increasing (original split index)
+    pn = sem["ParaNumber"].tolist()
+    assert all(b > a for a, b in zip(pn, pn[1:]))
