@@ -50,6 +50,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_table",
     "simhash_pairs",
+    "connected_components",
     "embedding_topk_pairs",
 ]
 
@@ -388,6 +389,64 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_distance)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, component) for every doc appearing in a near-dup pair;
+    component = the minimum doc id reachable through the pair graph.
+
+    Min-label propagation to fixpoint: each round every node takes the
+    min of its own label and its neighbors' labels — O(diameter)
+    rounds, each one join + one groupBy (the standard large-graph CC
+    shape; near-dup graphs are clusters of duplicates, so diameter is
+    tiny). Used to pick one canonical doc per duplicate cluster.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)  # cut the iterative lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component")
 
 
 def embedding_topk_pairs(

@@ -670,6 +670,51 @@ WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 4
 )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: exact-Jaccard pairs → connected
+    components (min-label propagation). Oracle: recursive-CTE
+    transitive closure — tiny on the planted clusters, exact."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return connected_components(pairs)
+
+
+# recursive CTE ⇒ the whole WITH chain must be declared RECURSIVE
+_SQL_DEDUP_COMPONENTS = (
+    _SH_CTE.replace("\nWITH toks", "\nWITH RECURSIVE toks", 1)
+    + """,
+dup_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pair_j WHERE jaccard >= 0.8
+  UNION
+  SELECT doc_b, doc_a FROM pair_j WHERE jaccard >= 0.8),
+reach AS (
+  SELECT src, dst FROM dup_edges
+  UNION
+  SELECT r.src, e.dst
+  FROM reach r JOIN dup_edges e ON r.dst = e.src
+  WHERE r.src <> e.dst)
+SELECT src AS doc_id, least(src, min(dst)) AS component
+FROM reach GROUP BY src
+"""
+)
+
+
+def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline's accounting: rows per cull reason +
+    kept (rows-only: lang-ID is a pandas-UDF heuristic)."""
+    from .curation import CurationConfig, curate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept, culled = curate_documents(docs, CurationConfig(min_tokens=20))
+    summary = culled.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+    kept_row = kept.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("kept").alias("reason"), "n"
+    )
+    return summary.unionByName(kept_row)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import embedding_topk_pairs
 
@@ -1393,6 +1438,12 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "embedding_near_dup": QuerySpec(
         q_embedding_near_dup, _SQL_EMBEDDING_NEAR_DUP, "top-20 cosine-closest pairs"
+    ),
+    "dedup_components": QuerySpec(
+        q_dedup_components, _SQL_DEDUP_COMPONENTS, "duplicate clusters via CC"
+    ),
+    "curation_summary": QuerySpec(
+        q_curation_summary, None, "full curation pipeline accounting"
     ),
     "quality_scores": QuerySpec(q_quality, _SQL_QUALITY, "text quality features"),
     "sectionize": QuerySpec(q_sectionize, _SQL_SECTIONIZE, "W2 section numbering"),
