@@ -1306,6 +1306,56 @@ FROM paras
 
 
 # --------------------------------------------------------------------------
+# F5/F7 — markdown table strip + nougat unescape as native regexp_replace
+# chains. Synthetic LaTeX wrapping is derived from doc_id so the strip has
+# real work; both engines run the same non-greedy patterns.
+# --------------------------------------------------------------------------
+
+
+def q_markdown_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import clean_markdown
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("\\begin{table} x\n\\begin{tabular}{ll} y\n"),
+            F.col("text"),
+            F.lit("\n\\end{tabular} z\n\\end{table} w\n+++ warning body +++ tail"),
+        ),
+    ).otherwise(F.col("text"))
+    docs = docs.select("doc_id", wrapped.alias("wrapped"))
+    return docs.select(
+        "doc_id", F.length(clean_markdown(F.col("wrapped"))).alias("clean_len")
+    )
+
+
+_SQL_MARKDOWN_CLEAN = r"""
+WITH wrapped AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           '\begin{table} x' || chr(10) || '\begin{tabular}{ll} y' || chr(10)
+           || text || chr(10) || '\end{tabular} z' || chr(10)
+           || '\end{table} w' || chr(10) || '+++ warning body +++ tail'
+         ELSE text END AS wrapped
+  FROM documents)
+SELECT doc_id,
+       length(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(wrapped, '\\begin\{table\}.*?' || chr(10), chr(10), 'g'),
+                 '\\end\{table\}.*?' || chr(10), chr(10), 'g'),
+               '\\begin\{tabular\}.*?' || chr(10), chr(10), 'g'),
+             '\\end\{tabular\}.*?' || chr(10), chr(10), 'g'),
+           '\+\+\+(.*?)\+\+\+', chr(10), 'gs')
+       ) AS clean_len
+FROM wrapped
+"""
+
+
+# --------------------------------------------------------------------------
 # Token counting (F1 family). Whitespace counts are native expressions
 # (SQL-oracled); the BPE-ish pre-tokenizer needs lookahead regex → pandas
 # UDF, RE2-less DuckDB can't mirror it → rows-only + golden pytest.
@@ -1485,6 +1535,9 @@ CORPUS: dict[str, QuerySpec] = {
     "pypdf_chunks": QuerySpec(q_pypdf_chunks, None, "F2/F3 two-pass chunk pack"),
     "nougat_chunks": QuerySpec(q_nougat_chunks, None, "F4/F5/F6/W2/A1 nougat pack"),
     "lang_id": QuerySpec(q_lang_id, None, "language identification"),
+    "markdown_clean": QuerySpec(
+        q_markdown_clean, _SQL_MARKDOWN_CLEAN, "F5 table strip + warning removal"
+    ),
     "classify_paragraphs": QuerySpec(
         q_classify_paragraphs, _SQL_CLASSIFY, "F6 prefix-precedence classification"
     ),

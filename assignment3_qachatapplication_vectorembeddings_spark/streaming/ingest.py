@@ -25,7 +25,7 @@ triggers with the same code.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +45,7 @@ __all__ = [
     "stream_documents",
     "run_streaming_ingest",
     "windowed_event_counts",
+    "dedup_stream",
     "sessionize_stream",
 ]
 
@@ -134,6 +135,23 @@ def windowed_event_counts(
             "event_type",
             "n",
         )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: at-least-once sources (kafka retries,
+    file redelivery) → exactly-once rows downstream. State is bounded
+    by the watermark: keys older than it are forgotten, so memory is
+    O(keys per watermark window), not O(stream history) — the required
+    shape for an unbounded 100 TB/day feed."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(
+        [*key_cols, ts_col]
     )
 
 

@@ -164,3 +164,39 @@ def test_stateful_sessionization_stream(spark, sf_dir, tmp_path, event_stream_di
         for r in q_sessionization(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_drops_redelivered_rows(spark, tmp_path):
+    """Same event rows delivered twice (at-least-once source) appear
+    once downstream."""
+    import datetime as dt
+
+    from assignment3_qachatapplication_vectorembeddings_spark.streaming.ingest import (
+        dedup_stream,
+    )
+
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "click", "1.0") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, EVENT_STREAM_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(src / "wave1"))
+    df.coalesce(1).write.mode("append").parquet(str(src / "wave1"))  # redelivery
+
+    stream = spark.readStream.schema(EVENT_STREAM_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "wave1"))
+    q = (
+        dedup_stream(stream, watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("deduped")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_d"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select event_id from deduped").collect()
+    assert sorted(r["event_id"] for r in got) == list(range(10))
