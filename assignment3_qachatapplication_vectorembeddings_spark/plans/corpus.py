@@ -993,6 +993,59 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# Temporal joins (operators/range_join.py): bucketed range join and
+# window-based as-of join — exact, shuffle-bounded; oracles are the naive
+# inequality/correlated forms DuckDB can afford at test scale.
+# --------------------------------------------------------------------------
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import range_join_next_window
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    pairs = range_join_next_window(
+        events, events, key="user_id", window_seconds=1800
+    )
+    return pairs.select("l_event_id", "r_event_id")
+
+
+_SQL_RANGE_JOIN = """
+SELECT a.event_id AS l_event_id, b.event_id AS r_event_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE epoch_us(b.ts) > epoch_us(a.ts)
+  AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800 * 1000000
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import asof_join_prior
+
+    events = load_table(spark, sf_dir, "events")
+    out = asof_join_prior(
+        events,
+        key="user_id",
+        ts_col="ts",
+        order_tiebreak="event_id",
+        value_col="event_id",
+        condition=F.col("event_type") == "view",
+        out_col="last_view_event",
+    )
+    return out.filter(F.col("event_type") == "purchase").select(
+        "event_id", "last_view_event"
+    )
+
+
+_SQL_ASOF_JOIN = """
+SELECT e.event_id,
+       (SELECT v.event_id FROM events v
+        WHERE v.user_id = e.user_id AND v.event_type = 'view'
+          AND (v.ts < e.ts OR (v.ts = e.ts AND v.event_id < e.event_id))
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS last_view_event
+FROM events e WHERE e.event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
 # SQL-surface breadth: rollup, pivot, set ops, rank-family windows,
 # exact percentiles, date part extraction — the long tail a user of a
 # general engine expects, each hash-checked against DuckDB.
@@ -1508,6 +1561,12 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "returned_items": QuerySpec(
         q_returned_items, _SQL_RETURNED_ITEMS, "TPC-H Q10 shape, top customers"
+    ),
+    "range_join_pairs": QuerySpec(
+        q_range_join, _SQL_RANGE_JOIN, "bucketed interval join (exact)"
+    ),
+    "asof_last_view": QuerySpec(
+        q_asof_join, _SQL_ASOF_JOIN, "as-of join via carry-forward window"
     ),
     "rollup_agg": QuerySpec(q_rollup_agg, _SQL_ROLLUP, "ROLLUP grouping sets"),
     "pivot_status": QuerySpec(q_pivot_status, _SQL_PIVOT, "pivot / filtered counts"),
