@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.index_maintenance import VectorIndex, vector_ids_like_reference
 
@@ -55,13 +56,22 @@ def validate_config(operation_type: str, operation_payload) -> None:
             )
 
 
-def upsert_from_chunks(index: VectorIndex, chunks: DataFrame) -> None:
+def upsert_from_chunks(
+    index: VectorIndex, chunks: DataFrame, *, id_mode: str = "reference"
+) -> None:
     """S8+S12: chunk/embedding table → index records.
 
     Accepts pipeline1 output (Content/TokenCount/FormName/ChunkId/
-    Embeddings) or already-normalized (text/title/vector) columns;
-    recomputes ids like the reference (pipeline2.py:130-132) over the
-    deterministic (title, ChunkId) order, then MERGEs by id.
+    Embeddings) or already-normalized (text/title/vector) columns.
+
+    id_mode:
+    - ``reference`` — recompute ``title + '_' + combined-frame index``
+      exactly like pipeline2.py:130-132 (ids depend on the WHOLE batch
+      composition; the reference's bulk-load contract);
+    - ``stable`` — ``title + '_' + per-title chunk position``: ids are
+      a pure function of (title, position), so re-delivering one title
+      replaces exactly its own records — required for incremental /
+      streaming upserts where batch composition varies.
     """
     cols = set(chunks.columns)
     if {"Content", "FormName", "Embeddings"} <= cols:
@@ -77,9 +87,20 @@ def upsert_from_chunks(index: VectorIndex, chunks: DataFrame) -> None:
         )
     else:
         normalized = chunks
-    with_ids = vector_ids_like_reference(
-        normalized, order_cols=("title", "chunk_pos")
-    )
+    if id_mode == "stable":
+        # per-title 0-based row_number (not raw ChunkId: first/second-pass
+        # ids can DUPLICATE within a doc — pipeline1.py:699-700 quirk);
+        # deterministic tiebreak on text keeps ids reproducible across
+        # re-chunkings of the same document
+        w = Window.partitionBy("title").orderBy("chunk_pos", "text")
+        with_ids = normalized.withColumn(
+            "id",
+            F.concat_ws("_", F.col("title"), (F.row_number().over(w) - 1).cast("string")),
+        )
+    else:
+        with_ids = vector_ids_like_reference(
+            normalized, order_cols=("title", "chunk_pos")
+        )
     index.upsert(with_ids.select("id", "vector", "title", "text"))
 
 

@@ -120,6 +120,55 @@ def run_streaming_ingest(
     return writer.start()
 
 
+def run_streaming_index_upsert(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    token_limit: int = 1000,
+    tokenizer: str = "ws",
+    embedder=None,
+    available_now: bool = True,
+):
+    """Streaming Pipeline-1 + Pipeline-2 fused: documents landing in a
+    dir flow straight into the vector index, one micro-batch at a time.
+
+    Uses ``id_mode='stable'`` (title + per-title position) so a
+    re-delivered/updated document REPLACES its own vectors instead of
+    accumulating batch-composition-dependent ids — the incremental
+    contract the reference approximates with manual delete + re-upsert
+    DAG runs.
+    """
+    from ..functions.embedding import HashingEmbedder, embed_column
+    from ..operators.chunking import pypdf_chunk_table
+    from ..operators.index_maintenance import VectorIndex
+    from ..plans.pipeline2 import upsert_from_chunks
+
+    emb = embedder or HashingEmbedder(dim=64)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        chunks = pypdf_chunk_table(
+            batch_df, token_limit=token_limit, tokenizer=tokenizer
+        )
+        embedded = embed_column(chunks, "Content", emb, out_col="Embeddings")
+        upsert_from_chunks(
+            VectorIndex(spark, index_path), embedded, id_mode="stable"
+        )
+
+    writer = (
+        stream_documents(spark, landing_dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_process)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -200,3 +200,54 @@ def test_streaming_dedup_drops_redelivered_rows(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select event_id from deduped").collect()
     assert sorted(r["event_id"] for r in got) == list(range(10))
+
+
+def test_streaming_index_upsert_replaces_on_redelivery(spark, tmp_path):
+    """Documents stream straight into the vector index; a re-delivered
+    (updated) document replaces its own vectors, others untouched."""
+    import json as _json
+
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.index_maintenance import (
+        VectorIndex,
+    )
+    from assignment3_qachatapplication_vectorembeddings_spark.streaming.ingest import (
+        run_streaming_index_upsert,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    idx_path, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    (landing / "w1.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in [
+                {"FormName": "alpha", "text": "one two three\nfour five six"},
+                {"FormName": "beta", "text": "seven eight nine"},
+            ]
+        )
+    )
+    q = run_streaming_index_upsert(
+        spark, str(landing), idx_path, ckpt, token_limit=4, tokenizer="ws"
+    )
+    q.awaitTermination(120)
+    index = VectorIndex(spark, idx_path)
+    before = {
+        (r["id"], r["text"]) for r in index.read().filter("title='alpha'").collect()
+    }
+    n_beta = index.read().filter("title='beta'").count()
+    assert before and n_beta > 0
+
+    # redeliver alpha with CHANGED text → replacement, not accumulation
+    (landing / "w2.json").write_text(
+        _json.dumps({"FormName": "alpha", "text": "totally new words here"})
+    )
+    q = run_streaming_index_upsert(
+        spark, str(landing), idx_path, ckpt, token_limit=4, tokenizer="ws"
+    )
+    q.awaitTermination(120)
+    after = {r["text"] for r in index.read().filter("title='alpha'").collect()}
+    # old chunks fully replaced (an empty chunk can legitimately appear —
+    # the reference's emit-empty-buffer quirk at exact-limit lines)
+    assert any("totally new words" in t for t in after)
+    assert not any("one two three" in t for t in after)
+    assert index.read().filter("title='beta'").count() == n_beta
