@@ -397,15 +397,20 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(doc_id, component) for every doc appearing in a near-dup pair;
     component = the minimum doc id reachable through the pair graph.
 
-    Min-label propagation to fixpoint: each round every node takes the
-    min of its own label and its neighbors' labels — O(diameter)
-    rounds, each one join + one groupBy (the standard large-graph CC
-    shape; near-dup graphs are clusters of duplicates, so diameter is
-    tiny). Used to pick one canonical doc per duplicate cluster.
+    Two physical paths, identical results:
+
+    - edge set ≤ ``driver_threshold``: collect + union-find on the
+      driver (near-dup graphs are minuscule next to the corpus — even
+      at 100 TB a dup-pair list is broadcast-scale; iterating Spark
+      jobs for it wastes whole seconds of fixed overhead per round);
+    - larger: distributed min-label propagation to fixpoint —
+      O(diameter) rounds, one join + one groupBy each, lineage cut per
+      round (the standard big-graph CC shape).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -415,6 +420,31 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pairs.sparkSession.createDataFrame(
+            [], "doc_id long, component long"
+        )
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(x, find(x)) for x in sorted(parent)]
+        return pairs.sparkSession.createDataFrame(
+            rows, "doc_id long, component long"
+        )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

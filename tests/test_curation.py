@@ -107,3 +107,18 @@ def test_curation_empty_input(spark, sf_dir):
     # empty input → empty outputs, no crash
     kept, culled = curate_documents(docs)
     assert kept.count() == 0 and culled.count() == 0
+
+
+def test_cc_distributed_path_equals_driver_path(spark, sf_dir):
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+    fast = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist and fast
