@@ -272,7 +272,11 @@ def minhash_lsh_pairs(
     path; the verify join runs only over candidates (few), so the
     exact-Jaccard cost is bounded by true-ish pairs, not all pairs.
     """
-    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n)
+    # the shingle table feeds BOTH the band signatures and the verify
+    # join; materialize it once instead of re-exploding the text twice
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).localCheckpoint(
+        eager=False
+    )
     buckets = minhash_band_table(
         sh,
         id_col=id_col,
