@@ -1409,6 +1409,71 @@ FROM wrapped
 
 
 # --------------------------------------------------------------------------
+# F7/F8/F9 — string munging trio: nougat unescape, pdf filename from URL,
+# form name from object path. Inputs derived from doc_id/source so the
+# regexes have real work; all native regexp expressions, fully oracled.
+# --------------------------------------------------------------------------
+
+
+def q_string_munging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import (
+        filename_from_url,
+        form_name_from_path,
+        unescape_nougat,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://filings.example.com/"),
+        F.col("source"),
+        F.lit("/doc_"),
+        F.col("doc_id"),
+        # every third doc gets a non-.pdf URL → fallback path
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?download=1")).otherwise(
+            F.lit(".pdf")
+        ),
+    )
+    gcs_path = F.concat(
+        F.lit("run42/pypdf-mmds/form_"), F.col("doc_id"), F.lit(".mmd")
+    )
+    escaped = F.concat(
+        F.lit("line one\\n\\nline two\\nhas \\\\ slash id="), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        filename_from_url(url, F.concat(F.lit("InputPDF_"), F.col("doc_id"))).alias(
+            "pdf_name"
+        ),
+        form_name_from_path(gcs_path).alias("form_name"),
+        F.length(unescape_nougat(escaped)).alias("unescaped_len"),
+    )
+
+
+_SQL_STRING_MUNGING = r"""
+WITH derived AS (
+  SELECT doc_id,
+         'https://filings.example.com/' || source || '/doc_' || doc_id
+           || CASE WHEN doc_id % 3 = 0 THEN '?download=1' ELSE '.pdf' END AS url,
+         'run42/pypdf-mmds/form_' || doc_id || '.mmd' AS gcs_path,
+         'line one\n\nline two\nhas \\ slash id=' || doc_id AS escaped
+  FROM documents)
+SELECT doc_id,
+       coalesce(nullif(regexp_extract(url, '/([^/]+\.pdf)$', 1), ''),
+                'InputPDF_' || doc_id) AS pdf_name,
+       regexp_replace(string_split(gcs_path, '/')[-1],
+                      '\.[A-Za-z0-9]+$', '') AS form_name,
+       length(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(escaped, '\\n\\n', chr(10) || chr(10), 'g'),
+             '\\n', chr(10), 'g'),
+           '\\\\', '\\', 'g')
+       ) AS unescaped_len
+FROM derived
+"""
+
+
+# --------------------------------------------------------------------------
 # Token counting (F1 family). Whitespace counts are native expressions
 # (SQL-oracled); the BPE-ish pre-tokenizer needs lookahead regex → pandas
 # UDF, RE2-less DuckDB can't mirror it → rows-only + golden pytest.
@@ -1594,6 +1659,9 @@ CORPUS: dict[str, QuerySpec] = {
     "pypdf_chunks": QuerySpec(q_pypdf_chunks, None, "F2/F3 two-pass chunk pack"),
     "nougat_chunks": QuerySpec(q_nougat_chunks, None, "F4/F5/F6/W2/A1 nougat pack"),
     "lang_id": QuerySpec(q_lang_id, None, "language identification"),
+    "string_munging": QuerySpec(
+        q_string_munging, _SQL_STRING_MUNGING, "F7/F8/F9 url/path/unescape trio"
+    ),
     "markdown_clean": QuerySpec(
         q_markdown_clean, _SQL_MARKDOWN_CLEAN, "F5 table strip + warning removal"
     ),
