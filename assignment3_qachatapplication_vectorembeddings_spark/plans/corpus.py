@@ -993,6 +993,75 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# Word frequency top-k (the canonical explode+agg+TakeOrdered shape over
+# the documents corpus) and moment statistics.
+# --------------------------------------------------------------------------
+
+
+def q_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(25)
+    )
+
+
+_SQL_WORD_TOPK = """
+SELECT word, count(*) AS n FROM (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 25
+"""
+
+
+def q_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("var"),
+        F.round(F.avg(_dec2(F.col("value"))).cast("double"), 4).alias("mean"),
+    )
+
+
+_SQL_MOMENT_STATS = """
+SELECT event_type,
+       round(stddev_samp(value), 4) AS sd,
+       round(var_samp(value), 4) AS var,
+       round(avg(value::DECIMAL(18,2))::DOUBLE, 4) AS mean
+FROM events GROUP BY event_type
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling (training-data subsampling op):
+    deterministic given the seed, but engine-specific RNG → rows-only;
+    output is the per-stratum sampled count."""
+    events = load_table(spark, sf_dir, "events")
+    sampled = events.sampleBy(
+        "event_type",
+        {"click": 0.5, "view": 0.25, "purchase": 1.0, "signup": 0.1, "error": 0.0},
+        seed=42,
+    )
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (rows-only: sketch estimates are
+    engine-specific; tests/test_corpus or the pytest suite bounds the
+    relative error vs exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Temporal joins (operators/range_join.py): bucketed range join and
 # window-based as-of join — exact, shuffle-bounded; oracles are the naive
 # inequality/correlated forms DuckDB can afford at test scale.
@@ -1626,6 +1695,16 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "returned_items": QuerySpec(
         q_returned_items, _SQL_RETURNED_ITEMS, "TPC-H Q10 shape, top customers"
+    ),
+    "word_topk": QuerySpec(q_word_topk, _SQL_WORD_TOPK, "explode + agg + top-k"),
+    "moment_stats": QuerySpec(
+        q_moment_stats, _SQL_MOMENT_STATS, "stddev/variance/mean per group"
+    ),
+    "stratified_sample": QuerySpec(
+        q_stratified_sample, None, "seeded per-stratum sampling counts"
+    ),
+    "approx_distinct": QuerySpec(
+        q_approx_distinct, None, "HLL++ approximate distinct counts"
     ),
     "range_join_pairs": QuerySpec(
         q_range_join, _SQL_RANGE_JOIN, "bucketed interval join (exact)"

@@ -38,3 +38,50 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(ores)
     assert canon_rows(scols, srows) == canon_rows(ocols, ores)
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ estimates must land within a loose rsd-derived bound of the
+    exact counts (rows-only corpus entry; this is its accuracy gate)."""
+    from pyspark.sql import functions as F
+
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.corpus import (
+        q_approx_distinct,
+    )
+    from assignment3_qachatapplication_vectorembeddings_spark.sources.tables import (
+        load_table,
+    )
+
+    row = q_approx_distinct(spark, sf_dir).head()
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("o"),
+        F.countDistinct("l_partkey").alias("p"),
+    ).head()
+    assert abs(row["approx_orders"] - exact["o"]) / exact["o"] < 0.1
+    assert abs(row["approx_parts"] - exact["p"]) / exact["p"] < 0.1
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.corpus import (
+        q_stratified_sample,
+    )
+    from assignment3_qachatapplication_vectorembeddings_spark.sources.tables import (
+        load_table,
+    )
+
+    got = {r["event_type"]: r["n"] for r in q_stratified_sample(spark, sf_dir).collect()}
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert "error" not in got  # fraction 0.0 -> stratum fully dropped
+    assert got["purchase"] == totals["purchase"]  # fraction 1.0 -> all kept
+    # 0 < sampled < total for the partial strata
+    for k, frac in (("click", 0.5), ("view", 0.25), ("signup", 0.1)):
+        assert 0 < got[k] < totals[k]
+        assert abs(got[k] / totals[k] - frac) < 0.15
