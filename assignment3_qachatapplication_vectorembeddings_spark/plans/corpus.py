@@ -1142,6 +1142,68 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers vs high-value orders, both unmatched sides preserved."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "full_outer")
+        .select(
+            "c_custkey",
+            "o_custkey",
+            F.coalesce("n_big", F.lit(0)).alias("n_big"),
+        )
+    )
+
+
+_SQL_FULL_OUTER = """
+SELECT c_custkey, o_custkey, coalesce(n_big, 0) AS n_big
+FROM (SELECT * FROM customer WHERE c_custkey <= 200) c
+FULL OUTER JOIN (
+  SELECT o_custkey, count(*) AS n_big FROM orders
+  WHERE o_totalprice > 400000 GROUP BY o_custkey) o
+ON c.c_custkey = o.o_custkey
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long (melt): per-part price/size as (metric, value) rows."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return part.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retailprice', p_retailprice,"
+            " 'size', cast(p_size as double)) as (metric, value)"
+        ),
+    )
+
+
+_SQL_UNPIVOT = """
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+FROM part WHERE p_partkey <= 500
+UNION ALL
+SELECT p_partkey, 'size', p_size::DOUBLE FROM part WHERE p_partkey <= 500
+"""
+
+
 def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
@@ -1713,6 +1775,11 @@ CORPUS: dict[str, QuerySpec] = {
         q_asof_join, _SQL_ASOF_JOIN, "as-of join via carry-forward window"
     ),
     "rollup_agg": QuerySpec(q_rollup_agg, _SQL_ROLLUP, "ROLLUP grouping sets"),
+    "cube_agg": QuerySpec(q_cube_agg, _SQL_CUBE, "CUBE grouping sets"),
+    "full_outer_join": QuerySpec(
+        q_full_outer_join, _SQL_FULL_OUTER, "full outer join, both sides kept"
+    ),
+    "unpivot_metrics": QuerySpec(q_unpivot, _SQL_UNPIVOT, "wide→long stack/unpivot"),
     "pivot_status": QuerySpec(q_pivot_status, _SQL_PIVOT, "pivot / filtered counts"),
     "set_ops": QuerySpec(q_set_ops, _SQL_SET_OPS, "INTERSECT / EXCEPT cohorts"),
     "window_ranks": QuerySpec(
