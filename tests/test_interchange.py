@@ -73,3 +73,27 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from assignment3_qachatapplication_vectorembeddings_spark.sources.maintenance import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+
+    path = str(tmp_path / "frag")
+    orders = load_table(spark, sf_dir, "orders")
+    # simulate streaming fragmentation: many tiny appends
+    for i in range(6):
+        orders.filter(F.col("o_orderkey") % 6 == i).repartition(3).write.mode(
+            "append"
+        ).parquet(path)
+    n_before, _ = parquet_file_stats(spark, path)
+    assert n_before >= 18
+    before_rows = spark.read.parquet(path).count()
+
+    n_after = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n_after < n_before and n_after >= 1
+    assert spark.read.parquet(path).count() == before_rows
+    # idempotent: already compact → no rewrite
+    assert compact_parquet(spark, path, target_file_bytes=1 << 30) == n_after
