@@ -97,8 +97,20 @@ def shingle_table(
 def _pair_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) for every pair sharing ≥1 shingle."""
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    # per-doc counts use the FULL table, but the pair join only needs
+    # shingles in ≥2 docs — df-1 shingles (the vast majority) can't form
+    # a pair, so drop them before the self-join (result-identical; the
+    # aggregation is cheaper than joining the unique tail)
+    shared = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("shingle"),
+        "shingle",
+        "left_semi",
+    )
+    a = shared.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shared.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
