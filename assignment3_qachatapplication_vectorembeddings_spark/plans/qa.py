@@ -79,6 +79,72 @@ class QAPipeline:
             self.index.read(), qvec, self.top_k, filter_expr=filter_expr
         )
 
+    def ask_batch(self, questions: DataFrame, *, q_col: str = "question") -> DataFrame:
+        """M3's batch variant (SURVEY §2.8): answer MANY questions in one
+        job — embed all questions (Arrow batches), broadcast k-NN join
+        against the index, per-question ordered context assembly, and a
+        mapInPandas answer stage. Output: (qid, question, answer).
+        """
+        from pyspark.sql.window import Window
+
+        from ..functions.embedding import embed_column
+        from ..operators.topk import knn_join
+
+        answer_fn = self.answer_fn
+        q = embed_column(
+            questions.select(
+                F.monotonically_increasing_id().alias("qid"), F.col(q_col)
+            ),
+            q_col,
+            self.embedder,
+            out_col="qvec",
+        ).select("qid", q_col, F.col("qvec").alias("embedding"))
+        hits = knn_join(
+            q.select("qid", "embedding"),
+            self.index.read(),
+            self.top_k,
+            q_id_col="qid",
+            i_vec_col="vector",
+            tiebreak=("id",),
+        )
+        ctx = (
+            hits.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+                ),
+            )
+            .groupBy("qid")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("__rn", "text"))),
+                        lambda x: x["text"],
+                    ),
+                    "\n",
+                ).alias("context")
+            )
+        )
+        joined = q.select("qid", q_col).join(ctx, "qid", "left").select(
+            "qid",
+            q_col,
+            F.format_string(
+                "%s \n\n Question: %s", F.coalesce("context", F.lit("")), F.col(q_col)
+            ).alias("prompt"),
+        )
+
+        def _answer(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["answer"] = [answer_fn(p) for p in pdf["prompt"]]
+                yield pdf[["qid", q_col, "answer"]]
+
+        return joined.mapInPandas(
+            _answer, schema=f"qid long, {q_col} string, answer string"
+        )
+
     def ask(self, question: str, form_titles: Sequence[str] | None = None) -> dict:
         matches = self.search(question, form_titles).cache()
         prompt = assemble_context(matches, question)

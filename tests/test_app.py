@@ -88,3 +88,16 @@ def test_cli_pipeline1_pipeline2_ask(spark, tmp_path, capsys):
     assert rc == 0
     ans = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert ans["matches"]
+
+
+def test_batch_qa_matches_single_question_path(spark, app):
+    questions = spark.createDataFrame(
+        [("how is revenue?",), ("what about cash flow?",)], "question string"
+    )
+    out = app.qa.ask_batch(questions).collect()
+    assert len(out) == 2
+    by_q = {r["question"]: r["answer"] for r in out}
+    # batch answers equal the one-at-a-time path (same context assembly)
+    for q in by_q:
+        single = app.qa.ask(q)
+        assert by_q[q] == single["answer"]
