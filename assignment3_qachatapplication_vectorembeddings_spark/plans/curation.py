@@ -84,13 +84,18 @@ def curate_documents(
         )
         .when(F.col("__swr") < cfg.min_stopword_ratio, F.lit("quality:stopwords"))
     )
-    flagged = scored.withColumn("__reason", reason)
+    # flagged feeds BOTH the culled union and the survivor path, and the
+    # lang UDF + quality expressions above it are the most expensive
+    # narrow stage — materialize once instead of re-scoring per consumer
+    flagged = scored.withColumn("__reason", reason).localCheckpoint(eager=False)
 
     survivors = flagged.filter(F.col("__reason").isNull())
 
     # exact dedup among survivors: keep min id per fingerprint
     w = Window.partitionBy("__fp").orderBy(id_col)
-    exact_ranked = survivors.withColumn("__rn", F.row_number().over(w))
+    exact_ranked = survivors.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     exact_dups = exact_ranked.filter(F.col("__rn") > 1).select(
         id_col, F.lit("exact_dup").alias("__reason")
     )

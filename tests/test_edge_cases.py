@@ -1,0 +1,102 @@
+"""Edge-case hardening: empty inputs, degenerate parameters, nulls.
+
+Operators must degrade to empty/identity results, never throw, on the
+boundary inputs a 100 TB pipeline inevitably feeds them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from assignment3_qachatapplication_vectorembeddings_spark.operators.chunking import (
+    nougat_chunk_table,
+    pack_lines,
+    pypdf_chunk_table,
+)
+from assignment3_qachatapplication_vectorembeddings_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle_table,
+    simhash_pairs,
+)
+from assignment3_qachatapplication_vectorembeddings_spark.operators.topk import topk_cosine
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunking_empty_and_null_text(spark):
+    docs = spark.createDataFrame(
+        [("a", ""), ("b", None), ("c", "   \n  \n ")],
+        "FormName string, text string",
+    )
+    assert pypdf_chunk_table(docs, token_limit=5).count() == 0
+    # the nougat path keeps whitespace-only paragraphs (the reference
+    # skips only len==0, pipeline1.py:141) — so doc 'c' yields one
+    # zero-token chunk; empty/null docs yield nothing
+    rows = nougat_chunk_table(docs, token_limit=5).collect()
+    assert {r["FormName"] for r in rows} <= {"c"}
+    assert all(r["TokenCount"] == 0 for r in rows)
+
+
+def test_pack_lines_degenerate_limits():
+    # limit 1: every 1-token line is its own chunk; multi-token lines oversized
+    chunks, oversized = pack_lines(["a", "b b", "c"], "\n", 1)
+    assert oversized == ["b b"]
+    assert all(len(c.split()) <= 1 for c in chunks if c)
+    # no input
+    assert pack_lines([], "\n", 10) == ([], [])
+
+
+def test_dedup_on_empty_and_single_doc(spark):
+    empty = _docs(spark, [])
+    assert ngram_jaccard_pairs(empty).count() == 0
+    assert minhash_lsh_pairs(empty).count() == 0
+    assert simhash_pairs(empty).count() == 0
+    single = _docs(spark, [(1, "only one document here at all")])
+    assert ngram_jaccard_pairs(single).count() == 0
+    assert minhash_lsh_pairs(single).count() == 0
+
+
+def test_shingles_short_docs_produce_no_rows(spark):
+    short = _docs(spark, [(1, "two words"), (2, "one"), (3, "")])
+    assert shingle_table(short, n=3).count() == 0
+
+
+def test_topk_k_exceeds_n(spark, sf_dir):
+    from assignment3_qachatapplication_vectorembeddings_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(5)
+    qvec = [1.0] + [0.0] * 63
+    got = topk_cosine(emb, qvec, 100, vec_col="embedding").collect()
+    assert len(got) == 5  # limit > n returns all, no error
+
+
+def test_index_ops_on_missing_path(spark, tmp_path):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.index_maintenance import (
+        VectorIndex,
+    )
+
+    idx = VectorIndex(spark, str(tmp_path / "never_written"))
+    assert idx.read().count() == 0
+    assert idx.dimension() is None
+    assert idx.stats()["total_vector_count"] == 0
+    assert idx.form_check("anything") is False
+    idx.delete_by_ids(["x"])  # no-op, no throw
+    idx.delete_by_form(["y"])
+    idx.delete_all()
+
+
+def test_auth_unknown_user_and_bad_token(spark, tmp_path):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.auth import (
+        AuthStore,
+    )
+
+    auth = AuthStore(spark, str(tmp_path / "auth"), secret="s")
+    assert auth.login("nobody@x.com", "pw") is None
+    assert auth.current_user("not-a-jwt") is None
+    assert auth.chat_history("nobody@x.com").count() == 0
