@@ -25,6 +25,12 @@ __all__ = [
     "create_access_token",
     "verify_token",
     "ACCESS_TOKEN_EXPIRE_MINUTES",
+    "EMAIL_PATTERN",
+    "PASSWORD_PATTERN",
+    "email_ok",
+    "password_ok",
+    "email_ok_col",
+    "password_ok_col",
 ]
 
 PBKDF2_ROUNDS = 29000  # passlib's pbkdf2_sha256 default
@@ -98,3 +104,35 @@ def verify_token(token: str, secret: str = _DEFAULT_SECRET, _now: float | None =
         return claims.get("sub")
     except Exception:
         return None
+
+
+# --------------------------------------------------------------------------
+# P7 — registration-form validation regexes (Registration.py:32-35)
+# --------------------------------------------------------------------------
+
+#: email must be something@something.com (reference is that literal)
+EMAIL_PATTERN = r".+@.+\.(com)$"
+#: ≥5 non-space chars including ≥1 special char (lookahead — Java regex
+#: via Spark rlike supports it; SURVEY P7)
+PASSWORD_PATTERN = r"^(?=.*[!@#$%^&*])\S{5,}$"
+
+
+def email_ok(email: str) -> bool:
+    import re
+
+    return re.search(EMAIL_PATTERN, email or "") is not None
+
+
+def password_ok(password: str) -> bool:
+    import re
+
+    return re.search(PASSWORD_PATTERN, password or "") is not None
+
+
+def email_ok_col(email):
+    """Column predicate form (bulk validation of a registrations table)."""
+    return email.rlike(EMAIL_PATTERN)
+
+
+def password_ok_col(password):
+    return password.rlike(PASSWORD_PATTERN)

@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 
 from ..functions.crypto import (
     create_access_token,
+    email_ok,
     hash_password,
+    password_ok,
     verify_password,
     verify_token,
 )
@@ -65,6 +67,14 @@ class AuthStore:
     # -- /register: J5 duplicate gate + F15 hash + insert --------------------
 
     def register(self, email: str, password: str) -> int:
+        # P7 (Registration.py:32-35): the reference validates in the
+        # frontend form; the engine validates at the table boundary
+        if not email_ok(email):
+            raise ValueError("Invalid email (expected something@domain.com)")
+        if not password_ok(password):
+            raise ValueError(
+                "Invalid password (min 5 non-space chars, one of !@#$%^&*)"
+            )
         if self.get_user_by_email(email) is not None:
             raise ValueError("Email already registered")  # main.py:36-38
         salt, pw_hash = hash_password(password)

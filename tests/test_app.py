@@ -37,7 +37,7 @@ def app(spark, tmp_path_factory):
 def test_register_login_ask_history_flow(app):
     app.register("user@test.com", "S3cret!pw")
     with pytest.raises(ValueError, match="already registered"):
-        app.register("user@test.com", "other")  # J5 duplicate gate
+        app.register("user@test.com", "Other!5")  # J5 duplicate gate
     assert app.login("user@test.com", "wrong") is None
     token = app.login("user@test.com", "S3cret!pw")
     assert token

@@ -41,7 +41,7 @@ def test_register_login_chat_flow(spark, tmp_path):
     assert uid == 1
     # duplicate email rejected (main.py:36-38)
     with pytest.raises(ValueError, match="already registered"):
-        store.register("alice@test.com", "other")
+        store.register("alice@test.com", "Other!5")
 
     assert store.login("alice@test.com", "wrong") is None
     token = store.login("alice@test.com", "hunter2!")
@@ -59,3 +59,41 @@ def test_register_login_chat_flow(spark, tmp_path):
     hist = store.chat_history("alice@test.com").collect()
     assert [r["user_question"] for r in hist] == ["q2?", "q1?"]  # newest first
     assert all(r["user_id"] == uid for r in hist)
+
+
+def test_p7_registration_validation(spark, tmp_path):
+    from assignment3_qachatapplication_vectorembeddings_spark.functions.crypto import (
+        email_ok,
+        email_ok_col,
+        password_ok,
+        password_ok_col,
+    )
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.auth import (
+        AuthStore,
+    )
+    from pyspark.sql import functions as F
+
+    assert email_ok("a@b.com") and not email_ok("a@b.org") and not email_ok("nope")
+    assert password_ok("abc$e") and not password_ok("abcde") and not password_ok("a$")
+
+    # column forms agree with the python forms (rlike handles lookahead)
+    df = spark.createDataFrame(
+        [("a@b.com", "abc$e"), ("a@b.org", "abcde"), ("x", "a$")],
+        "email string, pw string",
+    )
+    rows = df.select(
+        email_ok_col(F.col("email")).alias("e"),
+        password_ok_col(F.col("pw")).alias("p"),
+    ).collect()
+    assert [(r["e"], r["p"]) for r in rows] == [
+        (True, True),
+        (False, False),
+        (False, False),
+    ]
+
+    auth = AuthStore(spark, str(tmp_path / "auth"), secret="s")
+    with pytest.raises(ValueError, match="Invalid email"):
+        auth.register("bad-email", "abc$e")
+    with pytest.raises(ValueError, match="Invalid password"):
+        auth.register("ok@x.com", "weakpw")
+    assert auth.register("ok@x.com", "abc$e") >= 1
