@@ -1,0 +1,63 @@
+"""Physical-plan regression pins: the scale-posture claims as tests.
+
+If one of these fails after a change, the query still returns correct
+rows but has silently lost its 100 TB execution shape (pushdown gone,
+broadcast became shuffle, top-k became full sort) — exactly the class
+of regression value-hash gates can't see.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from assignment3_qachatapplication_vectorembeddings_spark.plans.corpus import CORPUS
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = CORPUS[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_cosine")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort stage
+
+
+def test_filtered_topk_pushes_predicate_into_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_cosine_filtered")
+    assert "PushedFilters" in plan and "In(label, [1,2,3])" in plan
+
+
+def test_projection_prunes_columns_and_pushes_filters(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "projection_filter")
+    assert "GreaterThanOrEqual(p_size,10)" in plan
+    # scan schema restricted to what the query reads (no p_type etc.)
+    assert "p_type" not in plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for q in ("fk_join_broadcast", "shipping_priority", "returned_items"):
+        assert "BroadcastHashJoin" in _plan(spark, sf_dir, q), q
+
+
+def test_point_lookup_pushdown(spark, sf_dir):
+    assert "EqualTo(c_custkey,42)" in _plan(spark, sf_dir, "point_lookup")
+
+
+def test_aggregations_have_partial_phase(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_chunking_has_no_exchange(spark, sf_dir):
+    # one-doc-per-row chunking must stay shuffle-free (mapInPandas)
+    plan = _plan(spark, sf_dir, "pypdf_chunks")
+    assert "Exchange" not in plan
