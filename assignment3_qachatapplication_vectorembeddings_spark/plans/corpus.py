@@ -1142,6 +1142,31 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+_SQL_ENTRY_TEXT = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE c_acctbal > 9000
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F'
+                    AND o2.o_totalprice < 50000)
+"""
+
+
+def q_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry path: the engine accepts ANSI SQL over registered
+    views (spark.sql), including correlated EXISTS / NOT EXISTS —
+    Catalyst rewrites them to semi/anti joins. Same text runs on DuckDB
+    as the oracle."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_ENTRY_TEXT)
+
+
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
@@ -1776,6 +1801,9 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "rollup_agg": QuerySpec(q_rollup_agg, _SQL_ROLLUP, "ROLLUP grouping sets"),
     "cube_agg": QuerySpec(q_cube_agg, _SQL_CUBE, "CUBE grouping sets"),
+    "sql_exists_subquery": QuerySpec(
+        q_sql_exists, _SQL_ENTRY_TEXT, "ANSI SQL entry: correlated EXISTS/NOT EXISTS"
+    ),
     "full_outer_join": QuerySpec(
         q_full_outer_join, _SQL_FULL_OUTER, "full outer join, both sides kept"
     ),
