@@ -95,7 +95,18 @@ def shingle_table(
 
 
 def _pair_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for every pair sharing ≥1 shingle."""
+    """(doc_a, doc_b, jaccard) for every pair sharing ≥1 shingle.
+
+    The self-join and doc-frequency groupBy run on ``xxhash64(shingle)``
+    (8-byte longs) instead of the raw shingle strings — at 100 TB the
+    inverted-index shuffle moves fixed-width keys, not text. Row counts
+    per doc are unchanged by the projection, and a false intersection
+    needs two distinct shingles of one candidate pair to collide in
+    64 bits (~2⁻⁶⁴ per pair, deterministic across runs), so the Jaccard
+    values are those of the string join.
+    """
+    if dict(sh.dtypes)["shingle"] == "string":
+        sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     # per-doc counts use the FULL table, but the pair join only needs
     # shingles in ≥2 docs — df-1 shingles (the vast majority) can't form
@@ -142,8 +153,14 @@ def ngram_jaccard_pairs(
     Plan: shingle explode → inverted-index self-join on shingle →
     per-pair intersection count → Jaccard from per-doc shingle counts.
     No cross product: pairs sharing no shingle never materialize.
+
+    The shingle table feeds five plan branches (per-doc counts ×2,
+    doc-frequency filter, both self-join sides) — checkpoint it once
+    instead of re-tokenizing the corpus per branch.
     """
-    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n)
+    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).localCheckpoint(
+        eager=False
+    )
     return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
