@@ -539,9 +539,12 @@ def embedding_topk_pairs(
         StructType as ST_,
     )
 
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    # Arrow toPandas: one columnar transfer instead of py4j-deserializing
+    # n×dim float objects row by row (the collect() path is ~10× slower
+    # for wide vector columns)
+    pdf = emb.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     sc = emb.sparkSession.sparkContext
     b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat_n)
