@@ -1722,6 +1722,319 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Relational breadth, batch 2 — classic warehouse shapes the serving layer
+# inherits for free once plans are declarative (SURVEY §7.1 step 6). Each
+# filter sits directly on the scan (Parquet pushdown); joins broadcast the
+# dimension side; single-pass conditional aggregation instead of self-joins.
+# --------------------------------------------------------------------------
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight range predicates + one global aggregate.
+    The whole WHERE clause reaches the parquet scan as PushedFilters;
+    at 100 TB this is the difference between a full read and a
+    row-group-pruned one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(_dec4(F.col("l_extendedprice") * F.col("l_discount"))).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_SQL_FORECAST_REVENUE = """
+SELECT round((sum((l_extendedprice*l_discount)::DECIMAL(18,4)))::DOUBLE, 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-to-fact join + conditional counts in one
+    aggregation pass (no per-priority self-joins)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_SQL_SHIPMODE_PRIORITY = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_priority_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dimension join + conditional-ratio
+    aggregate computed in a single pass."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc_price = _dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                (F.lit(100.0) * F.sum(promo).cast("double"))
+                / F.sum(disc_price).cast("double"),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SQL_PROMO_REVENUE = """
+SELECT round(100.0 * (sum(CASE WHEN p_type = 'PROMO'
+                              THEN (l_extendedprice*(1-l_discount))::DECIMAL(18,4)
+                              ELSE 0::DECIMAL(18,4) END))::DOUBLE
+             / (sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4)))::DOUBLE, 4) AS promo_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate feeding a join — the
+    aggregate runs first so only qualifying orderkeys reach the join
+    (semi-join-sized probe, not the whole fact table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_dec2(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "l_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "l_orderkey")
+        .limit(100)
+    )
+
+
+_SQL_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, round((sum(l_quantity::DECIMAL(18,2)))::DOUBLE, 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round((sum(l_quantity::DECIMAL(18,2)))::DOUBLE, 2) > 200
+)
+SELECT c_name, c_custkey, l_orderkey, o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, l_orderkey LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Event analytics, batch 2 — funnel + cohort retention (the shapes a
+# training-data/product pipeline runs over an events stream). Stage
+# tables are per-user aggregates, so each level is one shuffle on
+# user_id and the per-stage joins reuse that same partitioning.
+# --------------------------------------------------------------------------
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: each stage keeps users
+    whose first qualifying event happens strictly after the prior
+    stage's."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+_SQL_EVENT_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY user_id),
+     c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+     p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_full_funnel
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week,
+    counted in each subsequent activity week. Day arithmetic is kept to
+    integer datediffs so both engines agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit("2024-01-01")
+    first = ev.groupBy("user_id").agg(
+        F.floor(F.datediff(F.to_date(F.min("ts")), F.to_date(epoch)) / 7).alias(
+            "cohort_week"
+        ),
+        F.to_date(F.min("ts")).alias("first_day"),
+    )
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        days.join(first, "user_id")
+        .withColumn(
+            "week_offset", F.floor(F.datediff(F.col("day"), F.col("first_day")) / 7)
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_SQL_RETENTION_COHORTS = """
+WITH first AS (
+  SELECT user_id,
+         CAST(floor(date_diff('day', DATE '2024-01-01', min(ts)::DATE) / 7.0) AS BIGINT) AS cohort_week,
+         min(ts)::DATE AS first_day
+  FROM events GROUP BY user_id
+), days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
+SELECT cohort_week,
+       CAST(floor(date_diff('day', first_day, day) / 7.0) AS BIGINT) AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM days JOIN first USING (user_id)
+GROUP BY cohort_week, CAST(floor(date_diff('day', first_day, day) / 7.0) AS BIGINT)
+ORDER BY cohort_week, week_offset
+"""
+
+
+# --------------------------------------------------------------------------
+# Arbitrary GROUPING SETS (beyond rollup/cube) through the SQL entry
+# path — one ANSI text, both engines.
+# --------------------------------------------------------------------------
+
+_SQL_GROUPING_SETS_TEXT = """
+SELECT n_name, c_mktsegment,
+       CAST(grouping(n_name) AS INT) AS g_nation,
+       CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+       count(*) AS n,
+       round((sum(CAST(c_acctbal AS DECIMAL(18,2))))::DOUBLE, 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+"""
+
+_SQL_GROUPING_SETS_SPARK = _SQL_GROUPING_SETS_TEXT.replace(
+    "(sum(CAST(c_acctbal AS DECIMAL(18,2))))::DOUBLE",
+    "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)",
+)
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping() markers — Catalyst expands to a
+    single Expand + hash aggregate (one shuffle for all three levels,
+    not one scan per level)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_GROUPING_SETS_SPARK)
+
+
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates) with an explicit composite
+    tiebreak — acctbal carries duplicates, so the ordering key folds the
+    unique custkey in; both engines then agree deterministically."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ordkey = "c_acctbal * 100000000 + c_custkey"
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr(f"max_by(c_name, {ordkey})").alias("richest"),
+            F.expr(f"min_by(c_name, {ordkey})").alias("poorest"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_SQL_MINMAX_BY = """
+SELECT n_name,
+       arg_max(c_name, c_acctbal * 100000000 + c_custkey) AS richest,
+       arg_min(c_name, c_acctbal * 100000000 + c_custkey) AS poorest,
+       round(max(c_acctbal), 2) AS max_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group (corr) — single-pass co-moment
+    aggregation, map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.corr("l_discount", "l_tax"), 4).alias("disc_tax_corr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_CORR_STATS = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       round(corr(l_discount, l_tax), 4) AS disc_tax_corr,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1853,6 +2166,33 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "multimodal_features": QuerySpec(
         q_multimodal_features, None, "binary decode → feature extract plumbing"
+    ),
+    "forecast_revenue": QuerySpec(
+        q_forecast_revenue, _SQL_FORECAST_REVENUE, "TPC-H Q6 shape, pushdown showcase"
+    ),
+    "shipmode_priority": QuerySpec(
+        q_shipmode_priority, _SQL_SHIPMODE_PRIORITY, "TPC-H Q12 shape, conditional agg"
+    ),
+    "promo_revenue": QuerySpec(
+        q_promo_revenue, _SQL_PROMO_REVENUE, "TPC-H Q14 shape, conditional ratio"
+    ),
+    "large_orders": QuerySpec(
+        q_large_orders, _SQL_LARGE_ORDERS, "TPC-H Q18 shape, HAVING + join"
+    ),
+    "event_funnel": QuerySpec(
+        q_event_funnel, _SQL_EVENT_FUNNEL, "ordered multi-stage funnel counts"
+    ),
+    "retention_cohorts": QuerySpec(
+        q_retention_cohorts, _SQL_RETENTION_COHORTS, "weekly cohort retention matrix"
+    ),
+    "grouping_sets_agg": QuerySpec(
+        q_grouping_sets, _SQL_GROUPING_SETS_TEXT, "arbitrary GROUPING SETS + grouping()"
+    ),
+    "minmax_by": QuerySpec(
+        q_minmax_by, _SQL_MINMAX_BY, "argmax/argmin aggregates, composite tiebreak"
+    ),
+    "corr_stats": QuerySpec(
+        q_corr_stats, _SQL_CORR_STATS, "bivariate corr per group, single pass"
     ),
 }
 
