@@ -72,18 +72,39 @@ def normalized_tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
+def _fan_out(docs: DataFrame, id_col: str) -> DataFrame:
+    """Repartition documents by id before a CPU-heavy per-doc stage.
+
+    Tokenization/hashing cost lives map-side, so it inherits the INPUT
+    file layout — a corpus packed into few row groups would serialize
+    shingling onto as many cores. Hashing docs across the cluster first
+    costs one narrow-text shuffle (input text is smaller than the
+    exploded shingle output it produces) and the doc-key partitioning is
+    exactly what every downstream groupBy(id) reuses.
+    """
+    spark = docs.sparkSession
+    return docs.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+
+
 def shingle_table(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    fan_out: bool = True,
 ) -> DataFrame:
     """Distinct word n-gram shingles: (id_col, shingle).
 
     Documents with fewer than ``n`` tokens produce no rows (explode of
     an empty array), mirroring the SQL oracle's empty range.
+
+    ``fan_out=False`` skips the input repartition — pass it when the
+    caller's input already arrives through a shuffle (re-hashing it
+    would be a pure-overhead exchange).
     """
+    if fan_out:
+        docs = _fan_out(docs, id_col)
     toks = docs.select(id_col, normalized_tokens(F.col(text_col)).alias("_toks"))
     gram = "concat(" + ", ' ', ".join(f"_toks[i+{j}]" for j in range(n)) + ")"
     shingles = F.expr(
@@ -293,6 +314,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.8,
     hash_mode: str = "md5",
+    fan_out: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified: shingle → K minhashes →
     band buckets → candidate pairs → exact-Jaccard verify ≥ threshold.
@@ -303,9 +325,9 @@ def minhash_lsh_pairs(
     """
     # the shingle table feeds BOTH the band signatures and the verify
     # join; materialize it once instead of re-exploding the text twice
-    sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).localCheckpoint(
-        eager=False
-    )
+    sh = shingle_table(
+        docs, id_col=id_col, text_col=text_col, n=n, fan_out=fan_out
+    ).localCheckpoint(eager=False)
     buckets = minhash_band_table(
         sh,
         id_col=id_col,
@@ -351,7 +373,7 @@ def simhash_table(
     bitmap. Implemented as one explode(tokens) → tf groupBy → bit
     cross-product groupBy — two shuffles, each on (doc, small-key).
     """
-    toks = docs.select(
+    toks = _fan_out(docs, id_col).select(
         id_col, F.explode(normalized_tokens(F.col(text_col))).alias("tok")
     )
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w"))

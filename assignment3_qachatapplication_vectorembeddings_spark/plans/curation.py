@@ -107,6 +107,10 @@ def curate_documents(
         id_col=id_col,
         text_col=text_col,
         threshold=cfg.near_dup_threshold,
+        # exact_kept just came through the fingerprint-window shuffle —
+        # it is already spread across the cluster; re-hashing it would
+        # be a pure-overhead exchange
+        fan_out=False,
         **cfg.minhash_kwargs,
     )
     comps = connected_components(pairs)
