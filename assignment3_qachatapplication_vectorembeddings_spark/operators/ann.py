@@ -45,6 +45,7 @@ __all__ = [
     "lsh_topk",
     "ivf_fit_centroids",
     "ivf_assign",
+    "ivf_assign_multi",
     "ivf_topk",
 ]
 
@@ -231,6 +232,37 @@ def ivf_assign(
             yield pd.Series(np.argmin(d, axis=1).astype("int32"))
 
     return emb.withColumn("cluster", _assign(F.col(vec_col)))
+
+
+def ivf_assign_multi(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    probes: int = 2,
+) -> DataFrame:
+    """Adds ``clusters`` = the ``probes`` nearest centroid ids (array).
+
+    Multi-assignment is the standard recall fix for *pairwise* IVF use:
+    two vectors straddling a Voronoi boundary still share ≥1 cell when
+    each is posted to its top-2 cells. One matmul per Arrow batch; the
+    caller explodes the array (probes× row growth, not n×)."""
+    p = min(probes, len(centroids))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        c = centroids
+        c_norm2 = (c * c).sum(axis=1)
+        for vecs in batches:
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            if mat.size == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            d = c_norm2[None, :] - 2.0 * (mat @ c.T)
+            near = np.argpartition(d, p - 1, axis=1)[:, :p].astype("int32")
+            yield pd.Series(list(near))
+
+    return emb.withColumn("clusters", _assign(F.col(vec_col)))
 
 
 def ivf_topk(

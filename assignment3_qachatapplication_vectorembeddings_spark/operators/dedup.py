@@ -83,7 +83,14 @@ def _fan_out(docs: DataFrame, id_col: str) -> DataFrame:
     exactly what every downstream groupBy(id) reuses.
     """
     spark = docs.sparkSession
-    return docs.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+    target = spark.sparkContext.defaultParallelism
+    # only widen: if the scan already yields >= target splits, an extra
+    # exchange would SHRINK map parallelism and shuffle full text for
+    # nothing (and an exchange above the scan can also hide filter
+    # pushdown from the plan auditor)
+    if docs.rdd.getNumPartitions() >= target:
+        return docs
+    return docs.repartition(target, F.col(id_col))
 
 
 def shingle_table(
@@ -180,7 +187,7 @@ def ngram_jaccard_pairs(
     instead of re-tokenizing the corpus per branch.
     """
     sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).localCheckpoint(
-        eager=False
+        eager=True
     )
     return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
 
@@ -323,11 +330,15 @@ def minhash_lsh_pairs(
     path; the verify join runs only over candidates (few), so the
     exact-Jaccard cost is bounded by true-ish pairs, not all pairs.
     """
-    # the shingle table feeds BOTH the band signatures and the verify
-    # join; materialize it once instead of re-exploding the text twice
+    # the shingle table feeds FIVE plan branches (band table, df-filter,
+    # both self-join sides, per-doc counts); an EAGER checkpoint
+    # materializes it once and truncates the lineage, so each branch
+    # scans the checkpointed blocks instead of re-planning the explode —
+    # the lazy variant left all five branches re-deriving it (37-shuffle
+    # plan, ~2× wall time at sf0.1)
     sh = shingle_table(
         docs, id_col=id_col, text_col=text_col, n=n, fan_out=fan_out
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     buckets = minhash_band_table(
         sh,
         id_col=id_col,
@@ -337,11 +348,17 @@ def minhash_lsh_pairs(
     )
     a = buckets.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    # the candidate set feeds THREE consumers (both legs of cand_ids and
+    # the final verify semi-join); it is tiny (near-dup candidates, not
+    # corpus rows), so materialize it once — without this the whole
+    # band-join subtree is re-planned per consumer and the explain blows
+    # up to ~37 shuffles
     cands = (
         a.join(b, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # verify ONLY candidate docs: shrink the shingle table to docs that
     # appear in some candidate pair before the quadratic-ish pair join —
@@ -534,32 +551,40 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), "component")
 
 
-def embedding_topk_pairs(
-    emb: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 20,
-) -> DataFrame:
-    """Top-k most cosine-similar vector pairs (exact).
+def _pair_out_schema(emb: DataFrame, id_col: str):
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    Block nested-loop with matmul: one side is broadcast as a dense
-    numpy matrix (n × dim doubles — a few MB for ~10⁴ vectors); each
-    Arrow batch of the other side does ONE matmul against it and emits
-    only its local top-k pairs, so the exchange is k rows per batch
-    instead of the O(n²) pair table a self-join would shuffle. Global
-    TakeOrderedAndProject merges the per-batch heaps.
+    return StructType(
+        [
+            StructField("id_a", emb.schema[id_col].dataType),
+            StructField("id_b", emb.schema[id_col].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
 
-    Beyond broadcastable sizes, generate candidates with the ANN
-    buckets (operators.ann) and rescore — same per-batch matmul shape.
-    """
+
+def _local_topk_pairs(q_ids, q_mat, c_ids, c_mat, k):
+    """Top-k cross pairs (id_a < id_b) between two normalized blocks —
+    one matmul, then a partial-sort over the masked score matrix."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType,
-        StructField as SF_,
-        StructType as ST_,
-    )
+
+    cos = q_mat @ c_mat.T
+    mask = q_ids[:, None] < c_ids[None, :]
+    cos_m = np.where(mask, cos, -np.inf)
+    flat = cos_m.ravel()
+    take = min(k, int(mask.sum()))
+    if take == 0:
+        return None
+    idx = np.argpartition(flat, -take)[-take:]
+    r, c = np.unravel_index(idx, cos_m.shape)
+    return pd.DataFrame({"id_a": q_ids[r], "id_b": c_ids[c], "cosine": flat[idx]})
+
+
+def _topk_pairs_broadcast(emb, *, id_col, vec_col, k):
+    """Exact path: broadcast the full normalized matrix, matmul per
+    Arrow batch, emit k rows per batch, global TakeOrdered merge."""
+    import numpy as np
 
     # Arrow toPandas: one columnar transfer instead of py4j-deserializing
     # n×dim float objects row by row (the collect() path is ~10× slower
@@ -571,39 +596,109 @@ def embedding_topk_pairs(
     sc = emb.sparkSession.sparkContext
     b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat_n)
 
-    out_schema = ST_(
-        [
-            SF_("id_a", emb.schema[id_col].dataType),
-            SF_("id_b", emb.schema[id_col].dataType),
-            SF_("cosine", DoubleType()),
-        ]
-    )
-
     def _block_topk(batches):
+        import numpy as np
+
         all_ids, all_mat = b_ids.value, b_mat.value
         for pdf in batches:
             if not len(pdf):
                 continue
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            cos = q @ all_mat.T  # (batch, n)
-            # keep only ordered pairs id_a < id_b
-            mask = q_ids[:, None] < all_ids[None, :]
-            cos_m = np.where(mask, cos, -np.inf)
-            flat = cos_m.ravel()
-            take = min(k, int(mask.sum()))
-            if take == 0:
-                continue
-            idx = np.argpartition(flat, -take)[-take:]
-            r, c = np.unravel_index(idx, cos_m.shape)
-            yield pd.DataFrame(
-                {"id_a": q_ids[r], "id_b": all_ids[c], "cosine": flat[idx]}
-            )
+            out = _local_topk_pairs(q_ids, q, all_ids, all_mat, k)
+            if out is not None:
+                yield out
 
-    pairs = emb.select(id_col, vec_col).mapInPandas(_block_topk, out_schema)
+    return emb.select(id_col, vec_col).mapInPandas(
+        _block_topk, _pair_out_schema(emb, id_col)
+    )
+
+
+def _topk_pairs_bucketed(emb, *, id_col, vec_col, k, nlist, assign_probes):
+    """Scale path: IVF cells as candidate buckets — NO full-table
+    driver transfer. Quantizer fit on a bounded driver sample (the
+    only driver-sized piece, same contract as ``ann.ivf_fit_centroids``);
+    every vector is posted to its ``assign_probes`` nearest cells so
+    boundary pairs still co-bucket; each cell computes its local top-k
+    pairs with one matmul via ``applyInPandas``; a global TakeOrdered
+    merges. Shuffle volume = probes × corpus rows on the cluster key —
+    linear, executor-sized cells, no O(n²) pair table anywhere."""
+    from .ann import ivf_assign_multi, ivf_fit_centroids
+
+    import numpy as np
+
+    centroids = ivf_fit_centroids(emb, vec_col=vec_col, nlist=nlist)
+    posted = (
+        ivf_assign_multi(
+            emb.select(id_col, vec_col), centroids, vec_col=vec_col,
+            probes=assign_probes,
+        )
+        .select(id_col, vec_col, F.explode("clusters").alias("cluster"))
+    )
+
+    def _cell_topk(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        out = _local_topk_pairs(ids, mat, ids, mat, k)
+        if out is None:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return out
+
+    return (
+        posted.groupBy("cluster")
+        .applyInPandas(_cell_topk, _pair_out_schema(emb, id_col))
+        # a pair posted to two shared cells appears twice with the same
+        # score — dedup before the global merge
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_topk_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 20,
+    broadcast_threshold: int = 200_000,
+    nlist: int | None = None,
+    assign_probes: int = 2,
+) -> DataFrame:
+    """Top-k most cosine-similar vector pairs.
+
+    Two physical paths behind a row-count gate (same shape as
+    ``connected_components``):
+
+    - ≤ ``broadcast_threshold`` rows: exact block nested-loop — the
+      normalized matrix is broadcast (200k × 1536-d doubles ≈ 2.4 GB
+      upper bound; the default threshold keeps it executor-sized) and
+      each Arrow batch does one matmul, emitting only its local top-k.
+    - larger: IVF-bucketed candidates + per-cell matmul rescore — the
+      100 TB path. Nothing full-table ever reaches the driver; recall
+      is governed by (nlist, assign_probes) multi-assignment.
+
+    Reference parity: near-dup screening over the embedding store the
+    reference keeps in Pinecone (``pipeline2.py:128-149`` upserts;
+    no pairwise op exists there — this is engine-added capability).
+    """
+    n = emb.count()
+    if n <= broadcast_threshold:
+        pairs = _topk_pairs_broadcast(emb, id_col=id_col, vec_col=vec_col, k=k)
+    else:
+        pairs = _topk_pairs_bucketed(
+            emb,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            # ~4k-row cells keep each local matmul ≈ 16M multiply-adds
+            nlist=nlist or max(16, n // 4096),
+            assign_probes=assign_probes,
+        )
     return (
         pairs.orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
         .limit(k)

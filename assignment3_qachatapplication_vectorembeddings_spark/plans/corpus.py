@@ -635,7 +635,7 @@ votes AS (
   SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) s
   FROM th CROSS JOIN (SELECT unnest(range(60)) b) GROUP BY doc_id, b),
 simh AS (
-  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+  SELECT doc_id, (sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
   FROM votes GROUP BY doc_id)
 """
 
@@ -783,9 +783,9 @@ def q_sectionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SECTIONIZE = """
 SELECT user_id, event_id,
-       sum(CASE WHEN is_heading OR NOT heading_seen_before THEN 1 ELSE 0 END)
+       (sum(CASE WHEN is_heading OR NOT heading_seen_before THEN 1 ELSE 0 END)
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS section
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS section
 FROM (
   SELECT user_id, event_id, ts, (event_type = 'signup') AS is_heading,
          coalesce(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
@@ -1345,7 +1345,7 @@ def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DATE_EXTRACT = """
 SELECT year(o_orderdate)::INT AS y, quarter(o_orderdate)::INT AS q,
        count(*) AS n,
-       sum(CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END) AS weekend_orders
+       (sum(CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END))::BIGINT AS weekend_orders
 FROM orders GROUP BY 1, 2
 """
 
@@ -1428,7 +1428,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_JSON_PROPS = """
 SELECT event_type,
-       sum(json_extract_string(props, '$.k')::INT) AS sum_k,
+       (sum(json_extract_string(props, '$.k')::INT))::BIGINT AS sum_k,
        min(json_extract_string(props, '$.k')::INT) AS min_k,
        max(json_extract_string(props, '$.k')::INT) AS max_k
 FROM events GROUP BY event_type
@@ -1781,8 +1781,8 @@ def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SHIPMODE_PRIORITY = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_priority_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_priority_count
+       (sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END))::BIGINT AS high_priority_count,
+       (sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END))::BIGINT AS low_priority_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY l_linestatus
@@ -1987,7 +1987,9 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique custkey in; both engines then agree deterministically."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    ordkey = "c_acctbal * 100000000 + c_custkey"
+    # composite struct tiebreak (acctbal, then unique custkey): collision-free
+    # at any scale factor, unlike a fixed-multiplier fold of the two keys
+    ordkey = "struct(c_acctbal, c_custkey)"
     return (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
@@ -2002,8 +2004,8 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_MINMAX_BY = """
 SELECT n_name,
-       arg_max(c_name, c_acctbal * 100000000 + c_custkey) AS richest,
-       arg_min(c_name, c_acctbal * 100000000 + c_custkey) AS poorest,
+       first(c_name ORDER BY c_acctbal DESC, c_custkey DESC) AS richest,
+       first(c_name ORDER BY c_acctbal ASC, c_custkey ASC) AS poorest,
        round(max(c_acctbal), 2) AS max_bal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name

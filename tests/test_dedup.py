@@ -133,3 +133,46 @@ def test_embedding_topk_pairs_matches_numpy(spark, sf_dir):
     assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
     for (_, _, g), (_, _, w) in zip(got, want):
         assert g == pytest.approx(w, abs=1e-4)
+
+
+def test_embedding_topk_pairs_bucketed_path(spark, sf_dir, monkeypatch):
+    """Above the broadcast threshold the IVF-bucketed path must (a)
+    never pull more than a bounded sample to the driver and (b) still
+    find the genuinely-near pairs the exact path finds."""
+    try:  # Spark 4: the concrete class lives under sql.classic
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - Spark 3.x fallback
+        from pyspark.sql import DataFrame
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_topk_pairs(emb, k=10).collect()
+    }
+
+    sample_cap = max(64, n // 2)
+    real_topandas = DataFrame.toPandas
+    transfers = []
+
+    def spy(self):
+        pdf = real_topandas(self)
+        transfers.append(len(pdf))
+        return pdf
+
+    monkeypatch.setattr(DataFrame, "toPandas", spy)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_topk_pairs(
+            emb, k=10, broadcast_threshold=0, nlist=8, assign_probes=2
+        ).collect()
+    }
+    # quantizer-sample transfer only — nothing full-table on the driver
+    assert transfers and all(t <= 100_000 for t in transfers)
+    assert max(transfers) < n or n <= 100_000
+    # near-dup recall: every exact pair with cosine ≥ 0.99 (the planted
+    # dups) must co-bucket under multi-assignment and be found
+    planted = {p for p, c in exact.items() if c >= 0.99}
+    assert planted <= set(got)
+    for p in got:
+        assert p in exact or got[p] <= max(exact.values())

@@ -7,12 +7,15 @@ Usage: python tools/check_corpus.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import datetime
 import math
 import sys
 import time
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 _REPO = str(Path(__file__).resolve().parent.parent)
 if _REPO not in sys.path:
@@ -23,13 +26,37 @@ from assignment3_qachatapplication_vectorembeddings_spark.schemas import TESTDAT
 from assignment3_qachatapplication_vectorembeddings_spark.session import get_spark
 
 
+def _norm(v):
+    """Normalize container types (numpy scalars, pandas Timestamps) to
+    plain Python so the comparison sees VALUES AND TYPES, not wrappers.
+    Deliberately does NOT fold int into float: the driver's hash is
+    type-sensitive (a DuckDB HUGEINT that lands in pandas as float64
+    must FAIL here, like it fails there)."""
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None  # pandas renders SQL NULL ints as NaN
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return [_norm(x) for x in v.tolist()]
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return datetime.datetime(v.year, v.month, v.day)
+    return v
+
+
 def canon(value):
+    value = _norm(value)
     if value is None:
         return "NULL"
+    if isinstance(value, bool):
+        return repr(value)
     if isinstance(value, float):
-        if math.isnan(value):
-            return "NaN"
-        return f"{value:.6g}" if value == int(value) else repr(round(value, 9))
+        return repr(round(value, 9))  # float stays float: 3.0 != 3
+    if isinstance(value, list):
+        return "[" + ",".join(canon(x) for x in value) + "]"
     return repr(value)
 
 
@@ -53,18 +80,26 @@ def main() -> int:
     failures = []
     for name in names:
         spec = CORPUS[name]
-        t0 = time.time()
-        sdf = spec.fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = sdf.collect()
-        spark_s = time.time() - t0
-        if spec.oracle is None:
-            print(f"  {name:28s} rows-only: {len(srows):7d} rows  [{spark_s:5.2f}s]")
+        try:
+            t0 = time.time()
+            sdf = spec.fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+            spark_s = time.time() - t0
+            if spec.oracle is None:
+                print(f"  {name:28s} rows-only: {len(srows):7d} rows  [{spark_s:5.2f}s]")
+                continue
+            t0 = time.time()
+            # go through pandas like the driver does, so DuckDB's HUGEINT →
+            # float64 widening (and similar dtype surprises) are visible here
+            odf = con.execute(spec.oracle).df()
+            ocols = list(odf.columns)
+            ores = [tuple(row) for row in odf.itertuples(index=False, name=None)]
+            duck_s = time.time() - t0
+        except Exception as exc:  # one broken query must not mask the rest
+            print(f"  {name:28s} ERROR {type(exc).__name__}: {str(exc).splitlines()[0][:120]}")
+            failures.append(name)
             continue
-        t0 = time.time()
-        ores = con.execute(spec.oracle).fetchall()
-        ocols = [d[0] for d in con.description]
-        duck_s = time.time() - t0
         ok_cols = sorted(scols) == sorted(ocols)
         ok_count = len(srows) == len(ores)
         ok_vals = ok_cols and ok_count and canon_rows(scols, srows) == canon_rows(ocols, ores)
