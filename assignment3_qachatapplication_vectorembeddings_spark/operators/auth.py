@@ -29,7 +29,7 @@ from ..functions.crypto import (
     verify_password,
     verify_token,
 )
-from ..schemas import CHAT_SCHEMA, USER_SCHEMA
+from ..schemas import CHAT_SCHEMA, REFERENCE_SCHEMA, USER_SCHEMA
 
 __all__ = ["AuthStore"]
 
@@ -39,6 +39,7 @@ class AuthStore:
         self.spark = spark
         self.users_path = f"{path}/usercredentials"
         self.chats_path = f"{path}/chathistory"
+        self.references_path = f"{path}/reference"
         self.secret = secret
 
     # -- table access -------------------------------------------------------
@@ -56,6 +57,11 @@ class AuthStore:
         return self._read(self.chats_path, CHAT_SCHEMA)
 
     def _next_id(self, df: DataFrame, col: str) -> int:
+        """max+1 on the driver — the analog of MySQL AUTO_INCREMENT for
+        these catalog-scale tables. NOT safe under concurrent writers
+        (two writers can read the same max); a multi-writer deployment
+        should replace it with an external sequence or UUID keys. The
+        100 TB data path never allocates ids this way."""
         row = df.agg(F.max(col).alias("m")).head()
         return int(row["m"] or 0) + 1
 
@@ -112,6 +118,22 @@ class AuthStore:
         )
         row.write.mode("append").parquet(self.chats_path)
         return chat_id
+
+    # -- references: the table behind /showReference (models.py:35-40) -------
+
+    def references(self) -> DataFrame:
+        return self._read(self.references_path, REFERENCE_SCHEMA)
+
+    def add_reference(self, form_title: str) -> int:
+        """One row per ingested form; the ingest pipeline registers each
+        processed document here (the reference populates Reference as
+        forms land, main.py:78-85 reads it back)."""
+        ref_id = self._next_id(self.references(), "id")
+        row = self.spark.createDataFrame(
+            [(ref_id, form_title, dt.datetime.utcnow())], REFERENCE_SCHEMA
+        )
+        row.write.mode("append").parquet(self.references_path)
+        return ref_id
 
     def chat_history(self, email: str) -> DataFrame:
         """J1 broadcast join + T2 newest-first (main.py:64-74)."""

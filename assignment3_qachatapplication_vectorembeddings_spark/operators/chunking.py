@@ -72,13 +72,36 @@ def _ws_count(text: str) -> int:
     return len(text.split())
 
 
+def _tiktoken_count(text: str, _cache: dict = {}) -> int:
+    """Real tiktoken ``num_tokens`` (pipeline1.py:68-71). The encoding
+    loads lazily ONCE PER PROCESS (module-level cache), so each executor
+    pays the BPE table load a single time and nothing un-picklable is
+    captured in UDF closures."""
+    enc = _cache.get("enc")
+    if enc is None:
+        import tiktoken  # import-gated optional dependency
+
+        enc = _cache["enc"] = tiktoken.encoding_for_model("gpt-3.5-turbo")
+    return len(enc.encode(text))
+
+
 #: Pluggable token counters behind the reference's ``num_tokens``
-#: contract (pipeline1.py:69-72 wraps tiktoken; unavailable here, so
-#: deterministic stand-ins).
+#: contract (pipeline1.py:68-71 wraps tiktoken). ``ws``/``bpe`` are
+#: deterministic stand-ins that work everywhere; ``tiktoken`` matches
+#: the reference's actual chunk boundaries when the library is present
+#: (same gating pattern as the pypdf/PIL optional codecs).
 TOKENIZERS: dict[str, Callable[[str], int]] = {
     "ws": _ws_count,
     "bpe": bpe_token_count_py,
 }
+
+try:
+    import importlib.util
+
+    if importlib.util.find_spec("tiktoken") is not None:
+        TOKENIZERS["tiktoken"] = _tiktoken_count
+except Exception:  # pragma: no cover - spec probe failure == absent
+    pass
 
 
 # --------------------------------------------------------------------------

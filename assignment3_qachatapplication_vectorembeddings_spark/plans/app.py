@@ -8,6 +8,8 @@ Endpoints (``fastapi-backend/fastapiservice/main.py``) → methods:
   resolve user, run the Q&A query (embed → filtered top-k → context →
   answer model), persist to chat history, return the answer record
 - ``/chatAnswer`` (main.py:62-74) → ``chat_answers``
+- ``/showReference`` (main.py:78-85) → ``show_reference`` — P4
+  projection of the Reference table (models.py:35-40)
 - ``/pineconeForms`` (main.py:87-94) → ``pinecone_forms``
 
 Everything is Spark tables + the engine's own query operators; there
@@ -93,6 +95,33 @@ class QAChatApp:
                 "chat_id": r["chat_id"],
                 "user_question": r["user_question"],
                 "system_answer": r["system_answer"],
+            }
+            for r in rows
+        ]
+
+    # -- /showReference (main.py:78-85) -------------------------------------
+
+    def add_reference(self, form_title: str) -> int:
+        """Ingest-side registration: one Reference row per processed form."""
+        return self.auth.add_reference(form_title)
+
+    def show_reference(self, token: str) -> list[dict]:
+        """P4 projection (id, form_title, created_datetime), mirroring
+        the ``with_entities`` column selection in main.py:80-84; the
+        endpoint is token-gated like the others."""
+        if self.auth.current_user(token) is None:
+            raise PermissionError("invalid or expired token")
+        rows = (
+            self.auth.references()
+            .select("id", "form_title", "created_datetime")
+            .orderBy("id")
+            .collect()  # result egress to the caller, k catalog rows
+        )
+        return [
+            {
+                "id": r["id"],
+                "form_title": r["form_title"],
+                "created_datetime": r["created_datetime"],
             }
             for r in rows
         ]

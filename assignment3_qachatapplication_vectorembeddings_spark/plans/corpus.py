@@ -1416,6 +1416,33 @@ FROM sess GROUP BY user_id
 """
 
 
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the correctness gate: the events
+    table read as a FILE STREAM, drained with Trigger.AvailableNow
+    through the watermarked tumbling-window aggregation into a memory
+    sink. The result must equal the batch GROUP BY — the streaming/batch
+    parity contract, checked against a plain SQL oracle."""
+    from ..streaming.ingest import (
+        run_windowed_counts_available_now,
+        stream_events_table,
+    )
+
+    out = run_windowed_counts_available_now(
+        spark,
+        stream_events_table(spark, sf_dir),
+        query_name="corpus_stream_hourly",
+    )
+    return out.select(
+        "hour_start", "event_type", F.col("n").cast("bigint").alias("n")
+    )
+
+
+_SQL_STREAM_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
@@ -2136,6 +2163,11 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "event_hourly_window": QuerySpec(
         q_event_hourly, _SQL_EVENT_HOURLY, "tumbling-hour event aggregation"
+    ),
+    "stream_hourly_counts": QuerySpec(
+        q_stream_hourly,
+        _SQL_STREAM_HOURLY,
+        "Structured Streaming availableNow drain == batch GROUP BY",
     ),
     "event_sessionization": QuerySpec(
         q_sessionization, _SQL_SESSIONIZATION, "gap-based sessionization windows"

@@ -102,16 +102,18 @@ def curate_documents(
     exact_kept = exact_ranked.filter(F.col("__rn") == 1).drop("__rn")
 
     # near dedup among exact-kept: LSH pairs -> clusters -> keep canonical
+    # default fan_out=False (exact_kept just came through the
+    # fingerprint-window shuffle — it is already spread across the
+    # cluster; re-hashing it would be a pure-overhead exchange), but a
+    # config that sets fan_out in minhash_kwargs may override it rather
+    # than raise duplicate-keyword TypeError
+    mh_kwargs = {"fan_out": False, **cfg.minhash_kwargs}
     pairs = minhash_lsh_pairs(
         exact_kept.select(id_col, text_col),
         id_col=id_col,
         text_col=text_col,
         threshold=cfg.near_dup_threshold,
-        # exact_kept just came through the fingerprint-window shuffle —
-        # it is already spread across the cluster; re-hashing it would
-        # be a pure-overhead exchange
-        fan_out=False,
-        **cfg.minhash_kwargs,
+        **mh_kwargs,
     )
     comps = connected_components(pairs)
     near_dups = (

@@ -112,6 +112,16 @@ CHAT_SCHEMA = StructType(
     ]
 )
 
+#: Reference — fastapi-backend/fastapiservice/models.py:35-40 (the
+#: table behind /showReference: one row per ingested form title).
+REFERENCE_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("form_title", StringType(), True),
+        StructField("created_datetime", TimestampType(), True),
+    ]
+)
+
 #: ApplicationLog — 2_application_table_setup.sql:4-12.
 APPLICATION_LOG_SCHEMA = StructType(
     [

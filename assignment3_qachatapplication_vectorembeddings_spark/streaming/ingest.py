@@ -43,8 +43,10 @@ from pyspark.sql.types import (
 __all__ = [
     "DOC_STREAM_SCHEMA",
     "stream_documents",
+    "stream_events_table",
     "run_streaming_ingest",
     "windowed_event_counts",
+    "run_windowed_counts_available_now",
     "dedup_stream",
     "sessionize_stream",
 ]
@@ -169,6 +171,32 @@ def run_streaming_index_upsert(
     return writer.start()
 
 
+def stream_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata events table as a file STREAM — same rows and the
+    same nanosecond-timestamp handling as the batch ``load_table``
+    (never read events.parquet with a bare reader; see sources.tables).
+    """
+    from ..sources.tables import _nanos_columns
+
+    path = f"{sf_dir}/events.parquet"
+    nanos = _nanos_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema  # post-nanosAsLong schema
+    # FileStreamSource requires a DIRECTORY base path; stream the table
+    # dir with a glob that selects just the events file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for colname in nanos:
+        stream = stream.withColumn(
+            colname, F.expr(f"timestamp_micros({colname} div 1000)")
+        )
+    return stream
+
+
 def windowed_event_counts(
     events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -185,6 +213,36 @@ def windowed_event_counts(
             "n",
         )
     )
+
+
+def run_windowed_counts_available_now(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    *,
+    query_name: str = "stream_hourly_counts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow through the windowed
+    aggregation into a memory sink and return the final result table.
+
+    Complete output mode re-emits the whole aggregate on the last
+    micro-batch, so the returned table equals the batch GROUP BY over
+    the same rows — the batch-parity contract the correctness gate
+    checks against a plain SQL oracle. (Append mode would withhold
+    windows the final watermark hasn't closed; complete mode is the
+    deterministic drain-and-stop shape.)
+    """
+    agg = windowed_event_counts(events_stream, window=window, watermark=watermark)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
 
 
 def dedup_stream(

@@ -58,6 +58,26 @@ def test_pinecone_forms_catalog(app):
     assert app.pinecone_forms() == ["alpha", "beta"]
 
 
+def test_show_reference_projection(app):
+    """/showReference (main.py:78-85): P4 projection of the Reference
+    table — exact column set, insertion order by id, token-gated."""
+    app.register("refs@test.com", "S3cret!pw")
+    token = app.login("refs@test.com", "S3cret!pw")
+
+    assert app.show_reference(token) == []  # empty table, not an error
+    id1 = app.add_reference("alpha form")
+    id2 = app.add_reference("beta form")
+    assert (id1, id2) == (1, 2)
+
+    refs = app.show_reference(token)
+    assert [r["form_title"] for r in refs] == ["alpha form", "beta form"]
+    assert all(set(r) == {"id", "form_title", "created_datetime"} for r in refs)
+    assert all(r["created_datetime"] is not None for r in refs)
+
+    with pytest.raises(PermissionError):
+        app.show_reference("garbage-token")
+
+
 def test_cli_pipeline1_pipeline2_ask(spark, tmp_path, capsys):
     docs = tmp_path / "docs"
     docs.mkdir()

@@ -203,11 +203,24 @@ def make_doc(seed: int) -> str:
     return "\n".join(parts)
 
 
+TOKENIZER_PARAMS = [
+    "ws",
+    "bpe",
+    pytest.param(
+        "tiktoken",
+        marks=pytest.mark.skipif(
+            "tiktoken" not in TOKENIZERS,
+            reason="tiktoken not installed (import-gated optional)",
+        ),
+    ),
+]
+
+
 DOCS = [(f"form{i}", make_doc(i)) for i in range(12)]
 LIMIT = 24
 
 
-@pytest.mark.parametrize("tokenizer", ["ws", "bpe"])
+@pytest.mark.parametrize("tokenizer", TOKENIZER_PARAMS)
 def test_pack_lines_matches_reference_fold(tokenizer):
     count = TOKENIZERS[tokenizer]
     for form, text in DOCS:
@@ -216,7 +229,7 @@ def test_pack_lines_matches_reference_fold(tokenizer):
         assert got == want, f"{form} ({tokenizer})"
 
 
-@pytest.mark.parametrize("tokenizer", ["ws", "bpe"])
+@pytest.mark.parametrize("tokenizer", TOKENIZER_PARAMS)
 def test_second_pass_matches_reference(tokenizer):
     count = TOKENIZERS[tokenizer]
     for form, text in DOCS:
@@ -229,7 +242,7 @@ def test_second_pass_matches_reference(tokenizer):
         assert got == want, f"{form} ({tokenizer})"
 
 
-@pytest.mark.parametrize("tokenizer", ["ws", "bpe"])
+@pytest.mark.parametrize("tokenizer", TOKENIZER_PARAMS)
 def test_pypdf_chunk_table_golden(spark, tokenizer):
     count = TOKENIZERS[tokenizer]
     docs = spark.createDataFrame(DOCS, "FormName string, text string")
@@ -245,7 +258,7 @@ def test_pypdf_chunk_table_golden(spark, tokenizer):
     assert got == want
 
 
-@pytest.mark.parametrize("tokenizer", ["ws", "bpe"])
+@pytest.mark.parametrize("tokenizer", TOKENIZER_PARAMS)
 def test_nougat_chunk_table_golden(spark, tokenizer):
     count = TOKENIZERS[tokenizer]
     docs = spark.createDataFrame(DOCS, "FormName string, text string")

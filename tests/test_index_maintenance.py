@@ -128,3 +128,36 @@ def test_qa_pipeline_end_to_end(index, spark):
     # P5: title filter restricts the search scope BEFORE scoring
     res_b = qa.ask("what optimizes logical plans in spark", form_titles=["formB"])
     assert all(title == "formB" for _, title, _ in res_b["matches"])
+
+
+def test_push_to_external_index_batches(spark):
+    """S12 egress hook: every row reaches the sender exactly once, in
+    <=batch_size batches, executor-side (no driver collect)."""
+    from assignment3_qachatapplication_vectorembeddings_spark.sources.egress import (
+        push_to_external_index,
+    )
+
+    n_rows = spark.sparkContext.accumulator(0)
+    n_batches = spark.sparkContext.accumulator(0)
+    oversize = spark.sparkContext.accumulator(0)
+
+    def sender(batch):
+        n_rows.add(len(batch))
+        n_batches.add(1)
+        if len(batch) > 7:
+            oversize.add(1)
+        # rows arrive as plain dicts with the index record fields
+        assert set(batch[0]) == {"id", "vector", "title", "text"}
+
+    records = spark.createDataFrame(
+        [(f"t_{i}", [float(i), 0.0], "t", f"text {i}") for i in range(23)],
+        "id string, vector array<double>, title string, text string",
+    ).repartition(3)
+    push_to_external_index(records, sender, batch_size=7)
+
+    assert n_rows.value == 23
+    assert oversize.value == 0
+    assert n_batches.value >= 4  # ceil(23/7), more with partition splits
+
+    with pytest.raises(ValueError):
+        push_to_external_index(records, sender, batch_size=0)
