@@ -29,9 +29,18 @@ _NANOS_COLS: dict[str, tuple[str, ...]] = {}
 
 def _nanos_columns(path: str) -> tuple[str, ...]:
     if path not in _NANOS_COLS:
+        import glob
+
         import pyarrow.parquet as pq
 
-        schema = pq.read_schema(path)
+        probe = path
+        if os.path.isdir(path):  # Spark-written tables are directories
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                _NANOS_COLS[path] = ()
+                return _NANOS_COLS[path]
+            probe = parts[0]
+        schema = pq.read_schema(probe)
         _NANOS_COLS[path] = tuple(
             f.name for f in schema if str(f.type) == "timestamp[ns]"
         )

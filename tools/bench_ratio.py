@@ -1,0 +1,83 @@
+"""Per-query Spark vs DuckDB wall-clock ratios at a given scale dir.
+
+VERDICT r01 #7: at sf0.01-0.1 Spark's ~0.2-0.5 s job floor dominates,
+so per-query ratios only measure plans at sf >= 1. Run this against
+the scaled dataset from tools/make_scaled_testdata.py:
+
+    python tools/make_scaled_testdata.py /root/repo/.testdata_sf1 10
+    python tools/bench_ratio.py /root/repo/.testdata_sf1
+
+Each engine runs every oracled corpus query WARM (best of ``--runs``,
+after one discarded warmup for JIT/cache effects); output is a
+markdown table for BASELINE.md plus a JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from assignment3_qachatapplication_vectorembeddings_spark.plans.corpus import CORPUS
+from assignment3_qachatapplication_vectorembeddings_spark.schemas import TESTDATA_TABLES
+from assignment3_qachatapplication_vectorembeddings_spark.session import get_spark
+
+
+def best_of(fn, runs: int) -> float:
+    fn()  # warmup, discarded
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return min(times)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.testdata_sf1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    names = sys.argv[3:] or [n for n, s in CORPUS.items() if s.oracle]
+
+    spark = get_spark("bench-ratio", shuffle_partitions=32)
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).is_dir():  # Spark-written tables are directories
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    rows = []
+    for name in names:
+        spec = CORPUS[name]
+        try:
+            s_sec = best_of(lambda: spec.fn(spark, sf_dir).collect(), runs)
+            d_sec = best_of(lambda: con.execute(spec.oracle).fetchall(), runs)
+        except Exception as exc:
+            print(f"| {name} | ERROR {type(exc).__name__} | | |")
+            continue
+        ratio = s_sec / d_sec if d_sec > 0 else float("inf")
+        rows.append((name, s_sec, d_sec, ratio))
+        print(f"| {name} | {s_sec:.3f} | {d_sec:.3f} | {ratio:.1f}x |")
+
+    within2 = sum(1 for _, s, d, r in rows if r <= 2.0)
+    summary = {
+        "sf_dir": sf_dir,
+        "queries": {n: {"spark_s": round(s, 4), "duck_s": round(d, 4), "ratio": round(r, 2)} for n, s, d, r in rows},
+        "n": len(rows),
+        "within_2x": within2,
+        "spark_total_s": round(sum(s for _, s, _, _ in rows), 2),
+        "duck_total_s": round(sum(d for _, _, d, _ in rows), 2),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

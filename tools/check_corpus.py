@@ -8,6 +8,7 @@ Usage: python tools/check_corpus.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 import sys
 import time
@@ -36,6 +37,10 @@ def _norm(v):
         return None
     if isinstance(v, float) and math.isnan(v):
         return None  # pandas renders SQL NULL ints as NaN
+    if isinstance(v, decimal.Decimal):
+        # DECIMAL (incl. DuckDB HUGEINT → decimal128) compares as float:
+        # int columns stay int, so HUGEINT-vs-BIGINT drift still fails
+        return float(v)
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime()
     if isinstance(v, np.generic):
@@ -90,11 +95,14 @@ def main() -> int:
                 print(f"  {name:28s} rows-only: {len(srows):7d} rows  [{spark_s:5.2f}s]")
                 continue
             t0 = time.time()
-            # go through pandas like the driver does, so DuckDB's HUGEINT →
-            # float64 widening (and similar dtype surprises) are visible here
-            odf = con.execute(spec.oracle).df()
-            ocols = list(odf.columns)
-            ores = [tuple(row) for row in odf.itertuples(index=False, name=None)]
+            # fetch via Arrow: preserves int64-with-NULLs (pandas would widen
+            # to float64 and fail rows the driver accepts — r01 proved the
+            # driver keeps nullable ints integral) while still surfacing real
+            # type drift loudly (HUGEINT → decimal128 → Decimal != int)
+            otbl = con.execute(spec.oracle).arrow()
+            ocols = list(otbl.column_names)
+            _ocols_py = [c.to_pylist() for c in otbl.columns]
+            ores = list(zip(*_ocols_py)) if otbl.num_rows else []
             duck_s = time.time() - t0
         except Exception as exc:  # one broken query must not mask the rest
             print(f"  {name:28s} ERROR {type(exc).__name__}: {str(exc).splitlines()[0][:120]}")
