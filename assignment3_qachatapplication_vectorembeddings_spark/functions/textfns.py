@@ -30,6 +30,9 @@ __all__ = [
     "exact_fingerprint",
     "quality_columns",
     "lang_id",
+    "PII_PATTERNS",
+    "redact_pii",
+    "pii_hit_counts",
 ]
 
 # --------------------------------------------------------------------------
@@ -180,6 +183,40 @@ def quality_columns(text: Column) -> dict[str, Column]:
         "punct_ratio": F.round(n_punct.cast("double") / safe_chars, 4),
         "upper_ratio": F.round(n_upper.cast("double") / safe_chars, 4),
         "stopword_ratio": F.round(n_stop.cast("double") / safe_tokens, 4),
+    }
+
+
+# PII scrubbing for training corpora: ordered (pattern, replacement)
+# pairs. Patterns restrict themselves to the syntax RE2 and Java regex
+# share (no lookbehind, no backrefs) so a SQL oracle — or a Trino/Flink
+# sibling job — can apply byte-identical redaction.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\+?1[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email/phone/SSN/card-number shapes with typed placeholder
+    tags. Pure native ``regexp_replace`` chain — stays in whole-stage
+    codegen, no Python in the hot path. Order matters (emails first so
+    digit runs inside addresses aren't half-eaten by the card rule)."""
+    out = text
+    for pattern, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def pii_hit_counts(text: Column) -> dict[str, Column]:
+    """Per-category match counts (how much PII a document leaks) —
+    ``regexp_extract_all``+``size`` keeps it native and countable
+    without a second redaction pass."""
+    names = ("emails", "phones", "ssns", "cards")
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+        for name, (pattern, _) in zip(names, PII_PATTERNS)
     }
 
 

@@ -2064,6 +2064,523 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 # --------------------------------------------------------------------------
+# TPC-H shapes batch 3 — scalar/correlated subqueries, OR-of-ANDs
+# pushdown, count-distribution histograms, nation-pair volume and
+# market-share ratios (Q7/Q8/Q11/Q13/Q15/Q17/Q19/Q22 adapted to the
+# testdata's columns).
+# --------------------------------------------------------------------------
+
+
+def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose lineitem value exceeds a fraction of
+    the GLOBAL total — scalar aggregate joined back via a 1-row
+    broadcast cross join, so the big agg shuffles once and the
+    threshold costs nothing extra."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec2(F.col("l_extendedprice"))).alias("value_dec")
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("total_dec") * 0.0005)
+        .select(
+            "l_partkey",
+            F.round(F.col("value_dec").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+        .limit(100)
+    )
+
+
+_SQL_PART_VALUE_SHARE = """
+WITH per_part AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, round(value_dec::DOUBLE, 2) AS part_value
+FROM per_part
+WHERE value_dec > (SELECT sum(value_dec) FROM per_part) * 0.0005
+ORDER BY part_value DESC, l_partkey
+LIMIT 100
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below half their part's
+    average quantity. Decorrelated by hand: per-part avg agg (exact —
+    integral doubles sum exactly), shuffle-joined back on partkey; both
+    sides partition on l_partkey so AQE coalesces into one exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("avg_qty") * 0.5)
+        .agg(
+            F.round((F.sum(_dec2(F.col("l_extendedprice"))) / 7.0).cast("double"), 2)
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SQL_SMALL_QTY_REVENUE = """
+SELECT round((sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0)::DOUBLE, 2)
+         AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem l
+WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem
+                    WHERE l_partkey = l.l_partkey)
+"""
+
+
+def q_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs over brand/size/quantity. The
+    single-table conjuncts (quantity ceiling, size floor) are factored
+    OUT of the OR so Parquet still gets a pushable range filter on each
+    scan; the residual OR evaluates post-join in codegen."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 1)
+    cond = (
+        ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 5)
+         & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 10)
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#17") & (F.col("p_size") <= 15)
+           & (F.col("l_quantity") >= 20))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(
+                    _dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SQL_OR_PREDICATE_REVENUE = """
+SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DOUBLE, 2)
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity BETWEEN 1 AND 30 AND p_size >= 1
+  AND ((p_brand = 'Brand#3'  AND p_size <= 5  AND l_quantity <= 11)
+    OR (p_brand = 'Brand#12' AND p_size <= 10 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#17' AND p_size <= 15 AND l_quantity >= 20))
+"""
+
+
+def q_cust_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    zero-order customers (left join, count of the nullable side, then a
+    count-of-counts re-aggregation — two shuffles, both partial)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "P"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+        .orderBy(F.desc("n_custs"), F.desc("n_orders"))
+    )
+
+
+_SQL_CUST_ORDER_HISTOGRAM = """
+SELECT n_orders, count(*) AS n_custs
+FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus <> 'P') o
+        ON c_custkey = o.o_custkey
+      GROUP BY c_custkey)
+GROUP BY n_orders
+ORDER BY n_custs DESC, n_orders DESC
+"""
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) hitting the maximum quarterly
+    revenue. The max is a 1-row aggregate broadcast back over the
+    per-supplier agg — no global sort, no single-partition window."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("rev_dec")
+    )
+    top = rev.agg(F.max("rev_dec").alias("max_dec"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_dec").cast("double"), 2).alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_SQL_TOP_SUPPLIER_REVENUE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(rev_dec::DOUBLE, 2) AS total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_rich_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    orders (2000+) — global-avg scalar broadcast + anti join, aggregated
+    per segment. The date filter sits on the orders scan (pushdown)
+    before the anti join hashes its keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum(_dec2(F.col("c_acctbal"))).cast("double"), 2)
+            .alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_SQL_RICH_NEVER_ORDERED = """
+SELECT c_mktsegment, count(*) AS n_custs,
+       round(sum(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE, 2) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between two nations by ship year. The
+    two nation dims broadcast; the customer/supplier joins shuffle on
+    their FK — the only big exchanges are on lineitem/orders keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    _dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+_SQL_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DOUBLE, 2)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of yearly order revenue —
+    conditional decimal sums in a single partial-aggregated pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    target = F.when(F.col("n_name") == "NATION_3", _dec2(F.col("o_totalprice"))).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double")
+                / F.sum(_dec2(F.col("o_totalprice"))).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("order_year")
+    )
+
+
+_SQL_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       round(sum(CASE WHEN n_name = 'NATION_3'
+                      THEN CAST(o_totalprice AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE
+             / sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE, 6) AS mkt_share
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY year(o_orderdate) ORDER BY order_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-pipeline text ops batch 2 — PII redaction, vocabulary
+# statistics, moving averages, date-spine gap analysis.
+# --------------------------------------------------------------------------
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents. The synthetic corpus carries no natural
+    PII, so the query plants a deterministic email+phone per doc first,
+    then redacts with `functions.textfns.redact_pii` and reports per-
+    source hit counts and byte deltas — all native regexp expressions,
+    zero Python."""
+    from ..functions.textfns import pii_hit_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "dirty",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-5309 ref "),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    hits = pii_hit_counts(F.col("dirty"))
+    return (
+        planted.withColumn("clean", redact_pii(F.col("dirty")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(hits["emails"]).alias("emails"),
+            F.sum(hits["phones"]).alias("phones"),
+            F.sum(F.length("dirty") - F.length("clean")).alias("bytes_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_PII_REDACTION = r"""
+WITH planted AS (
+  SELECT source,
+         text || ' contact u' || doc_id || '@example.com or 555-867-5309 ref ' || doc_id
+           AS dirty
+  FROM documents),
+clean AS (
+  SELECT source, dirty,
+         regexp_replace(
+           regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g'),
+           '\b(?:\+?1[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]?\d{4}\b',
+           '<PHONE>', 'g') AS cleaned
+  FROM planted)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(dirty,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS emails,
+       CAST(sum(len(regexp_extract_all(dirty,
+             '\b(?:\+?1[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]?\d{4}\b'))) AS BIGINT)
+         AS phones,
+       CAST(sum(len(dirty) - len(cleaned)) AS BIGINT) AS bytes_removed
+FROM clean GROUP BY source ORDER BY source
+"""
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics: token volume, distinct types,
+    hapax legomena, type-token ratio. explode→two-level agg; the token
+    explosion happens AFTER the source column is attached, so the heavy
+    shuffle keys on (source, token) — partial-aggregatable and
+    skew-resistant (tokens distribute within each source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_token = tokens.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        per_token.groupBy("source")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).alias("hapax"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("tf").cast("double"), 6
+            ).alias("ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_VOCAB_STATS = r"""
+WITH tokens AS (
+  SELECT source, t.token
+  FROM documents,
+       unnest(string_split_regex(lower(text), '\s+')) AS t(token)
+  WHERE t.token <> ''),
+per_token AS (
+  SELECT source, token, count(*) AS tf FROM tokens GROUP BY source, token)
+SELECT source,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       round(count(*)::DOUBLE / sum(tf)::DOUBLE, 6) AS ttr
+FROM per_token GROUP BY source ORDER BY source
+"""
+
+
+def q_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average of daily order revenue. Daily sums
+    are carried as integer CENTS through the window (exact at any
+    order), converted to dollars only at presentation — the float
+    division is a single op both engines round identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            (F.sum(_dec2(F.col("o_totalprice"))) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.sum("cents").over(w) / (100.0 * F.count("cents").over(w)), 2)
+        .alias("ma7"),
+    ).orderBy("day")
+
+
+_SQL_MOVING_AVG_REVENUE = """
+WITH daily AS (
+  SELECT o_orderdate::DATE AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY o_orderdate::DATE)
+SELECT day,
+       round(cents / 100.0, 2) AS revenue,
+       round(sum(cents) OVER w / (100.0 * count(cents) OVER w), 2) AS ma7
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
+def q_event_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over a sparse event stream: which calendar days
+    in the observed span saw NO qualifying event, and how do the gap
+    days cluster into runs. Spine = sequence() over the [min,max] day
+    range (a few thousand rows — exploded on the driver-side 1-row agg,
+    broadcast onward); islands via the classic day_number − row_number
+    constant-group trick."""
+    events = load_table(spark, sf_dir, "events")
+    span = events.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    active = (
+        events.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 99.8)
+        )
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    gaps = spine.join(active, "day", "left_anti")
+    w = Window.orderBy("day")
+    runs = (
+        gaps.withColumn("rn", F.row_number().over(w))
+        .withColumn("grp", F.date_sub(F.col("day"), F.col("rn")))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.agg(
+        F.sum("run_len").alias("n_gap_days"),
+        F.count(F.lit(1)).alias("n_gap_runs"),
+        F.max("run_len").alias("longest_run"),
+    )
+
+
+_SQL_EVENT_GAP_ISLANDS = """
+WITH span AS (SELECT min(ts)::DATE AS d0, max(ts)::DATE AS d1 FROM events),
+spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+          FROM span),
+active AS (SELECT DISTINCT ts::DATE AS day FROM events
+           WHERE event_type = 'purchase' AND value > 99.8),
+gaps AS (SELECT day FROM spine WHERE day NOT IN (SELECT day FROM active)),
+runs AS (
+  SELECT day - CAST(row_number() OVER (ORDER BY day) AS INT) AS grp FROM gaps)
+SELECT CAST(sum(run_len) AS BIGINT) AS n_gap_days,
+       count(*) AS n_gap_runs,
+       max(run_len) AS longest_run
+FROM (SELECT grp, count(*) AS run_len FROM runs GROUP BY grp)
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2227,6 +2744,51 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "corr_stats": QuerySpec(
         q_corr_stats, _SQL_CORR_STATS, "bivariate corr per group, single pass"
+    ),
+    "part_value_share": QuerySpec(
+        q_part_value_share, _SQL_PART_VALUE_SHARE, "TPC-H Q11 shape, scalar subquery"
+    ),
+    "small_qty_revenue": QuerySpec(
+        q_small_qty_revenue, _SQL_SMALL_QTY_REVENUE, "TPC-H Q17 shape, correlated avg"
+    ),
+    "or_predicate_revenue": QuerySpec(
+        q_or_predicate_revenue, _SQL_OR_PREDICATE_REVENUE,
+        "TPC-H Q19 shape, OR-of-ANDs with factored pushdown",
+    ),
+    "cust_order_histogram": QuerySpec(
+        q_cust_order_histogram, _SQL_CUST_ORDER_HISTOGRAM,
+        "TPC-H Q13 shape, count-of-counts incl. zeros",
+    ),
+    "top_supplier_revenue": QuerySpec(
+        q_top_supplier_revenue, _SQL_TOP_SUPPLIER_REVENUE,
+        "TPC-H Q15 shape, argmax via broadcast scalar",
+    ),
+    "rich_never_ordered": QuerySpec(
+        q_rich_never_ordered, _SQL_RICH_NEVER_ORDERED,
+        "TPC-H Q22 shape, global-avg scalar + anti join",
+    ),
+    "volume_shipping": QuerySpec(
+        q_volume_shipping, _SQL_VOLUME_SHIPPING,
+        "TPC-H Q7 shape, nation-pair multi-join",
+    ),
+    "market_share": QuerySpec(
+        q_market_share, _SQL_MARKET_SHARE, "TPC-H Q8 shape, conditional ratio by year"
+    ),
+    "pii_redaction": QuerySpec(
+        q_pii_redaction, _SQL_PII_REDACTION,
+        "PII scrub: planted email/phone, regexp redact + hit counts",
+    ),
+    "vocab_stats": QuerySpec(
+        q_vocab_stats, _SQL_VOCAB_STATS,
+        "per-source vocabulary: tokens/types/hapax/TTR",
+    ),
+    "moving_avg_revenue": QuerySpec(
+        q_moving_avg_revenue, _SQL_MOVING_AVG_REVENUE,
+        "7-day trailing moving average, exact integer cents",
+    ),
+    "event_gap_islands": QuerySpec(
+        q_event_gap_islands, _SQL_EVENT_GAP_ISLANDS,
+        "gaps-and-islands over date spine (sequence/generate_series)",
     ),
 }
 

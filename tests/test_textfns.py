@@ -64,3 +64,58 @@ def test_classify_and_token_count(spark):
         token_count_col(F.col("t")).alias("n")
     ).head()["n"]
     assert n == 3
+
+
+def test_redact_pii_golden(spark):
+    from assignment3_qachatapplication_vectorembeddings_spark.functions.textfns import (
+        pii_hit_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at jane.doe+x@corp.example.org today", "<EMAIL>"),
+            ("call (555) 123-4567 or 555-867-5309 now", "<PHONE>"),
+            ("ssn 123-45-6789 on file", "<SSN>"),
+            ("card 4111 1111 1111 1111 expired", "<CARD>"),
+            ("no pii here at all", None),
+        ],
+        "t string, tag string",
+    )
+    out = df.select("t", "tag", redact_pii(F.col("t")).alias("clean")).collect()
+    for r in out:
+        if r["tag"] is None:
+            assert r["clean"] == r["t"]
+        else:
+            assert r["tag"] in r["clean"], r
+            assert "@" not in r["clean"] or r["tag"] != "<EMAIL>"
+
+
+def test_pii_hit_counts(spark):
+    from assignment3_qachatapplication_vectorembeddings_spark.functions.textfns import (
+        pii_hit_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("a@b.com and c@d.org, call 555-867-5309",)], "t string"
+    )
+    hits = pii_hit_counts(F.col("t"))
+    row = df.select(
+        hits["emails"].alias("e"), hits["phones"].alias("p"), hits["ssns"].alias("s")
+    ).head()
+    assert (row["e"], row["p"], row["s"]) == (2, 1, 0)
+
+
+def test_redaction_order_emails_before_digits(spark):
+    # digits inside an email local-part must not be half-eaten by the
+    # card/phone rules: emails redact first
+    from assignment3_qachatapplication_vectorembeddings_spark.functions.textfns import (
+        redact_pii,
+    )
+
+    row = (
+        spark.createDataFrame([("reach 4111111111111111a@example.com ok",)], "t string")
+        .select(redact_pii(F.col("t")).alias("c"))
+        .head()
+    )
+    assert row["c"] == "reach <EMAIL> ok"
