@@ -209,7 +209,10 @@ def q_fk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        # no broadcast hint: customer grows with SF (wrong to pin at
+        # 100 TB); AQE upgrades to broadcast at runtime when the
+        # filtered side is actually small
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .select("o_orderkey", "c_name", "o_totalprice", "o_orderpriority")
     )
 
@@ -890,7 +893,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
@@ -1163,7 +1166,7 @@ def q_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the oracle."""
     from ..sources.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("customer", "orders"))
     return spark.sql(_SQL_ENTRY_TEXT)
 
 
@@ -1830,7 +1833,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,4)")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 (F.lit(100.0) * F.sum(promo).cast("double"))
@@ -1867,7 +1870,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_name", "c_custkey", "l_orderkey", "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), "l_orderkey")
         .limit(100)
@@ -1897,31 +1900,35 @@ ORDER BY o_totalprice DESC, l_orderkey LIMIT 100
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase: each stage keeps users
     whose first qualifying event happens strictly after the prior
-    stage's."""
-    ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tv"))
+    stage's.
+
+    ONE shuffle total: a single groupBy(user_id) collects the min view
+    ts plus sorted click/purchase ts arrays, and the stage ordering
+    (first click after first view, first purchase after that click)
+    resolves with array higher-order functions on the 1-row-per-user
+    result — vs the naive three join+agg rounds (5 shuffles). Per-user
+    arrays stay bounded (a user's own events), so executor memory is
+    safe at any corpus scale."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("tv"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tc"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("tc"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tp"))
+    tc = F.array_min(F.filter("clicks", lambda x: x > F.col("tv")))
+    staged = per_user.withColumn("tc", tc).withColumn(
+        "tp", F.array_min(F.filter("purchases", lambda x: x > F.col("tc")))
     )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    return staged.agg(
+        F.count("tv").alias("n_view"),
+        F.count("tc").alias("n_view_click"),
+        F.count("tp").alias("n_full_funnel"),
     )
 
 
@@ -2004,7 +2011,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     not one scan per level)."""
     from ..sources.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("customer", "nation"))
     return spark.sql(_SQL_GROUPING_SETS_SPARK)
 
 
@@ -2080,7 +2087,10 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         F.sum(_dec2(F.col("l_extendedprice"))).alias("value_dec")
     )
-    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    # global total straight off the scan — decimal sums associate, so
+    # sum(lineitem) == sum(per-part sums) exactly, and this avoids
+    # running the millions-of-groups aggregation twice
+    total = li.agg(F.sum(_dec2(F.col("l_extendedprice"))).alias("total_dec"))
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("value_dec") > F.col("total_dec") * 0.0005)

@@ -54,6 +54,9 @@ def get_spark(
         # Timestamps in testdata are naive; keep session TZ fixed so
         # Spark and the DuckDB oracle agree on rendered values.
         .config("spark.sql.session.timeZone", "UTC")
+        # Write INT64-micros timestamps (not legacy INT96): DuckDB,
+        # pyarrow, and our own nanos-probe all read them unambiguously.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

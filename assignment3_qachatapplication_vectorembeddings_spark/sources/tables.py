@@ -40,9 +40,17 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
                 _NANOS_COLS[path] = ()
                 return _NANOS_COLS[path]
             probe = parts[0]
-        schema = pq.read_schema(probe)
+        pf = pq.ParquetFile(probe)
+        # Arrow reports BOTH int64-nanos and legacy INT96 timestamps as
+        # timestamp[ns]; only the former needs the nanosAsLong+div1000
+        # treatment (Spark reads INT96 as a plain TIMESTAMP natively),
+        # so check the parquet physical type too.
+        names = list(pf.schema.names)
         _NANOS_COLS[path] = tuple(
-            f.name for f in schema if str(f.type) == "timestamp[ns]"
+            f.name
+            for f in pf.schema_arrow
+            if str(f.type) == "timestamp[ns]"
+            and pf.schema.column(names.index(f.name)).physical_type == "INT64"
         )
     return _NANOS_COLS[path]
 
@@ -68,7 +76,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view for ``spark.sql``."""
-    for name, df in load_tables(spark, sf_dir).items():
-        df.createOrReplaceTempView(name)
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> None:
+    """Register testdata tables as temp views for ``spark.sql``.
+
+    Pass ``tables`` to register only what the query touches — each view
+    costs a parquet-footer read + analysis, so a 2-table query should
+    not pay for all 10."""
+    for name in tables or TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -42,7 +42,12 @@ def _norm(v):
         # int columns stay int, so HUGEINT-vs-BIGINT drift still fails
         return float(v)
     if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime()
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        # Spark-written parquet is marked isAdjustedToUTC → DuckDB hands
+        # back tz-aware values; session TZ is UTC on both engines, so
+        # compare the naive UTC instant
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     if isinstance(v, np.generic):
         return v.item()
     if isinstance(v, np.ndarray):
@@ -78,9 +83,10 @@ def main() -> int:
     spark = get_spark("corpus-check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).is_dir():  # Spark-written tables are directories
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     failures = []
     for name in names:
