@@ -2305,22 +2305,26 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    n1 = nation.select(
+    # pre-restrict both dims to the two nations of interest (implied by
+    # the OR pair-condition, but Catalyst can't derive it): supplier and
+    # customer shrink ~2/25 BEFORE lineitem/orders join them, so the
+    # expensive fact-fact join runs on the reduced row set
+    n1 = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
-    n2 = nation.select(
+    n2 = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
     )
     pair = (
         ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
+    supp2 = supp.join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+    cust2 = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
-        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        li.join(supp2, li.l_suppkey == supp2.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust2, orders.o_custkey == cust2.c_custkey)
         .filter(pair)
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
