@@ -2595,6 +2595,169 @@ FROM (SELECT grp, count(*) AS run_len FROM runs GROUP BY grp)
 
 
 # --------------------------------------------------------------------------
+# Retrieval: BM25 keyword scoring + hybrid keyword/vector fusion — the
+# lexical other half of the reference's vector-only QA search
+# (QA_using_pinecone.py:31-48), and a second streaming gate entry
+# (watermarked exactly-once dedup of a redelivered stream).
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "join")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed query-term bag. Native end-to-end:
+    one (doc, term) tf shuffle; df/avgdl/N broadcast. Ordering uses the
+    ROUNDED score so sub-ulp ln() differences between engines cannot
+    reorder the cut."""
+    from ..operators.text_search import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, _BM25_TERMS)
+    return (
+        scored.select(
+            "doc_id", F.round("score", 4).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_SQL_BM25 = r"""
+WITH dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS dl
+  FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tok AS (
+  SELECT doc_id, t.token
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(token)
+  WHERE t.token IN ('spark', 'window', 'join')),
+tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS bm25
+FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 rank list ⊕ cosine rank list fused with
+    reciprocal-rank fusion (1/(60+r)). Ranks come from unpartitioned
+    row_number over each ranker's candidates — at corpus scale the
+    inputs would be each ranker's top-k shortlist, same plan shape."""
+    from ..functions.similarity import cosine_sim, query_vector_lit
+    from ..operators.text_search import bm25_scores, rank_by, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    bm = rank_by(
+        bm25_scores(docs, _BM25_TERMS).select(
+            "doc_id", F.round("score", 4).alias("s")
+        ),
+        [F.desc("s"), F.asc("doc_id")],
+    ).select("doc_id", "rank")
+    vec = rank_by(
+        emb.filter(F.col("vec_id") != 0).select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_sim(F.col("embedding"), query_vector_lit(qvec)), 6
+            ).alias("cos"),
+        ),
+        [F.desc("cos"), F.asc("doc_id")],
+    ).select("doc_id", "rank")
+    return (
+        rrf_fuse(bm, vec)
+        .select(
+            "doc_id",
+            "rank_a",
+            "rank_b",
+            F.round("rrf", 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+_SQL_HYBRID_RRF = r"""
+WITH dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS dl
+  FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tok AS (
+  SELECT doc_id, t.token
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(token)
+  WHERE t.token IN ('spark', 'window', 'join')),
+tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ), 4) AS s
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+bm AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank_a FROM sc),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(embedding::DOUBLE[],
+                                                 (SELECT qv FROM q)), 6) DESC,
+                    vec_id) AS rank_b
+  FROM embeddings WHERE vec_id <> 0)
+SELECT COALESCE(bm.doc_id, vec.doc_id) AS doc_id, rank_a, rank_b,
+       round(COALESCE(1.0 / (60 + rank_a), 0) + COALESCE(1.0 / (60 + rank_b), 0), 6)
+         AS rrf
+FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 15
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second streaming gate entry: the events stream unioned with
+    itself (simulated at-least-once redelivery), deduped by
+    watermark-bounded dropDuplicates, drained with AvailableNow into a
+    memory sink, then counted per type — must equal the batch GROUP BY
+    over the ORIGINAL table (exactly-once contract)."""
+    from ..streaming.ingest import dedup_stream, stream_events_table
+
+    stream = stream_events_table(spark, sf_dir)
+    redelivered = stream.unionByName(stream)  # every event arrives twice
+    deduped = dedup_stream(redelivered, watermark="2 hours")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("corpus_stream_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("corpus_stream_dedup")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+_SQL_STREAM_DEDUP = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2803,6 +2966,17 @@ CORPUS: dict[str, QuerySpec] = {
     "event_gap_islands": QuerySpec(
         q_event_gap_islands, _SQL_EVENT_GAP_ISLANDS,
         "gaps-and-islands over date spine (sequence/generate_series)",
+    ),
+    "bm25_topk": QuerySpec(
+        q_bm25_topk, _SQL_BM25, "Okapi BM25 keyword top-k, native expressions"
+    ),
+    "hybrid_rrf_topk": QuerySpec(
+        q_hybrid_rrf, _SQL_HYBRID_RRF,
+        "hybrid retrieval: BM25 ⊕ cosine via reciprocal-rank fusion",
+    ),
+    "stream_dedup_counts": QuerySpec(
+        q_stream_dedup, _SQL_STREAM_DEDUP,
+        "streaming exactly-once: redelivered stream deduped == batch counts",
     ),
 }
 
