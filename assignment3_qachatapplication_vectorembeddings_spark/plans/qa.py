@@ -62,7 +62,12 @@ class QAPipeline:
         self.answer_fn = answer_fn
         self.top_k = top_k
 
-    def search(self, question: str, form_titles: Sequence[str] | None = None) -> DataFrame:
+    def search(
+        self,
+        question: str,
+        form_titles: Sequence[str] | None = None,
+        k: int | None = None,
+    ) -> DataFrame:
         """T1 with P5 predicate: filter titles BEFORE scoring."""
         qvec = self.embedder.embed_one(question)
         dim = self.index.dimension()
@@ -76,8 +81,48 @@ class QAPipeline:
             F.col("title").isin(list(form_titles)) if form_titles else None
         )
         return topk_cosine(
-            self.index.read(), qvec, self.top_k, filter_expr=filter_expr
+            self.index.read(), qvec, k or self.top_k, filter_expr=filter_expr
         )
+
+    def search_hybrid(
+        self,
+        question: str,
+        form_titles: Sequence[str] | None = None,
+        *,
+        candidates: int = 50,
+        k0: int = 60,
+    ) -> DataFrame:
+        """Hybrid keyword+vector retrieval (engine-added; the reference
+        is vector-only): BM25 over the question's terms and cosine over
+        its embedding each produce a ``candidates``-bounded rank list,
+        fused with reciprocal-rank fusion. Rank windows only ever see
+        the bounded shortlists, so the plan holds at any index size."""
+        from ..operators.text_search import bm25_scores, rank_by, rrf_fuse
+
+        base = self.index.read()
+        if form_titles:
+            base = base.filter(F.col("title").isin(list(form_titles)))
+        terms = [t for t in question.lower().split() if t]
+        bm = rank_by(
+            bm25_scores(base, terms, id_col="id", text_col="text")
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(candidates),
+            [F.desc("score"), F.asc("id")],
+        ).select("id", "rank")
+        vec = rank_by(
+            self.search(question, form_titles, k=candidates),
+            [F.desc("score"), F.asc("id")],
+        ).select("id", "rank")
+        fused = (
+            rrf_fuse(bm, vec, id_col="id", k0=k0)
+            .orderBy(F.desc("rrf"), F.asc("id"))
+            .limit(self.top_k)
+        )
+        return fused.join(
+            base.select("id", "title", "text"), "id", "left"
+        ).select(
+            "id", "title", "text", F.col("rrf").alias("score")
+        ).orderBy(F.desc("score"), F.asc("id"))
 
     def ask_batch(self, questions: DataFrame, *, q_col: str = "question") -> DataFrame:
         """M3's batch variant (SURVEY §2.8): answer MANY questions in one

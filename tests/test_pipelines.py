@@ -194,3 +194,26 @@ def test_nougat_extractor_unescape_and_errors():
         )
         with pytest.raises(RuntimeError):
             ex_err(b"pdf")
+
+
+def test_hybrid_search_fuses_keyword_and_vector(spark, staged, tmp_path_factory):
+    chunk_path, _ = staged
+    idx_path = str(tmp_path_factory.mktemp("idx3") / "index")
+    run_pipeline2(spark, idx_path, "upsert", chunk_path)
+    index = VectorIndex(spark, idx_path)
+    qa = QAPipeline(index, top_k=3)
+
+    out = qa.search_hybrid("alpha report revenue").collect()
+    assert 0 < len(out) <= 3
+    # fused score is a sum of reciprocal ranks: bounded by 2/(60+1)
+    for r in out:
+        assert 0 < r["score"] <= 2 / 61 + 1e-12
+    # deterministic: same question twice → identical ranking
+    again = qa.search_hybrid("alpha report revenue").collect()
+    assert [(r["id"], r["score"]) for r in out] == [
+        (r["id"], r["score"]) for r in again
+    ]
+    # title filter restricts the candidate pool (P5 pushdown applies to
+    # BOTH rankers)
+    only_beta = qa.search_hybrid("alpha report revenue", form_titles=["beta"]).collect()
+    assert all(r["title"] == "beta" for r in only_beta)
