@@ -2725,6 +2725,128 @@ ORDER BY rrf DESC, doc_id LIMIT 15
 """
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by content-free id
+    hash — the canonical training-data partitioner: stable under
+    re-runs, re-orderings, and incremental appends (a doc's split never
+    changes). Pure map-side; no shuffle before the 3-group agg. The
+    md5-prefix bucket is the engine's cross-engine-stable hash idiom
+    (same value in DuckDB, Trino, or Flink SQL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+_SQL_DATASET_SPLIT = """
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (SELECT n_chars,
+             ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      FROM documents)
+GROUP BY 1 ORDER BY split
+"""
+
+
+def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-style quality binning: docs bucketed into 10 equal-
+    width length bins between the GLOBAL min/max (1-row broadcast
+    scalar). All-integer bucket arithmetic so both engines floor
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    bucket = F.expr("least(9, ((n_chars - mn) * 10) div (mx - mn + 1))")
+    return (
+        docs.crossJoin(F.broadcast(stats))
+        .withColumn("bin", bucket.cast("int"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bin")
+    )
+
+
+_SQL_QUALITY_BINS = """
+WITH stats AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)
+SELECT CAST(least(9, ((n_chars - mn) * 10) // (mx - mn + 1)) AS INT) AS bin,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents CROSS JOIN stats
+GROUP BY 1 ORDER BY bin
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: how many training docs share at least
+    one 5-gram with the held-out set (source src0 plays the benchmark).
+    Shingle both sides → distinct benchmark grams → LEFT SEMI join →
+    distinct contaminated ids. The semi join keys on the gram string;
+    at corpus scale the benchmark side is the small one and AQE
+    broadcasts it — nothing quadratic anywhere."""
+    from ..operators.dedup import shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    bench_grams = shingle_table(bench, n=5, fan_out=False).select("shingle").distinct()
+    train_grams = shingle_table(train, n=5, fan_out=False)
+    contaminated = (
+        train_grams.join(bench_grams, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    n_train = train.count()
+    return contaminated.agg(
+        F.lit(n_train).cast("bigint").alias("n_train"),
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.round(F.count(F.lit(1)) / F.lit(float(n_train)), 4).alias("pct"),
+    )
+
+
+_SQL_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') t
+  FROM documents),
+grams AS (
+  SELECT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+         || t[i+3] || ' ' || t[i+4] AS gram
+  FROM (SELECT doc_id, source, t,
+               unnest(range(1, greatest(len(t) - 3, 1))) AS i
+        FROM toks)),
+bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+contam AS (
+  SELECT DISTINCT g.doc_id
+  FROM grams g JOIN bench USING (gram)
+  WHERE g.source <> 'src0')
+SELECT (SELECT count(*) FROM documents WHERE source <> 'src0') AS n_train,
+       count(*) AS n_contaminated,
+       round(count(*) / (SELECT count(*) FROM documents
+                         WHERE source <> 'src0')::DOUBLE, 4) AS pct
+FROM contam
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second streaming gate entry: the events stream unioned with
     itself (simulated at-least-once redelivery), deduped by
@@ -2977,6 +3099,18 @@ CORPUS: dict[str, QuerySpec] = {
     "stream_dedup_counts": QuerySpec(
         q_stream_dedup, _SQL_STREAM_DEDUP,
         "streaming exactly-once: redelivered stream deduped == batch counts",
+    ),
+    "dataset_split": QuerySpec(
+        q_dataset_split, _SQL_DATASET_SPLIT,
+        "deterministic 80/10/10 id-hash train/val/test split",
+    ),
+    "quality_bins": QuerySpec(
+        q_quality_bins, _SQL_QUALITY_BINS,
+        "equal-width quality binning vs global min/max scalar",
+    ),
+    "contamination_check": QuerySpec(
+        q_contamination_check, _SQL_CONTAMINATION,
+        "benchmark decontamination: 5-gram overlap semi join",
     ),
 }
 
