@@ -2725,6 +2725,52 @@ ORDER BY rrf DESC, doc_id LIMIT 15
 """
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third streaming gate entry — the stream-STATIC join operator
+    class: the events file stream joins the batch customer dimension
+    (user_id = c_custkey) micro-batch by micro-batch, aggregates per
+    market segment, and the AvailableNow complete-mode drain must equal
+    the all-batch join+GROUP BY. Stream-static is THE enrichment shape
+    for streaming ingest at scale (dimension lookup per micro-batch; no
+    state, no watermark interplay)."""
+    from ..streaming.ingest import stream_events_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = stream_events_table(spark, sf_dir)
+    joined = stream.join(cust, stream.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(_dec2(F.col("value"))).cast("double"), 2).alias("sum_value"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("corpus_stream_static")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("corpus_stream_static")
+        .select(
+            "c_mktsegment",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "sum_value",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_SQL_STREAM_STATIC = """
+SELECT c_mktsegment, count(*) AS n_events,
+       round((sum(value::DECIMAL(18,2)))::DOUBLE, 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (80/10/10) by content-free id
     hash — the canonical training-data partitioner: stable under
@@ -3099,6 +3145,10 @@ CORPUS: dict[str, QuerySpec] = {
     "stream_dedup_counts": QuerySpec(
         q_stream_dedup, _SQL_STREAM_DEDUP,
         "streaming exactly-once: redelivered stream deduped == batch counts",
+    ),
+    "stream_static_join": QuerySpec(
+        q_stream_static_join, _SQL_STREAM_STATIC,
+        "streaming enrichment: stream-static dim join == batch join",
     ),
     "dataset_split": QuerySpec(
         q_dataset_split, _SQL_DATASET_SPLIT,
