@@ -61,3 +61,43 @@ def test_chunking_has_no_exchange(spark, sf_dir):
     # one-doc-per-row chunking must stay shuffle-free (mapInPandas)
     plan = _plan(spark, sf_dir, "pypdf_chunks")
     assert "Exchange" not in plan
+
+
+def test_bm25_single_wide_shuffle(spark, sf_dir):
+    # the only wide exchange is the (doc, term) tf agg; term stats and
+    # corpus stats arrive via broadcast
+    plan = _plan(spark, sf_dir, "bm25_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+
+
+def test_dataset_split_no_pre_agg_exchange(spark, sf_dir):
+    # id-hash bucketing is map-side; the only exchange is the final
+    # 3-group aggregation
+    plan = _plan(spark, sf_dir, "dataset_split")
+    # formatted explain lists each node twice (tree + detail): 2 real
+    # exchanges = partial->final agg + the 3-row output sort
+    assert plan.count("Exchange") <= 4
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_quality_bins_broadcasts_scalar_stats(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "quality_bins")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_contamination_semi_join_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "contamination_check")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scale_growing_tables_not_pinned_broadcast(spark, sf_dir):
+    # customer/part must reach their joins WITHOUT a user-forced
+    # broadcast hint: at this sf AQE may still choose broadcast at
+    # runtime, but the *static* plan must not pin it (ResolvedHint
+    # would appear in the analyzed plan of a hinted join)
+    for q in ("large_orders", "promo_revenue"):
+        df = CORPUS[q].fn(spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, q
