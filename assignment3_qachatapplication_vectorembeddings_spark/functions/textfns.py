@@ -198,13 +198,18 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
-def redact_pii(text: Column) -> Column:
+def redact_pii(
+    text: Column, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS
+) -> Column:
     """Replace email/phone/SSN/card-number shapes with typed placeholder
     tags. Pure native ``regexp_replace`` chain — stays in whole-stage
     codegen, no Python in the hot path. Order matters (emails first so
-    digit runs inside addresses aren't half-eaten by the card rule)."""
+    digit runs inside addresses aren't half-eaten by the card rule).
+    Pass a ``patterns`` subset to redact only some categories (an
+    oracle-mirrored query must apply exactly the patterns its SQL
+    text does)."""
     out = text
-    for pattern, tag in PII_PATTERNS:
+    for pattern, tag in patterns:
         out = F.regexp_replace(out, pattern, tag)
     return out
 

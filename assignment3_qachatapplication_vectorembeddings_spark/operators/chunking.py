@@ -76,7 +76,14 @@ def _tiktoken_count(text: str, _cache: dict = {}) -> int:
     """Real tiktoken ``num_tokens`` (pipeline1.py:68-71). The encoding
     loads lazily ONCE PER PROCESS (module-level cache), so each executor
     pays the BPE table load a single time and nothing un-picklable is
-    captured in UDF closures."""
+    captured in UDF closures.
+
+    Cluster caveat: ``encoding_for_model`` downloads the BPE file on a
+    COLD cache — on an offline/locked-down cluster, pre-seed
+    ``TIKTOKEN_CACHE_DIR`` on every executor image (or ship the cache
+    via ``--archives``) or the first UDF call per executor raises
+    mid-stage. The driver-side ``find_spec`` gate cannot detect a cold
+    executor cache."""
     enc = _cache.get("enc")
     if enc is None:
         import tiktoken  # import-gated optional dependency

@@ -2407,8 +2407,10 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     PII, so the query plants a deterministic email+phone per doc first,
     then redacts with `functions.textfns.redact_pii` and reports per-
     source hit counts and byte deltas — all native regexp expressions,
-    zero Python."""
-    from ..functions.textfns import pii_hit_counts, redact_pii
+    zero Python. Redaction is restricted to the email+phone patterns —
+    exactly what the SQL oracle applies — so byte parity holds even on
+    a corpus whose text contains SSN/card-shaped digit runs."""
+    from ..functions.textfns import PII_PATTERNS, pii_hit_counts, redact_pii
 
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.withColumn(
@@ -2423,7 +2425,9 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = pii_hit_counts(F.col("dirty"))
     return (
-        planted.withColumn("clean", redact_pii(F.col("dirty")))
+        planted.withColumn(
+            "clean", redact_pii(F.col("dirty"), patterns=PII_PATTERNS[:2])
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -2467,10 +2471,11 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keys on (source, token) — partial-aggregatable and
     skew-resistant (tokens distribute within each source)."""
     docs = load_table(spark, sf_dir, "documents")
+    from ..operators.text_search import tokens_expr
+
     tokens = docs.select(
-        "source",
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
-    ).filter(F.col("token") != "")
+        "source", F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
     per_token = tokens.groupBy("source", "token").agg(
         F.count(F.lit(1)).alias("tf")
     )

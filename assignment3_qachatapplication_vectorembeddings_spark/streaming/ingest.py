@@ -183,13 +183,20 @@ def stream_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema  # post-nanosAsLong schema
-    # FileStreamSource requires a DIRECTORY base path; stream the table
-    # dir with a glob that selects just the events file
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # FileStreamSource requires a DIRECTORY base path. A Spark-written
+    # table IS a directory — stream it directly; a single-file table
+    # (the driver testdata shape) streams its parent dir with a glob
+    # selecting just the events file.
+    import os
+
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     for colname in nanos:
         stream = stream.withColumn(
             colname, F.expr(f"timestamp_micros({colname} div 1000)")

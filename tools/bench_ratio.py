@@ -42,8 +42,11 @@ def best_of(fn, runs: int) -> float:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.testdata_sf1"
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    names = sys.argv[3:] or [n for n, s in CORPUS.items() if s.oracle]
+    rest = sys.argv[2:]
+    runs = 2
+    if rest and rest[0].isdigit():  # runs count is optional
+        runs, rest = int(rest[0]), rest[1:]
+    names = rest or [n for n, s in CORPUS.items() if s.oracle]
 
     spark = get_spark("bench-ratio", shuffle_partitions=32)
     con = duckdb.connect()

@@ -36,7 +36,10 @@ def _norm(v):
     if v is None:
         return None
     if isinstance(v, float) and math.isnan(v):
-        return None  # pandas renders SQL NULL ints as NaN
+        # keep NaN distinct from NULL: the Arrow fetch returns None for
+        # SQL NULL, so a NaN here is a genuine NaN and folding it into
+        # NULL would hide NaN-vs-NULL drift the driver's gate fails on
+        return "NaN"
     if isinstance(v, decimal.Decimal):
         # DECIMAL (incl. DuckDB HUGEINT → decimal128) compares as float:
         # int columns stay int, so HUGEINT-vs-BIGINT drift still fails
