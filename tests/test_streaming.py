@@ -251,3 +251,28 @@ def test_streaming_index_upsert_replaces_on_redelivery(spark, tmp_path):
     assert any("totally new words" in t for t in after)
     assert not any("one two three" in t for t in after)
     assert index.read().filter("title='beta'").count() == n_beta
+
+
+def test_stream_events_table_reads_directory_layout(spark, sf_dir, tmp_path):
+    """Regression: a Spark-WRITTEN events table is a directory of part
+    files; the stream source must read it (the single-file glob shape
+    used to match nothing and silently stream zero rows)."""
+    from assignment3_qachatapplication_vectorembeddings_spark.streaming.ingest import (
+        stream_events_table,
+    )
+
+    scaled = str(tmp_path / "scaled")
+    batch = load_table(spark, sf_dir, "events").limit(200)
+    batch.write.parquet(f"{scaled}/events.parquet")  # directory layout
+
+    stream = stream_events_table(spark, scaled)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dir_layout_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dir_layout_stream").count()
+    assert got == batch.count()
