@@ -1040,17 +1040,50 @@ FROM events GROUP BY event_type
 """
 
 
+_SAMPLE_RATES = {"click": 50, "view": 25, "purchase": 100, "signup": 10, "error": 0}
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded stratified sampling (training-data subsampling op):
-    deterministic given the seed, but engine-specific RNG → rows-only;
-    output is the per-stratum sampled count."""
+    """Per-stratum sampling (training-data subsampling op) by
+    content-free id hash — the same md5-bucket idiom as
+    ``q_dataset_split``, so the sample is reproducible across engines,
+    re-runs, and incremental appends (a row's keep/drop never changes).
+    ``DataFrame.sampleBy`` exists for one-off Bernoulli draws, but its
+    RNG stream is engine-specific; a 100 TB curation pipeline wants the
+    deterministic bucket form so reruns and audits see the same rows.
+    Pure map-side filter (the rate CASE and the hash both sit on the
+    scan) followed by one small agg."""
     events = load_table(spark, sf_dir, "events")
-    sampled = events.sampleBy(
-        "event_type",
-        {"click": 0.5, "view": 0.25, "purchase": 1.0, "signup": 0.1, "error": 0.0},
-        seed=42,
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
     )
-    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    rate = F.coalesce(
+        *[
+            F.when(F.col("event_type") == k, F.lit(v))
+            for k, v in _SAMPLE_RATES.items()
+        ],
+        F.lit(0),
+    )
+    return (
+        events.filter(bucket < rate)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT event_type, count(*) AS n
+FROM (SELECT event_type,
+             ('0x' || substring(md5(event_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      FROM events)
+WHERE b < CASE event_type
+            WHEN 'click' THEN 50 WHEN 'view' THEN 25 WHEN 'purchase' THEN 100
+            WHEN 'signup' THEN 10 ELSE 0 END
+GROUP BY event_type ORDER BY event_type
+"""
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1719,6 +1752,43 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id(F.col("text")).alias("predicted_lang"))
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB replica of the ``lang_id`` heuristic (textfns._LANG_MARKERS):
+    per-language stopword hits over the whitespace token set (character
+    occurrence counts for zh), argmax with FIRST-WINS ties in marker-dict
+    order and 'und' when nothing hits — exactly the pandas UDF's
+    strictly-greater scan. Generated from the same marker table so the
+    two can never drift."""
+    from ..functions.textfns import _LANG_MARKERS
+
+    score_exprs = []
+    for lang, markers in _LANG_MARKERS.items():
+        if lang == "zh":
+            terms = " + ".join(
+                f"(length(text) - length(replace(text, '{ch}', '')))"
+                for ch in markers
+            )
+        else:
+            terms = " + ".join(
+                f"list_contains(toks, '{m}')::INT" for m in markers
+            )
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    langs = list(_LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cascade = " ".join(f"WHEN s_{lang} = g THEN '{lang}'" for lang in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents),
+s AS (SELECT doc_id, {", ".join(score_exprs)} FROM t),
+g AS (SELECT *, {best} AS g FROM s)
+SELECT doc_id,
+       CASE WHEN g IS NULL OR g = 0 THEN 'und' {cascade} END AS predicted_lang
+FROM g
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2909,24 +2979,484 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events_table(spark, sf_dir)
     redelivered = stream.unionByName(stream)  # every event arrives twice
     deduped = dedup_stream(redelivered, watermark="2 hours")
+    # aggregate INSIDE the stream (chained stateful operators:
+    # dedup state → agg state): only the 5 aggregate rows ever leave
+    # the executors. An append-mode drain of the deduped ROWS into the
+    # memory sink would materialize the whole stream on the driver —
+    # fine at sf0.01, a driver-memory wall on an unbounded feed.
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     q = (
-        deduped.writeStream.outputMode("append")
+        agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName("corpus_stream_dedup")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return (
-        spark.table("corpus_stream_dedup")
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("event_type")
-    )
+    return spark.table("corpus_stream_dedup").orderBy("event_type")
 
 
 _SQL_STREAM_DEDUP = """
 SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational breadth, batch 4 — the remaining classic TPC-H shapes
+# (Q2/Q9/Q16/Q20/Q21), adapted to this schema's tables (no partsupp /
+# commitdate columns in the driver testdata, so supplier-part pairs come
+# from distinct lineitem pairs and "waiting" is defined on shipdate).
+# Each is hand-decorrelated the way Catalyst wants it: correlated
+# subqueries become one aggregation + a join-back, multi-EXISTS becomes
+# per-group window math over a single shuffle.
+# --------------------------------------------------------------------------
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per qualifying part, the best supplier by a
+    correlated MIN. Supplier-part pairs are distinct lineitem pairs
+    (no partsupp table); "cost" is s_acctbal. Decorrelated: one
+    ``min_by`` over a composite (acctbal, suppkey) struct per part —
+    a single shuffle on partkey instead of a per-row subquery; the
+    part filter reaches the scan, and supplier joins shuffle on
+    suppkey (supplier grows with SF → no pinned broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .join(
+            part.filter((F.col("p_size") < 10) & (F.col("p_type") == "SMALL")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    ordkey = "struct(s_acctbal, s_suppkey)"
+    return (
+        pairs.groupBy("p_partkey", "p_name")
+        .agg(
+            F.expr(f"min_by(s_name, {ordkey})").alias("supplier"),
+            F.round(F.min("s_acctbal"), 2).alias("min_bal"),
+        )
+        .orderBy(F.desc("min_bal"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+_SQL_MIN_COST_SUPPLIER = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_partkey, p_name,
+       first(s_name ORDER BY s_acctbal ASC, s_suppkey ASC) AS supplier,
+       round(min(s_acctbal), 2) AS min_bal
+FROM pairs
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size < 10 AND p_type = 'SMALL'
+GROUP BY p_partkey, p_name
+ORDER BY min_bal DESC, p_partkey LIMIT 100
+"""
+
+
+def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation per-year margin on parts matching a
+    name predicate. Margin proxy = revenue − 10% of retail value
+    (testdata has no ps_supplycost). Five-table join where only
+    lineitem↔orders shuffles big: the filtered part list and supplier→
+    nation map stay dimension-sized relative to the fact table, but
+    both GROW with SF, so they join by shuffle and AQE may elect the
+    broadcast at runtime — nothing is pinned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    red = part.filter(F.col("p_name").contains("red")).select(
+        "p_partkey", "p_retailprice"
+    )
+    sn = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    amount = _dec4(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    )
+    return (
+        li.join(red, li.l_partkey == red.p_partkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount).cast("double"), 2).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_SQL_NATION_YEAR_PROFIT = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(CAST(l_extendedprice * (1 - l_discount)
+                      - p_retailprice * l_quantity * 0.1 AS DECIMAL(18,4)))::DOUBLE,
+             2) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    excluding a NOT-IN supplier set (here: s_acctbal < 500 stands in
+    for the complaints list). NOT IN on a non-nullable key ==
+    left ANTI join — no null-trap, no broadcast pin (supplier grows
+    with SF). The distinct-pairs dedup and the count-distinct reuse
+    the same partkey-ish shuffle; part filter is scan-level."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    excluded = supp.filter(F.col("s_acctbal") < 500).select("s_suppkey")
+    pairs = (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .join(excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    sel = part.filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7, 10, 13)
+    )
+    return (
+        pairs.join(sel, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_SQL_PARTS_SUPPLIER_COUNTS = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who shipped more than
+    30% of some red part's 1996 volume — an aggregation subquery
+    feeding a semi-join chain. Decorrelated: per-(part,supplier) and
+    per-part sums come out of ONE groupBy pass (the per-part total is
+    a window over the first agg — no second scan), then the qualifying
+    supplier set semi-joins supplier⋈nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    red_keys = part.filter(F.col("p_name").contains("red")).select("p_partkey")
+    li96 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).join(red_keys, F.col("l_partkey") == F.col("p_partkey"))
+    per_ps = li96.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    qualifying = (
+        per_ps.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .filter(F.col("supp_qty") > F.col("part_qty") * 0.3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = nation.filter(F.col("n_name") == "NATION_3")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+_SQL_POTENTIAL_PROMOTION = """
+WITH li96 AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM li96 GROUP BY l_partkey, l_suppkey),
+qual AS (
+  SELECT DISTINCT l_suppkey
+  FROM (SELECT *, sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM per_ps)
+  WHERE supp_qty > part_qty * 0.3)
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3' AND s_suppkey IN (SELECT l_suppkey FROM qual)
+ORDER BY s_name
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: on finished multi-supplier orders, the unique
+    supplier whose lineitems shipped LAST (shipdate stands in for the
+    missing receipt/commit dates). The classic EXISTS + NOT-EXISTS
+    double self-join collapses to one groupBy(order, supplier) and two
+    stacked windows over the order key — lineitem is scanned and
+    shuffled ONCE, which is the difference between 1 and 3 fact-table
+    shuffles at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    fin = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    per_os = (
+        li.join(fin, li.l_orderkey == fin.o_orderkey, "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("smax"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_os.withColumn("omax", F.max("smax").over(w))
+        .withColumn("nsupp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_at_max",
+            F.sum(F.when(F.col("smax") == F.col("omax"), 1).otherwise(0)).over(w),
+        )
+        .filter(
+            (F.col("nsupp") >= 2)
+            & (F.col("smax") == F.col("omax"))
+            & (F.col("n_at_max") == 1)
+        )
+    )
+    return (
+        flagged.join(supp, flagged.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("waiting_orders"))
+        .orderBy(F.desc("waiting_orders"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+_SQL_WAITING_SUPPLIERS = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+  GROUP BY l_orderkey, l_suppkey),
+w1 AS (
+  SELECT *,
+         max(smax) OVER (PARTITION BY l_orderkey) AS omax,
+         count(*) OVER (PARTITION BY l_orderkey) AS nsupp
+  FROM per_os),
+w2 AS (
+  SELECT *,
+         sum(CASE WHEN smax = omax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_orderkey) AS n_at_max
+  FROM w1)
+SELECT s_name, count(*) AS waiting_orders
+FROM w2 JOIN supplier ON l_suppkey = s_suppkey
+WHERE nsupp >= 2 AND smax = omax AND n_at_max = 1
+GROUP BY s_name
+ORDER BY waiting_orders DESC, s_name LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model scoring — the classic training-data quality
+# filter (perplexity-style): score each document by the mean log
+# probability of its tokens under the corpus unigram distribution.
+# Two shuffles total: token-count agg, then doc re-agg of the exploded
+# token stream joined to the vocab (vocab grows with the corpus → no
+# pinned broadcast; AQE may still elect one at runtime). Per-token
+# log-probs are ROUNDED to 6 dp and summed as exact decimals so the
+# doc sum is order-independent and engine-agnostic (same idiom as BM25).
+# --------------------------------------------------------------------------
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("cnt") / F.col("n_total")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round((F.sum("lp") / F.count(F.lit(1))).cast("double"), 4)
+            .alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id, t.token
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(token)
+  WHERE t.token <> ''),
+vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+total AS (SELECT sum(cnt)::DOUBLE AS n_total FROM vocab),
+scored AS (
+  SELECT doc_id,
+         round(ln(cnt / n_total), 6)::DECIMAL(18,6) AS lp
+  FROM toks JOIN vocab USING (token) CROSS JOIN total)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round((sum(lp) / count(*))::DOUBLE, 4) AS mean_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition/quality gate — the published heuristic family
+# (Rae et al. 2021 "Scaling Language Models", §A1.1; reused by RefinedWeb
+# and Dolma): word-count bounds, mean-word-length bounds, type-token
+# ratio, and repeated-bigram coverage. Everything except the top-bigram
+# count is per-ROW array math (zero shuffles, whole-stage codegen); the
+# bigram mode costs one explode + two narrow aggs. Per-doc ratios are
+# rounded then summed as exact decimals so per-source averages are
+# order-independent (same idiom as BM25/unigram_logprob).
+# --------------------------------------------------------------------------
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x <> '')")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size("toks").alias("n_words"),
+        F.size(F.array_distinct("toks")).alias("n_types"),
+        F.expr(
+            "aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x)"
+        ).alias("word_chars"),
+        # guard: sequence(0, -1) DESCENDS in Spark, so a 1-token doc
+        # must short-circuit to an empty bigram list
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN "
+            "transform(sequence(0, size(toks) - 2), "
+            "i -> concat(toks[i], ' ', toks[i+1])) "
+            "ELSE array() END"
+        ).alias("bigrams"),
+    )
+    top_bigram = (
+        base.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bigram_cnt"))
+    )
+    per_doc = (
+        base.drop("bigrams")
+        .join(top_bigram, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.col("word_chars") / F.col("n_words"), 6)
+            .cast("decimal(18,6)")
+            .alias("mean_wlen"),
+            F.round(F.col("n_types") / F.col("n_words"), 6)
+            .cast("decimal(18,6)")
+            .alias("ttr"),
+            F.round(
+                F.coalesce(F.col("top_bigram_cnt"), F.lit(0)) * 2 / F.col("n_words"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("top_bigram_frac"),
+            (
+                (F.col("n_words") >= 20)
+                & (F.col("word_chars") / F.col("n_words") >= 3)
+                & (F.col("word_chars") / F.col("n_words") <= 10)
+                & (F.col("n_types") / F.col("n_words") > 0.2)
+                & (
+                    F.coalesce(F.col("top_bigram_cnt"), F.lit(0)) * 2
+                    / F.col("n_words")
+                    < 0.2
+                )
+            ).alias("keep"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round((F.sum("mean_wlen") / F.count(F.lit(1))).cast("double"), 4)
+            .alias("avg_wlen"),
+            F.round((F.sum("ttr") / F.count(F.lit(1))).cast("double"), 4)
+            .alias("avg_ttr"),
+            F.round(
+                (F.sum("top_bigram_frac") / F.count(F.lit(1))).cast("double"), 4
+            ).alias("avg_top_bigram"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_GOPHER_QUALITY = r"""
+WITH base AS (
+  SELECT doc_id, source, n_chars,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+feats AS (
+  SELECT doc_id, source, n_chars,
+         len(toks) AS n_words,
+         len(list_distinct(toks)) AS n_types,
+         list_sum(list_transform(toks, x -> length(x))) AS word_chars
+  FROM base),
+bigrams AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM base, unnest(range(1, len(toks))) AS r(i)),
+top_bigram AS (
+  SELECT doc_id, max(cnt) AS top_bigram_cnt
+  FROM (SELECT doc_id, bg, count(*) AS cnt FROM bigrams GROUP BY doc_id, bg)
+  GROUP BY doc_id),
+per_doc AS (
+  SELECT f.doc_id, f.source,
+         round(word_chars::DOUBLE / n_words, 6)::DECIMAL(18,6) AS mean_wlen,
+         round(n_types::DOUBLE / n_words, 6)::DECIMAL(18,6) AS ttr,
+         round(COALESCE(top_bigram_cnt, 0) * 2::DOUBLE / n_words, 6)::DECIMAL(18,6)
+           AS top_bigram_frac,
+         (n_words >= 20
+          AND word_chars::DOUBLE / n_words >= 3
+          AND word_chars::DOUBLE / n_words <= 10
+          AND n_types::DOUBLE / n_words > 0.2
+          AND COALESCE(top_bigram_cnt, 0) * 2::DOUBLE / n_words < 0.2) AS keep
+  FROM feats f LEFT JOIN top_bigram USING (doc_id))
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round((sum(mean_wlen) / count(*))::DOUBLE, 4) AS avg_wlen,
+       round((sum(ttr) / count(*))::DOUBLE, 4) AS avg_ttr,
+       round((sum(top_bigram_frac) / count(*))::DOUBLE, 4) AS avg_top_bigram
+FROM per_doc GROUP BY source ORDER BY source
 """
 
 
@@ -2997,7 +3527,9 @@ CORPUS: dict[str, QuerySpec] = {
         q_moment_stats, _SQL_MOMENT_STATS, "stddev/variance/mean per group"
     ),
     "stratified_sample": QuerySpec(
-        q_stratified_sample, None, "seeded per-stratum sampling counts"
+        q_stratified_sample,
+        _SQL_STRATIFIED_SAMPLE,
+        "deterministic md5-bucket per-stratum sampling",
     ),
     "approx_distinct": QuerySpec(
         q_approx_distinct, None, "HLL++ approximate distinct counts"
@@ -3046,7 +3578,9 @@ CORPUS: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(q_ann_lsh, None, "hyperplane-LSH approx top-k"),
     "pypdf_chunks": QuerySpec(q_pypdf_chunks, None, "F2/F3 two-pass chunk pack"),
     "nougat_chunks": QuerySpec(q_nougat_chunks, None, "F4/F5/F6/W2/A1 nougat pack"),
-    "lang_id": QuerySpec(q_lang_id, None, "language identification"),
+    "lang_id": QuerySpec(
+        q_lang_id, _lang_id_oracle(), "stopword-argmax language identification"
+    ),
     "string_munging": QuerySpec(
         q_string_munging, _SQL_STRING_MUNGING, "F7/F8/F9 url/path/unescape trio"
     ),
@@ -3166,6 +3700,34 @@ CORPUS: dict[str, QuerySpec] = {
     "contamination_check": QuerySpec(
         q_contamination_check, _SQL_CONTAMINATION,
         "benchmark decontamination: 5-gram overlap semi join",
+    ),
+    "min_cost_supplier": QuerySpec(
+        q_min_cost_supplier, _SQL_MIN_COST_SUPPLIER,
+        "TPC-H Q2 shape, decorrelated min_by per part",
+    ),
+    "nation_year_profit": QuerySpec(
+        q_nation_year_profit, _SQL_NATION_YEAR_PROFIT,
+        "TPC-H Q9 shape, 5-table margin rollup",
+    ),
+    "parts_supplier_counts": QuerySpec(
+        q_parts_supplier_counts, _SQL_PARTS_SUPPLIER_COUNTS,
+        "TPC-H Q16 shape, NOT IN as anti join + count distinct",
+    ),
+    "potential_promotion": QuerySpec(
+        q_potential_promotion, _SQL_POTENTIAL_PROMOTION,
+        "TPC-H Q20 shape, windowed share threshold + semi chain",
+    ),
+    "waiting_suppliers": QuerySpec(
+        q_waiting_suppliers, _SQL_WAITING_SUPPLIERS,
+        "TPC-H Q21 shape, double-EXISTS as stacked windows",
+    ),
+    "unigram_logprob": QuerySpec(
+        q_unigram_logprob, _SQL_UNIGRAM_LOGPROB,
+        "unigram LM quality scoring, exact-decimal logprob sums",
+    ),
+    "gopher_quality": QuerySpec(
+        q_gopher_quality, _SQL_GOPHER_QUALITY,
+        "Gopher-style repetition/quality gate per source",
     ),
 }
 
