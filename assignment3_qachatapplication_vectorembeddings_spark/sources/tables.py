@@ -22,13 +22,13 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Per-path cache of the file's nanosecond-timestamp columns (pyarrow
-# schema probe; footer-only read, cheap even on object stores).
-_NANOS_COLS: dict[str, tuple[str, ...]] = {}
+# Per-path cache of (nanos-timestamp columns, NTZ-timestamp columns)
+# (pyarrow schema probe; footer-only read, cheap even on object stores).
+_TS_COLS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {}
 
 
-def _nanos_columns(path: str) -> tuple[str, ...]:
-    if path not in _NANOS_COLS:
+def _timestamp_columns(path: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    if path not in _TS_COLS:
         import glob
 
         import pyarrow.parquet as pq
@@ -37,8 +37,8 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
         if os.path.isdir(path):  # Spark-written tables are directories
             parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
             if not parts:
-                _NANOS_COLS[path] = ()
-                return _NANOS_COLS[path]
+                _TS_COLS[path] = ((), ())
+                return _TS_COLS[path]
             probe = parts[0]
         pf = pq.ParquetFile(probe)
         # Arrow reports BOTH int64-nanos and legacy INT96 timestamps as
@@ -46,29 +46,45 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
         # treatment (Spark reads INT96 as a plain TIMESTAMP natively),
         # so check the parquet physical type too.
         names = list(pf.schema.names)
-        _NANOS_COLS[path] = tuple(
+        nanos = tuple(
             f.name
             for f in pf.schema_arrow
             if str(f.type) == "timestamp[ns]"
             and pf.schema.column(names.index(f.name)).physical_type == "INT64"
         )
-    return _NANOS_COLS[path]
+        # micro/milli timestamps with isAdjustedToUTC=false surface as
+        # TIMESTAMP_NTZ in Spark 4 (inferTimestampNTZ) but as plain
+        # TIMESTAMP in DuckDB; normalize to session-tz TIMESTAMP so
+        # unix_micros / watermarks / every operator sees one type
+        # regardless of how the writer annotated the column.  Session tz
+        # is pinned to UTC, so wall-clock values are unchanged.
+        ntz = tuple(
+            f.name
+            for f in pf.schema_arrow
+            if str(f.type) in ("timestamp[us]", "timestamp[ms]")
+            and getattr(f.type, "tz", None) is None
+        )
+        _TS_COLS[path] = (nanos, ntz)
+    return _TS_COLS[path]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
-    nanos = _nanos_columns(path)
-    if not nanos:
+    nanos, ntz = _timestamp_columns(path)
+    if not nanos and not ntz:
         return spark.read.parquet(path)
-    # Spark has no nanosecond timestamp type; read nanos as long and
-    # truncate to microseconds (the same precision DuckDB / Python
-    # datetime presents, so oracles agree).
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if nanos:
+        # Spark has no nanosecond timestamp type; read nanos as long and
+        # truncate to microseconds (the same precision DuckDB / Python
+        # datetime presents, so oracles agree).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for colname in nanos:
         df = df.withColumn(colname, F.expr(f"timestamp_micros({colname} div 1000)"))
+    for colname in ntz:
+        df = df.withColumn(colname, F.col(colname).cast("timestamp"))
     return df
 
 

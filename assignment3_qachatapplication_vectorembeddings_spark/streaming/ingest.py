@@ -176,10 +176,10 @@ def stream_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     same nanosecond-timestamp handling as the batch ``load_table``
     (never read events.parquet with a bare reader; see sources.tables).
     """
-    from ..sources.tables import _nanos_columns
+    from ..sources.tables import _timestamp_columns
 
     path = f"{sf_dir}/events.parquet"
-    nanos = _nanos_columns(path)
+    nanos, ntz = _timestamp_columns(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema  # post-nanosAsLong schema
@@ -201,6 +201,10 @@ def stream_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             colname, F.expr(f"timestamp_micros({colname} div 1000)")
         )
+    for colname in ntz:
+        # NTZ-annotated writers (isAdjustedToUTC=false) must not leak
+        # TIMESTAMP_NTZ into watermarks — normalize like load_table does.
+        stream = stream.withColumn(colname, F.col(colname).cast("timestamp"))
     return stream
 
 
