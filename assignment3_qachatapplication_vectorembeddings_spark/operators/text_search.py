@@ -12,9 +12,9 @@ operators:
 - :func:`rrf_fuse` — reciprocal-rank fusion of two ranked lists
   (Cormack et al., SIGIR'09: score = Σ 1/(k0 + rank)).
 
-Scale notes: the corpus-wide statistics (N, avgdl, per-term df) are
-tiny (one row / |terms| rows) and broadcast; the only wide shuffle is
-the (doc_id, term) tf aggregation, which partial-aggregates map-side.
+Scale notes: term frequencies and doc lengths are computed
+document-locally in one pass (no explode shuffle); the corpus-wide
+statistics (N, avgdl, per-term df) reduce to ONE broadcast row.
 Ranking for fusion uses an unpartitioned row_number — correct for the
 bounded candidate lists retrieval produces (top-k per ranker), which
 is how callers should feed it at 100 TB: rank shortlists, not corpora.
@@ -56,39 +56,66 @@ def bm25_scores(
     idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))
     s(d, t) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
 
-    Returns (id_col, score) for documents matching ≥1 term. One wide
-    shuffle (the (doc, term) tf agg); doc lengths ride along natively
-    (no second explode), df/avgdl/N broadcast.
+    Returns (id_col, score) for documents matching ≥1 term.
+
+    Zero wide shuffles: for a fixed (small) query-term bag, per-doc
+    term frequencies are computed DOCUMENT-LOCALLY as
+    ``size(filter(tokens, = term))`` — whole-stage codegen's
+    subexpression elimination tokenizes each row once and shares the
+    array across the per-term counts — so the only exchange is the
+    1-row corpus-statistics aggregate (N, avgdl, per-term df), which
+    broadcasts back over the scan. At 100 TB this is one pass over the
+    corpus with a scalar all-reduce, vs. the classic explode →
+    (doc, term) shuffle → 3-way rejoin plan.
     """
-    dl = docs.select(
-        F.col(id_col), doclen_expr(F.col(text_col)).alias("dl")
+    nterms = len(terms)
+    # tf via size-minus-removed: pure codegen collection ops (no
+    # higher-order lambdas, which run interpreted), and the raw split is
+    # a common subexpression evaluated once per row. Empty tokens can't
+    # match a real term, so only dl needs them removed.
+    raw = F.split(F.lower(F.col(text_col)), r"\s+")
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(F.array_remove(raw, "")).cast("double").alias("dl"),
+        *[
+            (F.size(raw) - F.size(F.array_remove(raw, t)))
+            .cast("double")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    stats = dl.agg(
+    # materialize ONCE: both the stats aggregate and the scoring pass
+    # read this ~(8·(q+2) bytes)/doc table instead of re-tokenizing the
+    # corpus (the whole win of the document-local plan is a single pass
+    # over the raw text)
+    per_doc = per_doc.localCheckpoint(eager=True)
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("double")).alias(f"_df{i}")
+            for i in range(nterms)
+        ],
     )
-    tf = (
-        docs.select(
-            id_col, F.explode(tokens_expr(F.col(text_col))).alias("token")
+
+    def contrib(i: int) -> Column:
+        tf, df = F.col(f"_tf{i}"), F.col(f"_df{i}")
+        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        score = idf * (
+            tf * (k1 + 1) / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
         )
-        .filter(F.col("token").isin(*terms))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    contrib = idf * (
-        F.col("tf")
-        * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
-    )
+        return F.when(tf > 0, score).otherwise(F.lit(0.0))
+
+    score = contrib(0)
+    for i in range(1, nterms):
+        score = score + contrib(i)
+    matched = F.col("_tf0") > 0
+    for i in range(1, nterms):
+        matched = matched | (F.col(f"_tf{i}") > 0)
     return (
-        tf.join(F.broadcast(df), "token")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .withColumn("contrib", contrib)
-        .groupBy(id_col)
-        .agg(F.sum("contrib").alias("score"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(matched)
+        .select(F.col(id_col), score.alias("score"))
     )
 
 
