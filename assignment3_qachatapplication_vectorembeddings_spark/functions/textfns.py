@@ -186,6 +186,33 @@ def quality_columns(text: Column) -> dict[str, Column]:
     }
 
 
+def line_dedup_columns(text: Column) -> dict[str, Column]:
+    """Within-document repetition removal (the Gopher/C4 "duplicate
+    line" filter): drop repeated lines keeping FIRST occurrence, and
+    report how much of the document was repetition.
+
+    Entirely document-local — ``array_distinct`` preserves first-seen
+    order, so the whole operator is one codegen projection with ZERO
+    shuffles at any corpus size. Returns columns:
+    n_lines, n_dup_lines, clean_chars (length of the re-joined
+    deduplicated text), dup_char_frac ((len - clean)/len, NULL for
+    empty docs).
+    """
+    lines = F.split(text, "\n")
+    uniq = F.array_distinct(lines)
+    clean_chars = F.length(F.array_join(uniq, "\n"))
+    n_chars = F.length(text)
+    return {
+        "n_lines": F.size(lines).cast("bigint"),
+        "n_dup_lines": (F.size(lines) - F.size(uniq)).cast("bigint"),
+        "clean_chars": clean_chars.cast("bigint"),
+        "dup_char_frac": F.when(
+            n_chars > 0,
+            F.round((n_chars - clean_chars).cast("double") / n_chars, 6),
+        ),
+    }
+
+
 # PII scrubbing for training corpora: ordered (pattern, replacement)
 # pairs. Patterns restrict themselves to the syntax RE2 and Java regex
 # share (no lookbehind, no backrefs) so a SQL oracle — or a Trino/Flink

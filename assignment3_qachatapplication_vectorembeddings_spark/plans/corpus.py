@@ -790,6 +790,46 @@ FROM documents
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition removal (Gopher/C4 duplicate-line filter):
+    drop repeated lines keeping first occurrence. Document-local
+    ``array_distinct`` — one codegen projection, zero shuffles at any
+    corpus size."""
+    from ..functions.textfns import line_dedup_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = line_dedup_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["n_lines"].alias("n_lines"),
+        cols["n_dup_lines"].alias("n_dup_lines"),
+        cols["clean_chars"].alias("clean_chars"),
+        cols["dup_char_frac"].alias("dup_char_frac"),
+    )
+
+
+# first-occurrence order doesn't affect any output column (clean length
+# = sum of distinct-line lengths + separators), so the oracle needs no
+# ordinality bookkeeping
+_SQL_LINE_DEDUP = """
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+c AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id),
+u AS (SELECT DISTINCT doc_id, line FROM l),
+uc AS (SELECT doc_id, count(*) AS n_uniq, sum(length(line)) AS uniq_chars
+       FROM u GROUP BY doc_id)
+SELECT d.doc_id,
+       c.n_lines::BIGINT AS n_lines,
+       (c.n_lines - uc.n_uniq)::BIGINT AS n_dup_lines,
+       (uc.uniq_chars + uc.n_uniq - 1)::BIGINT AS clean_chars,
+       CASE WHEN length(d.text) > 0
+            THEN round((length(d.text) - (uc.uniq_chars + uc.n_uniq - 1))::DOUBLE
+                       / length(d.text), 6)
+       END AS dup_char_frac
+FROM documents d JOIN c USING (doc_id) JOIN uc USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # W2 — section numbering (pipeline1.py:167-179 semantics) as pure window
 # expressions, exercised on the events table: a 'signup' event is the
@@ -3540,6 +3580,9 @@ CORPUS: dict[str, QuerySpec] = {
         q_curation_summary, None, "full curation pipeline accounting"
     ),
     "quality_scores": QuerySpec(q_quality, _SQL_QUALITY, "text quality features"),
+    "line_dedup": QuerySpec(
+        q_line_dedup, _SQL_LINE_DEDUP, "within-doc duplicate-line removal stats"
+    ),
     "sectionize": QuerySpec(q_sectionize, _SQL_SECTIONIZE, "W2 section numbering"),
     "knn_join_topk": QuerySpec(
         q_knn_join, _SQL_KNN_JOIN, "batch k-NN join (broadcast + rank window)"

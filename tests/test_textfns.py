@@ -119,3 +119,31 @@ def test_redaction_order_emails_before_digits(spark):
         .head()
     )
     assert row["c"] == "reach <EMAIL> ok"
+
+
+def test_line_dedup_columns(spark):
+    from assignment3_qachatapplication_vectorembeddings_spark.functions.textfns import (
+        line_dedup_columns,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa\nbb\naa\ncc\nbb"),  # 5 lines, 2 dups
+            (2, "solo"),                 # no newlines
+            (3, ""),                     # empty doc
+        ],
+        "doc_id int, text string",
+    )
+    cols = line_dedup_columns(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[cols[k].alias(k) for k in ("n_lines", "n_dup_lines", "clean_chars", "dup_char_frac")],
+        ).collect()
+    }
+    assert (rows[1]["n_lines"], rows[1]["n_dup_lines"]) == (5, 2)
+    assert rows[1]["clean_chars"] == len("aa\nbb\ncc")
+    assert abs(rows[1]["dup_char_frac"] - (14 - 8) / 14) < 1e-6
+    assert (rows[2]["n_dup_lines"], rows[2]["clean_chars"]) == (0, 4)
+    assert rows[3]["dup_char_frac"] is None
