@@ -3350,29 +3350,39 @@ ORDER BY waiting_orders DESC, s_name LIMIT 100
 
 
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus LM.
+
+    Shuffle volume is DISTINCT (doc, token) pairs, not token instances:
+    the per-doc tf table is grouped first, the vocab is derived from it
+    (sum of tf), and each doc-token row contributes tf·lp — identical
+    totals to scoring every instance, at a fraction of the exchange
+    size. Per-token log-probs are snapped to exact integer micro-nats
+    (round-to-6 is a multiple of 1e-6, so the *1e6 snap is exact) and
+    summed as longs — order-independent, matching the oracle's
+    decimal(18,6) sums bit-for-bit after the final double division."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
+    lp_micro = F.round(
+        F.round(F.log(F.col("cnt") / F.col("n_total")), 6) * 1e6, 0
+    ).cast("long")
     scored = (
-        toks.join(vocab, "token")
+        tf.join(vocab, "token")
         .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            F.round(F.log(F.col("cnt") / F.col("n_total")), 6)
-            .cast("decimal(18,6)")
-            .alias("lp"),
-        )
+        .select("doc_id", "tf", (F.col("tf") * lp_micro).alias("lp_c"))
     )
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round((F.sum("lp") / F.count(F.lit(1))).cast("double"), 4)
-            .alias("mean_logprob"),
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                (F.sum("lp_c") / F.lit(1e6)) / F.sum("tf").cast("double"), 4
+            ).alias("mean_logprob"),
         )
         .orderBy("doc_id")
     )
@@ -3391,7 +3401,7 @@ scored AS (
   FROM toks JOIN vocab USING (token) CROSS JOIN total)
 SELECT doc_id,
        count(*) AS n_tokens,
-       round((sum(lp) / count(*))::DOUBLE, 4) AS mean_logprob
+       round(sum(lp)::DOUBLE / count(*), 4) AS mean_logprob
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
