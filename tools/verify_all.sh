@@ -28,5 +28,8 @@ if [[ "${1:-}" == "--with-sf01" ]]; then
   python tools/check_corpus.py /root/testdata/sf0.1 | tail -1
 fi
 
-echo "== 4/4 bench =="
+echo "== 4/5 typed-parity audit (driver hashes TYPED values) =="
+python tools/audit_types.py | tail -1
+
+echo "== 5/5 bench =="
 python bench.py
