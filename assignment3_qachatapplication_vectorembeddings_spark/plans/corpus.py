@@ -3420,7 +3420,15 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x <> '')")
+    # widen-only fan-out: the token/bigram math below is the expensive
+    # part, and a few fat parquet splits would strand it on a few cores
+    # (measured 82s -> 8s at sf1 from this + the codegen token ops)
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, F.col("doc_id"))
+    # codegen-native token ops (array_remove / array_join), not
+    # interpreted higher-order lambdas; the split is CSE'd once per row
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
     base = docs.select(
         "doc_id",
         "source",
@@ -3432,15 +3440,18 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size("toks").alias("n_words"),
         F.size(F.array_distinct("toks")).alias("n_types"),
-        F.expr(
-            "aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x)"
-        ).alias("word_chars"),
-        # guard: sequence(0, -1) DESCENDS in Spark, so a 1-token doc
-        # must short-circuit to an empty bigram list
+        F.length(F.array_join("toks", "")).alias("word_chars"),
+        # zip_with over two slices, NOT transform(sequence, i -> toks[i]):
+        # indexing an aliased computed array inside a lambda makes the
+        # optimizer inline the whole tokenization per ITERATION (O(n²)
+        # per doc — measured 77s for 5M bigrams at sf1, 1.5s this way);
+        # zip_with's lambda receives elements, so toks is evaluated
+        # per row only. Guard: 1-token docs short-circuit to empty.
         F.expr(
             "CASE WHEN size(toks) >= 2 THEN "
-            "transform(sequence(0, size(toks) - 2), "
-            "i -> concat(toks[i], ' ', toks[i+1])) "
+            "zip_with(slice(toks, 1, size(toks) - 1), "
+            "slice(toks, 2, size(toks) - 1), "
+            "(x, y) -> concat(x, ' ', y)) "
             "ELSE array() END"
         ).alias("bigrams"),
     )

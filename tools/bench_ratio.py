@@ -37,6 +37,12 @@ def best_of(fn, runs: int) -> float:
         t0 = time.time()
         fn()
         times.append(time.time() - t0)
+    # drop DataFrame refs from this query so ContextCleaner releases its
+    # localCheckpoint blocks — otherwise 90 sequential queries accumulate
+    # pinned RDDs and later timings measure memory pressure, not plans
+    import gc
+
+    gc.collect()
     return min(times)
 
 
