@@ -3352,36 +3352,35 @@ ORDER BY waiting_orders DESC, s_name LIMIT 100
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean unigram log-probability under the corpus LM.
 
-    Shuffle volume is DISTINCT (doc, token) pairs, not token instances:
-    the per-doc tf table is grouped first, the vocab is derived from it
-    (sum of tf), and each doc-token row contributes tf·lp — identical
-    totals to scoring every instance, at a fraction of the exchange
-    size. Per-token log-probs are snapped to exact integer micro-nats
+    Per-token log-probs are snapped to exact integer micro-nats
     (round-to-6 is a multiple of 1e-6, so the *1e6 snap is exact) and
-    summed as longs — order-independent, matching the oracle's
-    decimal(18,6) sums bit-for-bit after the final double division."""
+    summed as LONGS — order-independent, bit-equal to the oracle's
+    decimal(18,6) sums after the final double division, without the
+    decimal(28,6) accumulator. (A per-doc tf pre-aggregation was
+    measured and rejected: on this corpus distinct (doc,token) ≈ token
+    instances, so the extra exchange outweighs the volume cut.)"""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
     lp_micro = F.round(
         F.round(F.log(F.col("cnt") / F.col("n_total")), 6) * 1e6, 0
     ).cast("long")
     scored = (
-        tf.join(vocab, "token")
+        toks.join(vocab, "token")
         .crossJoin(F.broadcast(total))
-        .select("doc_id", "tf", (F.col("tf") * lp_micro).alias("lp_c"))
+        .select("doc_id", lp_micro.alias("lp_c"))
     )
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_tokens"),
             F.round(
-                (F.sum("lp_c") / F.lit(1e6)) / F.sum("tf").cast("double"), 4
+                (F.sum("lp_c") / F.lit(1e6)) / F.count(F.lit(1)).cast("double"),
+                4,
             ).alias("mean_logprob"),
         )
         .orderBy("doc_id")
