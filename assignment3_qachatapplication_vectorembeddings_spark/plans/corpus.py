@@ -3189,22 +3189,26 @@ def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluding a NOT-IN supplier set (here: s_acctbal < 500 stands in
     for the complaints list). NOT IN on a non-nullable key ==
     left ANTI join — no null-trap, no broadcast pin (supplier grows
-    with SF). The distinct-pairs dedup and the count-distinct reuse
-    the same partkey-ish shuffle; part filter is scan-level."""
+    with SF). The qualifying-part join runs BEFORE the pair distinct
+    (restrict-then-dedup is set-equal and the distinct only shuffles
+    pairs of selected parts — same win as min_cost_supplier); part
+    filter is scan-level."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     excluded = supp.filter(F.col("s_acctbal") < 500).select("s_suppkey")
-    pairs = (
-        li.select("l_partkey", "l_suppkey").distinct()
-        .join(excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-    )
     sel = part.filter(
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7, 10, 13)
     )
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(sel, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey", "p_brand", "p_type", "p_size")
+        .distinct()
+        .join(excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
     return (
-        pairs.join(sel, F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
+        pairs.groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
