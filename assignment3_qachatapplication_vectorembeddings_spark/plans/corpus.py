@@ -808,6 +808,36 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (the CCNet/Dolma per-domain cap):
+    keep at most K docs per source, preferring longer documents with a
+    deterministic doc_id tiebreak. One rank window per source
+    partition — the partition count is the number of sources, so at
+    100 TB the quota runs as a single shuffle keyed by a modest-
+    cardinality column (salt the window key if one domain dominates;
+    see operators/skew.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .orderBy("source", "rk")
+    )
+
+
+_SQL_SOURCE_QUOTA = """
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents)
+WHERE rk <= 10 ORDER BY source, rk
+"""
+
+
 # first-occurrence order doesn't affect any output column (clean length
 # = sum of distinct-line lengths + separators), so the oracle needs no
 # ordinality bookkeeping
@@ -3613,6 +3643,9 @@ CORPUS: dict[str, QuerySpec] = {
     "quality_scores": QuerySpec(q_quality, _SQL_QUALITY, "text quality features"),
     "line_dedup": QuerySpec(
         q_line_dedup, _SQL_LINE_DEDUP, "within-doc duplicate-line removal stats"
+    ),
+    "source_quota": QuerySpec(
+        q_source_quota, _SQL_SOURCE_QUOTA, "per-source document quota cap"
     ),
     "sectionize": QuerySpec(q_sectionize, _SQL_SECTIONIZE, "W2 section numbering"),
     "knn_join_topk": QuerySpec(
