@@ -808,6 +808,60 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the other half of
+    line-level dedup, per CCNet/RefinedWeb): a line appearing in >= 5
+    distinct documents is boilerplate (headers, nav, license blurbs);
+    report per-doc counts and fraction. The line-frequency groupBy and
+    the join back run on ``xxhash64(line)`` 8-byte keys, not the line
+    strings — at 100 TB the inverted-index shuffle moves fixed-width
+    keys (same idiom as the Jaccard pair join; a cross-doc false merge
+    needs a 64-bit collision between two lines of the same doc set,
+    ~2^-64 per pair and deterministic across runs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), "\n"))).alias("line"),
+    )
+    key = F.xxhash64("line")
+    lf = dl.groupBy(key.alias("k")).agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dl.withColumn("k", key)
+        .join(lf, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("df") >= 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_boiler",
+            F.round(F.col("n_boiler").cast("double") / F.col("n_lines"), 6).alias(
+                "boiler_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_BOILERPLATE_LINES = """
+WITH dl AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents),
+lf AS (SELECT line, count(*) AS df FROM dl GROUP BY line)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       (sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END))::BIGINT AS n_boiler,
+       round(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS boiler_frac
+FROM dl JOIN lf USING (line)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document quota (the CCNet/Dolma per-domain cap):
     keep at most K docs per source, preferring longer documents with a
@@ -3646,6 +3700,11 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "source_quota": QuerySpec(
         q_source_quota, _SQL_SOURCE_QUOTA, "per-source document quota cap"
+    ),
+    "boilerplate_lines": QuerySpec(
+        q_boilerplate_lines,
+        _SQL_BOILERPLATE_LINES,
+        "cross-doc boilerplate line detection (df >= 5)",
     ),
     "sectionize": QuerySpec(q_sectionize, _SQL_SECTIONIZE, "W2 section numbering"),
     "knn_join_topk": QuerySpec(
