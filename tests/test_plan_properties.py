@@ -101,3 +101,21 @@ def test_scale_growing_tables_not_pinned_broadcast(spark, sf_dir):
         df = CORPUS[q].fn(spark, sf_dir)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in analyzed, q
+
+
+def test_gopher_bigrams_not_inlined_per_iteration(spark, sf_dir):
+    # regression pin for the CollapseProject O(n^2) trap: indexing an
+    # aliased computed array inside a transform lambda inlines the whole
+    # tokenization per ITERATION (measured 17x on the bigram stage).
+    # The zip_with formulation keeps the split count per output column
+    # bounded — if this count explodes, someone reintroduced toks[i].
+    plan = _plan(spark, sf_dir, "gopher_quality")
+    assert plan.count("split(") <= 16, (
+        f"tokenization appears {plan.count('split(')}x in the plan — "
+        "aliased-array indexing inside a lambda is being inlined per iteration"
+    )
+
+
+def test_line_dedup_is_single_codegen_projection(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "line_dedup")
+    assert "Exchange" not in plan  # document-local at any corpus size

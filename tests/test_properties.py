@@ -91,3 +91,33 @@ def test_semantics_sections_monotonic(text):
     # ParaNumber strictly increasing (original split index)
     pn = sem["ParaNumber"].tolist()
     assert all(b > a for a, b in zip(pn, pn[1:]))
+
+
+# ---------------------------------------------------------------------------
+# _cents_sum must be bit-identical to a decimal(18,s) sum cast to double
+# for any mix of money values within the documented envelope.
+# ---------------------------------------------------------------------------
+
+money_strategy = st.lists(
+    st.integers(min_value=-10**7, max_value=10**7).map(lambda c: c / 100.0),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(values=money_strategy)
+def test_cents_sum_equals_decimal_sum(spark, values):
+    import pyspark.sql.functions as F
+
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.corpus import (
+        _cents_sum,
+        _dec2,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    row = df.agg(
+        _cents_sum(F.col("v")).alias("cents"),
+        F.sum(_dec2(F.col("v"))).cast("double").alias("dec"),
+    ).head()
+    assert row["cents"] == row["dec"], (values, row)
