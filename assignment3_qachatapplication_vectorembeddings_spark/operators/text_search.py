@@ -6,9 +6,10 @@ Production QA/retrieval systems pair that with a lexical ranker and
 fuse the two lists; this module adds both as first-class distributed
 operators:
 
-- :func:`bm25_scores` — Okapi BM25 over a fixed query-term set, all
-  native expressions (explode → filtered (doc, term) counts, broadcast
-  term statistics); no Python in the hot path.
+- :func:`bm25_scores` — Okapi BM25 over a fixed query-term set,
+  computed document-locally in one codegen pass (per-term
+  ``size(split) - size(array_remove(...))`` counts, 1-row broadcast
+  corpus statistics); no Python and no explode in the hot path.
 - :func:`rrf_fuse` — reciprocal-rank fusion of two ranked lists
   (Cormack et al., SIGIR'09: score = Σ 1/(k0 + rank)).
 
@@ -68,6 +69,12 @@ def bm25_scores(
     corpus with a scalar all-reduce, vs. the classic explode →
     (doc, term) shuffle → 3-way rejoin plan.
     """
+    # dedupe (first occurrence wins) and drop empties so a repeated or
+    # degenerate query term can't double-count its contribution — same
+    # behavior as the explode+isin formulation this replaced
+    terms = list(dict.fromkeys(t for t in terms if t))
+    if not terms:
+        raise ValueError("bm25_scores requires at least one non-empty term")
     nterms = len(terms)
     # tf via size-minus-removed: pure codegen collection ops (no
     # higher-order lambdas, which run interpreted), and the raw split is
@@ -87,8 +94,13 @@ def bm25_scores(
     # materialize ONCE: both the stats aggregate and the scoring pass
     # read this ~(8·(q+2) bytes)/doc table instead of re-tokenizing the
     # corpus (the whole win of the document-local plan is a single pass
-    # over the raw text)
-    per_doc = per_doc.localCheckpoint(eager=True)
+    # over the raw text). LAZY persist, not localCheckpoint: building
+    # the DataFrame must not launch a job (plan dumps/audits construct
+    # without executing), and persisted partitions recompute from
+    # lineage on executor loss instead of failing the query.
+    from pyspark import StorageLevel
+
+    per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

@@ -62,9 +62,13 @@ def _cents_sum(c, scale: int = 2):
     widens the accumulator to decimal(28,s), which falls off the
     long-backed unsafe-row fast path (measured 1.5x on TPC-H Q1 groups,
     up to 20x under memory pressure); long accumulators stay in
-    whole-stage codegen.  100 TB envelope: per-GROUP totals beyond
-    ~$9e12 (s=4) risk double-rounding in the long->double conversion —
-    beyond that, fall back to ``F.sum(_dec2(...))``.
+    whole-stage codegen.  Envelope: exactness of the long->double
+    conversion requires the scaled per-GROUP total < 2^53, i.e.
+    |group sum| < $9.0e13 at s=2, $9.0e11 at s=4, $9.0e9 at s=6 —
+    beyond that the result can drift ulps from ``fl(exact)`` and a
+    half-boundary ``round`` may disagree with a decimal oracle, so
+    fall back to ``F.sum(_decN(...))`` (see sum_charge in
+    q_pricing_summary, which exceeds the s=6 bound already at sf1).
     """
     f = float(10**scale)
     return F.sum(F.round(c * f, 0).cast("long")) / F.lit(f)
@@ -156,7 +160,14 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_cents_sum(F.col("l_quantity")), 2).alias("sum_qty"),
             F.round(_cents_sum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
             F.round(_cents_sum(disc_price, 4), 2).alias("sum_disc_price"),
-            F.round(_cents_sum(charge, 6), 2).alias("sum_charge"),
+            # charge needs scale 6, and its per-group micro-unit sums are
+            # ~2.8e16 at sf1 — 3x OVER the 2^53 long->double exactness
+            # bound — so this one column keeps the decimal accumulator
+            # (the oracle sums decimal(18,6); cents would only
+            # coincidentally round-trip)
+            F.round(
+                F.sum(charge.cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_charge"),
             F.round(_cents_sum(F.col("l_quantity")) / F.count(F.lit(1)), 4).alias("avg_qty"),
             F.round(_cents_sum(F.col("l_extendedprice")) / F.count(F.lit(1)), 4).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
@@ -2836,9 +2847,10 @@ _BM25_TERMS = ("spark", "window", "join")
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-20 for a fixed query-term bag. Native end-to-end:
-    one (doc, term) tf shuffle; df/avgdl/N broadcast. Ordering uses the
-    ROUNDED score so sub-ulp ln() differences between engines cannot
-    reorder the cut."""
+    document-local tf/dl in one codegen pass, zero wide shuffles;
+    df/avgdl/N arrive as a 1-row broadcast. Ordering uses the ROUNDED
+    score so sub-ulp ln() differences between engines cannot reorder
+    the cut."""
     from ..operators.text_search import bm25_scores
 
     docs = load_table(spark, sf_dir, "documents")

@@ -57,14 +57,25 @@ def test_load_table_normalizes_timestamp_annotation(spark, tmp_path, name):
     assert isinstance(df.schema["ts"].dataType, TimestampType), (
         f"{name}: expected session-tz TIMESTAMP, got {df.schema['ts'].dataType}"
     )
-    got = [r["ts"] for r in df.orderBy("event_id").collect()]
-    want = WALL if name != "millis_ntz" else [
+    # render wall clock JVM-side (session tz = UTC) — collect() converts
+    # timestamps via the PYTHON process tz, which would make a naive-
+    # datetime comparison fail spuriously on non-UTC machines
+    got = [
+        r["s"]
+        for r in df.select(
+            "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("s")
+        )
+        .orderBy("event_id")
+        .collect()
+    ]
+    want_dt = WALL if name != "millis_ntz" else [
         w.replace(microsecond=(w.microsecond // 1000) * 1000) for w in WALL
     ]
+    want = [w.strftime("%Y-%m-%d %H:%M:%S.%f") for w in want_dt]
     assert got == want, f"{name}: wall-clock drifted: {got}"
     # the normalized column must feed micros/watermark arithmetic
     micros = df.select(F.unix_micros("ts").alias("us")).orderBy("us").collect()
-    assert micros[0]["us"] == int(want[0].replace(
+    assert micros[0]["us"] == int(want_dt[0].replace(
         tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
 
 

@@ -4,7 +4,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== 1/4 driver contract =="
+echo "== 1/5 driver contract =="
 python3 - << 'EOF'
 import importlib.util
 spec = importlib.util.spec_from_file_location('__spark_entry__', '__spark_entry__.py')
@@ -17,10 +17,10 @@ assert len(rows) >= 1 and set(o) <= set(q)
 print(f"entry rows={len(rows)} queries={len(q)} oracles={len(o)} OK")
 EOF
 
-echo "== 2/4 pytest =="
+echo "== 2/5 pytest =="
 python -m pytest tests/ -q
 
-echo "== 3/4 oracle gate sf0.01 =="
+echo "== 3/5 oracle gate sf0.01 =="
 python tools/check_corpus.py /root/testdata/sf0.01 | tail -1
 
 if [[ "${1:-}" == "--with-sf01" ]]; then
