@@ -63,6 +63,10 @@ def main() -> int:
             print(f"{name:28s} ERROR {type(exc).__name__}: {exc}")
             bad += 1
             continue
+        finally:
+            import gc
+
+            gc.collect()  # release per-query persisted blocks
         s_types = {f.name: canon(f.type) for f in s_tbl.schema}
         d_types = {f.name: canon(f.type) for f in d_tbl.schema}
         diffs = {

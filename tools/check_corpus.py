@@ -117,6 +117,13 @@ def main() -> int:
             print(f"  {name:28s} ERROR {type(exc).__name__}: {str(exc).splitlines()[0][:120]}")
             failures.append(name)
             continue
+        finally:
+            # release this query's persisted/checkpointed blocks before the
+            # next one — 100+ sequential queries otherwise accumulate pinned
+            # RDDs and later timings measure memory pressure, not plans
+            import gc
+
+            gc.collect()
         ok_cols = sorted(scols) == sorted(ocols)
         ok_count = len(srows) == len(ores)
         ok_vals = ok_cols and ok_count and canon_rows(scols, srows) == canon_rows(ocols, ores)
