@@ -1641,6 +1641,46 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator through the correctness gate:
+    the events table as a file stream, drained through the
+    ``applyInPandasWithState`` gap-sessionizer (30-min silence starts a
+    new session; per-user state carried across micro-batches). The
+    final state must equal the batch window-function sessionization —
+    the strongest streaming-parity claim the engine makes, checked
+    against the same SQL oracle family as ``event_sessionization``."""
+    from ..streaming.ingest import (
+        run_sessionize_available_now,
+        stream_events_table,
+    )
+
+    return run_sessionize_available_now(
+        spark,
+        stream_events_table(spark, sf_dir),
+        query_name="corpus_stream_sessions",
+    )
+
+
+_SQL_STREAM_SESSIONS = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM lagged),
+sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id, max(sid)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
@@ -3893,6 +3933,11 @@ CORPUS: dict[str, QuerySpec] = {
     "stream_dedup_counts": QuerySpec(
         q_stream_dedup, _SQL_STREAM_DEDUP,
         "streaming exactly-once: redelivered stream deduped == batch counts",
+    ),
+    "stream_sessions": QuerySpec(
+        q_stream_sessions,
+        _SQL_STREAM_SESSIONS,
+        "applyInPandasWithState gap sessions == batch oracle",
     ),
     "stream_static_join": QuerySpec(
         q_stream_static_join, _SQL_STREAM_STATIC,

@@ -256,6 +256,38 @@ def run_windowed_counts_available_now(
     return spark.table(query_name)
 
 
+def run_sessionize_available_now(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    *,
+    query_name: str = "stream_sessions",
+) -> DataFrame:
+    """Drain the stream through the ``applyInPandasWithState``
+    gap-sessionizer into a memory sink and return the FINAL per-user
+    state (update mode emits one row per touched user per micro-batch;
+    both counters are monotonic, so ``max`` per user is the final
+    value). With a drained bounded stream this equals the batch
+    gap-sessionization exactly — the custom-stateful-operator
+    batch-parity contract, checkable against a plain SQL oracle."""
+    sess = sessionize_stream(events_stream)
+    q = (
+        sess.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(query_name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").cast("bigint").alias("n_sessions"),
+            F.max("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     *,
