@@ -7,9 +7,11 @@ into one job over a ``documents(doc_id, text, …)`` table:
 1. **language filter** — n-gram heuristic lang-ID, keep an allowlist;
 2. **quality filter** — token count / mean token length / stopword
    ratio gates (all native expressions);
-3. **exact dedup** — md5 fingerprint of normalized text, keep the
+3. **repetition filter** — within-doc duplicate-line fraction gate
+   (Gopher-style; document-local ``array_distinct``, zero shuffles);
+4. **exact dedup** — md5 fingerprint of normalized text, keep the
    smallest doc_id per fingerprint;
-4. **near dedup** — MinHash-LSH verified pairs → connected components
+5. **near dedup** — MinHash-LSH verified pairs → connected components
    → keep each cluster's canonical (minimum) doc id.
 
 Output is TWO tables: ``kept`` and ``culled(doc_id, reason)`` where
@@ -30,7 +32,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.textfns import exact_fingerprint, lang_id, quality_columns
+from ..functions.textfns import (
+    exact_fingerprint,
+    lang_id,
+    line_dedup_columns,
+    quality_columns,
+)
 from ..operators.dedup import connected_components, minhash_lsh_pairs
 
 __all__ = ["CurationConfig", "curate_documents"]
@@ -44,6 +51,9 @@ class CurationConfig:
     min_mean_token_len: float = 2.0
     max_mean_token_len: float = 12.0
     min_stopword_ratio: float = 0.0
+    # fraction of characters living in repeated lines (within-doc);
+    # 1.0 disables the gate. Gopher uses ~0.2-0.3 on web text.
+    max_dup_line_frac: float = 0.3
     near_dup_threshold: float = 0.8
     minhash_kwargs: dict = field(default_factory=dict)
 
@@ -67,6 +77,7 @@ def curate_documents(
         q["n_tokens"].alias("__n_tokens"),
         q["mean_token_len"].alias("__mtl"),
         q["stopword_ratio"].alias("__swr"),
+        line_dedup_columns(F.col(text_col))["dup_char_frac"].alias("__dupfrac"),
         exact_fingerprint(F.col(text_col)).alias("__fp"),
     )
 
@@ -83,6 +94,10 @@ def curate_documents(
             F.lit("quality:token_len"),
         )
         .when(F.col("__swr") < cfg.min_stopword_ratio, F.lit("quality:stopwords"))
+        .when(
+            F.coalesce(F.col("__dupfrac"), F.lit(0.0)) > cfg.max_dup_line_frac,
+            F.lit("repetition"),
+        )
     )
     # flagged feeds BOTH the culled union and the survivor path, and the
     # lang UDF + quality expressions above it are the most expensive
