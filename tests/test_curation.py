@@ -122,3 +122,43 @@ def test_cc_distributed_path_equals_driver_path(spark, sf_dir):
         for r in connected_components(pairs, driver_threshold=0).collect()
     }
     assert fast == dist and fast
+
+
+def test_repetition_gate_culls_duplicate_line_docs(spark):
+    # 5 identical lines -> dup_char_frac = (len - len(1 line))/len ~ 0.8;
+    # the clean doc has all-distinct lines -> frac 0
+    repetitive = "\n".join(["all work and no play makes jack a dull boy"] * 5)
+    clean = "\n".join(f"unique line number {i} with plenty of words here" for i in range(5))
+    docs = spark.createDataFrame(
+        [(1, repetitive), (2, clean)], "doc_id long, text string"
+    )
+    kept, culled = curate_documents(
+        docs,
+        CurationConfig(
+            allowed_langs=("en", "unknown"),
+            min_tokens=0,
+            min_mean_token_len=0.0,
+            max_mean_token_len=100.0,
+            max_dup_line_frac=0.3,
+        ),
+    )
+    culled_rows = {(r["doc_id"], r["reason"]) for r in culled.collect()}
+    assert (1, "repetition") in culled_rows
+    assert {r["doc_id"] for r in kept.collect()} == {2}
+
+
+def test_repetition_gate_disabled_at_one(spark):
+    repetitive = "\n".join(["same line again and again repeatedly"] * 6)
+    docs = spark.createDataFrame([(1, repetitive)], "doc_id long, text string")
+    kept, culled = curate_documents(
+        docs,
+        CurationConfig(
+            allowed_langs=("en", "unknown"),
+            min_tokens=0,
+            min_mean_token_len=0.0,
+            max_mean_token_len=100.0,
+            max_dup_line_frac=1.0,
+        ),
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1}
+    assert culled.count() == 0
