@@ -41,17 +41,43 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "corpus_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    full_line = json.dumps(full, separators=(",", ":"))
+    # Full per-query JSON: first line of output + persisted next to the
+    # repo so the complete breakdown always survives.
+    print(full_line, flush=True)
+    Path(_REPO, "BENCH_full.json").write_text(full_line + "\n")
+
+    # The driver's tail capture keeps only the last ~2000 chars; the full
+    # 104-query line is longer than that, so its head (and the JSON
+    # opening brace) gets truncated and fails to parse. Emit a compact
+    # summary as the LAST line, sized to fit the tail window: headline
+    # total plus as many of the slowest queries as fit.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    summary = {
+        "metric": "corpus_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": {},
+        "queries_truncated": True,
+        "queries_full": "BENCH_full.json",
+        "sf": sf,
+    }
+    for name, sec in slowest:
+        summary["queries"][name] = sec
+        if len(json.dumps(summary, separators=(",", ":"))) > 1700:
+            del summary["queries"][name]
+            break
+    else:
+        summary["queries_truncated"] = False
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
