@@ -29,7 +29,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["tokens_expr", "doclen_expr", "bm25_scores", "rrf_fuse", "rank_by"]
+__all__ = [
+    "tokens_expr",
+    "doclen_expr",
+    "bm25_scores",
+    "release_caches",
+    "rrf_fuse",
+    "rank_by",
+]
+
+# Persisted intermediates handed out by bm25_scores. Dataset.persist
+# registers in the session CacheManager, which pins the blocks until an
+# explicit unpersist (driver gc frees localCheckpoint RDDs, NOT
+# CacheManager entries) — callers running many queries in one session
+# must call release_caches() after materializing each result.
+_PERSISTED: list = []
+
+
+def release_caches() -> int:
+    """Unpersist every cached intermediate this module has handed out.
+
+    Returns the number of DataFrames released. Safe to call any time:
+    unpersisting is idempotent and lazily-persisted frames that never
+    materialized just drop their CacheManager registration.
+    """
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def tokens_expr(text: Column) -> Column:
@@ -97,10 +129,13 @@ def bm25_scores(
     # over the raw text). LAZY persist, not localCheckpoint: building
     # the DataFrame must not launch a job (plan dumps/audits construct
     # without executing), and persisted partitions recompute from
-    # lineage on executor loss instead of failing the query.
+    # lineage on executor loss instead of failing the query. The handle
+    # is registered for release_caches() — persist pins CacheManager
+    # blocks for the session lifetime otherwise.
     from pyspark import StorageLevel
 
     per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(per_doc)
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

@@ -159,7 +159,14 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(_cents_sum(F.col("l_quantity")), 2).alias("sum_qty"),
             F.round(_cents_sum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
-            F.round(_cents_sum(disc_price, 4), 2).alias("sum_disc_price"),
+            # disc_price's s=4 scaled per-group sums cross the 2^53
+            # long->double exactness bound around sf~17 — past the 100 TB
+            # design target — so it keeps the decimal accumulator like
+            # sum_charge (the s=2 columns stay in the long fast path:
+            # their bound is $9.0e13 per group, safe to sf~1e6).
+            F.round(
+                F.sum(disc_price.cast("decimal(18,4)")).cast("double"), 2
+            ).alias("sum_disc_price"),
             # charge needs scale 6, and its per-group micro-unit sums are
             # ~2.8e16 at sf1 — 3x OVER the 2^53 long->double exactness
             # bound — so this one column keeps the decimal accumulator
@@ -824,21 +831,25 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     line-level dedup, per CCNet/RefinedWeb): a line appearing in >= 5
     distinct documents is boilerplate (headers, nav, license blurbs);
     report per-doc counts and fraction. The line-frequency groupBy and
-    the join back run on ``xxhash64(line)`` 8-byte keys, not the line
-    strings — at 100 TB the inverted-index shuffle moves fixed-width
-    keys (same idiom as the Jaccard pair join; a cross-doc false merge
-    needs a 64-bit collision between two lines of the same doc set,
-    ~2^-64 per pair and deterministic across runs)."""
+    the join back run on ``(xxhash64(line), length(line))`` fixed-width
+    keys, not the line strings — at 100 TB the inverted-index shuffle
+    moves ~12 bytes/row (same idiom as the Jaccard pair join). A false
+    merge needs two distinct lines agreeing on BOTH the 64-bit hash and
+    the length — far below corpus line-pair counts, and deterministic
+    across runs either way."""
     docs = load_table(spark, sf_dir, "documents")
     dl = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), "\n"))).alias("line"),
     )
-    key = F.xxhash64("line")
-    lf = dl.groupBy(key.alias("k")).agg(F.count(F.lit(1)).alias("df"))
+    key, klen = F.xxhash64("line"), F.length("line")
+    lf = dl.groupBy(key.alias("k"), klen.alias("kl")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
     return (
         dl.withColumn("k", key)
-        .join(lf, "k")
+        .withColumn("kl", klen)
+        .join(lf, ["k", "kl"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
@@ -2105,8 +2116,15 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
+            # corpus-wide (ungrouped) s=4 sums cross the 2^53 scaled-long
+            # bound around sf~17; decimal accumulators keep the ratio
+            # exact at any scale factor
             F.round(
-                (F.lit(100.0) * _cents_sum(promo, 4)) / _cents_sum(disc_price, 4),
+                (
+                    F.lit(100.0)
+                    * F.sum(promo.cast("decimal(18,4)")).cast("double")
+                )
+                / F.sum(disc_price.cast("decimal(18,4)")).cast("double"),
                 4,
             ).alias("promo_pct"),
             F.count(F.lit(1)).alias("n_items"),

@@ -335,8 +335,14 @@ def _session_fn(
         last_ts_us, n_sessions, n_events = state.get
     else:
         last_ts_us, n_sessions, n_events = None, 0, 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+    # applyInPandasWithState delivers one group as MULTIPLE Arrow chunks
+    # (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k) in
+    # shuffle order — sorting each chunk independently would compute
+    # gaps over unordered timestamps once a user exceeds one chunk per
+    # micro-batch. Materialize the whole group, then sort globally.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
         for ts in pdf["ts"]:
             ts_us = int(ts.value // 1000)  # pandas ns → µs
             if last_ts_us is None or ts_us - last_ts_us > _GAP_US:

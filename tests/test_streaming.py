@@ -276,3 +276,41 @@ def test_stream_events_table_reads_directory_layout(spark, sf_dir, tmp_path):
     q.awaitTermination()
     got = spark.table("dir_layout_stream").count()
     assert got == batch.count()
+
+
+def test_session_fn_orders_across_arrow_chunks():
+    """Regression: applyInPandasWithState hands one group to the UDF as
+    MULTIPLE Arrow chunks in shuffle order. Sorting each chunk
+    independently computed gaps over unordered timestamps (counts then
+    depend on chunk boundaries); the fn must globally sort the group."""
+    import pandas as pd
+
+    from assignment3_qachatapplication_vectorembeddings_spark.streaming.ingest import (
+        _GAP_US,
+        _session_fn,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, value):
+            self.value = value
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    gap = pd.Timedelta(microseconds=_GAP_US + 1)
+    step = pd.Timedelta(minutes=1)
+    # true timeline: [t0, t0+1m] … gap … [t1, t1+1m]  → 2 sessions,
+    # delivered as chunks that interleave the two sessions; per-chunk
+    # sorting would see the timeline jump backwards across the chunk
+    # seam and count 3 sessions
+    t0, t1 = base, base + gap + step
+    chunks = [
+        pd.DataFrame({"ts": [t0, t1]}),
+        pd.DataFrame({"ts": [t0 + step, t1 + step]}),
+    ]
+    state = FakeState()
+    out = pd.concat(list(_session_fn((7,), iter(chunks), state)))
+    assert out["n_sessions"].tolist() == [2]
+    assert out["n_events"].tolist() == [4]
+    # state carries (last_ts_us, n_sessions, n_events)
+    assert state.value[1] == 2 and state.value[2] == 4

@@ -39,9 +39,14 @@ def best_of(fn, runs: int) -> float:
         times.append(time.time() - t0)
     # drop DataFrame refs from this query so ContextCleaner releases its
     # localCheckpoint blocks — otherwise 90 sequential queries accumulate
-    # pinned RDDs and later timings measure memory pressure, not plans
+    # pinned RDDs and later timings measure memory pressure, not plans.
+    # persist()ed frames are pinned in CacheManager regardless of gc and
+    # need the explicit unpersist in release_caches().
     import gc
 
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.text_search import release_caches
+
+    release_caches()
     gc.collect()
     return min(times)
 

@@ -118,11 +118,17 @@ def main() -> int:
             failures.append(name)
             continue
         finally:
-            # release this query's persisted/checkpointed blocks before the
-            # next one — 100+ sequential queries otherwise accumulate pinned
-            # RDDs and later timings measure memory pressure, not plans
+            # release this query's pinned blocks before the next one —
+            # 100+ sequential queries otherwise accumulate and later
+            # timings measure memory pressure, not plans. gc frees
+            # dropped localCheckpoint RDDs (via ContextCleaner);
+            # CacheManager entries from persist() need an explicit
+            # unpersist, which release_caches() does.
             import gc
 
+            from assignment3_qachatapplication_vectorembeddings_spark.operators.text_search import release_caches
+
+            release_caches()
             gc.collect()
         ok_cols = sorted(scols) == sorted(ocols)
         ok_count = len(srows) == len(ores)
