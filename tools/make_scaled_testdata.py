@@ -97,7 +97,12 @@ def main() -> int:
                     )
                 ),
             )
-        n_files = max(1, r_count // 2)
+        # One row group per file, ~32 files: a parquet row group is the
+        # atomic scan-parallelism unit for BOTH Spark and DuckDB, so the
+        # old r_count//2(=5)-file layout capped every sf1 scan at 5
+        # threads on a 32-core box for both engines. Real large-scale
+        # datasets ship many well-sized files; mirror that.
+        n_files = 32
         df.drop("__r").repartition(n_files).write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"
         )
