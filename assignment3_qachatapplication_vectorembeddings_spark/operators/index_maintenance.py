@@ -26,7 +26,10 @@ row_number over a deterministic ordering.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
+import time
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,7 +38,11 @@ from pyspark.sql.window import Window
 
 from ..schemas import FORM_CATALOG_SCHEMA, INDEX_SCHEMA
 
-__all__ = ["VectorIndex", "vector_ids_like_reference"]
+__all__ = ["VectorIndex", "WriterLockTimeout", "vector_ids_like_reference"]
+
+
+class WriterLockTimeout(TimeoutError):
+    """Raised when the index writer lock cannot be acquired in time."""
 
 
 def vector_ids_like_reference(chunks: DataFrame, *, order_cols: Sequence[str] = ("title", "chunk_pos")) -> DataFrame:
@@ -58,11 +65,124 @@ class VectorIndex:
     lives at ``{path}__catalog`` as (form_name, recent_activity).
     """
 
+    #: seconds to keep retrying for the writer lock before giving up
+    LOCK_TIMEOUT_SEC = 120.0
+    #: a lock file older than this is presumed abandoned (holder died
+    #: between acquire and release) and is broken by the next writer
+    LOCK_STALE_TTL_SEC = 600.0
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
         self.catalog_path = path + "__catalog"
+        self.lock_path = path + "__lock"
+        # re-entrancy marker is per-thread: two threads sharing one
+        # VectorIndex must still contend for the file lock
+        self._lock_tls = threading.local()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- writer lock -------------------------------------------------------
+    #
+    # The merge in upsert()/delete_*() is read-merge-overwrite; two
+    # concurrent writers that interleave (both read the same snapshot,
+    # both overwrite) silently lose the first committer's rows. Writers
+    # therefore serialize on an exclusive lock taken via ATOMIC
+    # create-if-absent: O_CREAT|O_EXCL on POSIX paths, and
+    # FileSystem.create(path, overwrite=false) elsewhere — atomic on
+    # HDFS (namespace op) and mapping to a conditional PUT
+    # (`If-None-Match: *`) on object stores that support it. This is the
+    # "enforced single-writer" commit story: mutations are linearized,
+    # so no update is ever lost; readers are unaffected (they never take
+    # the lock). A crashed holder's lock is broken after
+    # LOCK_STALE_TTL_SEC based on the lock file's modification time.
+
+    def _local_lock_file(self) -> str | None:
+        """POSIX path of the lock file if it lives on a local filesystem,
+        else None (use the Hadoop FileSystem API)."""
+        p = self.lock_path
+        if p.startswith("file:"):
+            return p[len("file:"):] or "/"
+        if "://" not in p and not p.startswith("file:"):
+            return p
+        return None
+
+    def _try_lock(self) -> bool:
+        local = self._local_lock_file()
+        stamp = f"pid={os.getpid()} ts={time.time():.3f}\n"
+        if local is not None:
+            try:
+                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "w") as f:
+                f.write(stamp)
+            return True
+        fs, jvm = self._fs()
+        hp = jvm.org.apache.hadoop.fs.Path(self.lock_path)
+        try:
+            out = fs.create(hp, False)  # overwrite=false → atomic claim
+            out.write(bytearray(stamp.encode()))
+            out.close()
+            return True
+        except Exception:
+            return False
+
+    def _lock_age_sec(self) -> float | None:
+        local = self._local_lock_file()
+        try:
+            if local is not None:
+                return time.time() - os.path.getmtime(local)
+            fs, jvm = self._fs()
+            hp = jvm.org.apache.hadoop.fs.Path(self.lock_path)
+            return time.time() - fs.getFileStatus(hp).getModificationTime() / 1000.0
+        except Exception:
+            return None  # lock vanished between observation and stat
+
+    def _unlock(self) -> None:
+        local = self._local_lock_file()
+        if local is not None:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(local)
+            return
+        fs, jvm = self._fs()
+        fs.delete(jvm.org.apache.hadoop.fs.Path(self.lock_path), False)
+
+    @contextlib.contextmanager
+    def write_lock(self, timeout_sec: float | None = None):
+        """Serialize mutating operations (upsert / delete / catalog).
+
+        Public so multi-operation transactions (e.g. upsert + verify +
+        catalog fix-up) can hold the lock across calls; single mutations
+        acquire it implicitly. Re-entrant within this VectorIndex object
+        so nested public methods don't self-deadlock."""
+        if getattr(self._lock_tls, "held", False):
+            yield
+            return
+        deadline = time.monotonic() + (
+            self.LOCK_TIMEOUT_SEC if timeout_sec is None else timeout_sec
+        )
+        delay = 0.05
+        while not self._try_lock():
+            age = self._lock_age_sec()
+            if age is not None and age > self.LOCK_STALE_TTL_SEC:
+                # holder presumed dead; break the lock and re-contend
+                # (the atomic create decides the winner among breakers)
+                with contextlib.suppress(Exception):
+                    self._unlock()
+                continue
+            if time.monotonic() > deadline:
+                raise WriterLockTimeout(
+                    f"writer lock busy for >{timeout_sec or self.LOCK_TIMEOUT_SEC}s: "
+                    f"{self.lock_path}"
+                )
+            time.sleep(delay)
+            delay = min(delay * 2, 1.0)
+        self._lock_tls.held = True
+        try:
+            yield
+        finally:
+            self._lock_tls.held = False
+            self._unlock()
 
     # -- helpers ----------------------------------------------------------
 
@@ -107,7 +227,14 @@ class VectorIndex:
         updates: DataFrame(id, vector, title, text). Only partitions
         whose title appears in ``updates`` are rewritten: survivors =
         old rows of those titles anti-joined on id, union the updates.
+
+        Writers serialize on :meth:`write_lock`, so concurrent upserts
+        commit one after another and none is lost.
         """
+        with self.write_lock():
+            self._upsert_locked(updates)
+
+    def _upsert_locked(self, updates: DataFrame) -> None:
         updates = updates.select("id", "vector", "title", "text")
         if self.exists():
             dim = self.dimension()
@@ -161,6 +288,10 @@ class VectorIndex:
         """Delete ids, then cascade: forms left with no vectors are
         removed from the catalog (pipeline2.py:171-193 without the
         sleep — the rewrite is transactional per partition)."""
+        with self.write_lock():
+            self._delete_by_ids_locked(vector_ids)
+
+    def _delete_by_ids_locked(self, vector_ids: Sequence[str]) -> None:
         affected_forms = sorted(set(self.forms_of_ids(vector_ids)))
         if not affected_forms:
             return
@@ -191,17 +322,19 @@ class VectorIndex:
         """delete_by_form (pipeline2.py:195-197): metadata-only partition
         drop — no full-index enumeration with a dummy query vector
         (pipeline2.py:214-225) and no data rewrite."""
-        present = [t for t in form_titles if self.form_check(t)]
-        self._drop_partitions(present)
-        self._catalog_remove(list(form_titles))
+        with self.write_lock():
+            present = [t for t in form_titles if self.form_check(t)]
+            self._drop_partitions(present)
+            self._catalog_remove(list(form_titles))
 
     def delete_all(self) -> None:
         """delete_all (pipeline2.py:199-202) + catalog truncate (:333-338)."""
-        fs, jvm = self._fs()
-        for p in (self.path, self.catalog_path):
-            hp = jvm.org.apache.hadoop.fs.Path(p)
-            if fs.exists(hp):
-                fs.delete(hp, True)
+        with self.write_lock():
+            fs, jvm = self._fs()
+            for p in (self.path, self.catalog_path):
+                hp = jvm.org.apache.hadoop.fs.Path(p)
+                if fs.exists(hp):
+                    fs.delete(hp, True)
 
     def _drop_partitions(self, titles: Sequence[str]) -> None:
         if not titles:
@@ -255,15 +388,16 @@ class VectorIndex:
     def sync_catalog_orphans(self) -> list[str]:
         """J4: forms in the catalog with no surviving vectors → removed.
         One anti-join replaces the reference's poll-sleep-recheck loop."""
-        orphans = [
-            r["form_name"]
-            for r in self.read_catalog()
-            .join(
-                self.read().select(F.col("title").alias("form_name")).distinct(),
-                "form_name",
-                "left_anti",
-            )
-            .collect()
-        ]
-        self._catalog_remove(orphans)
-        return orphans
+        with self.write_lock():
+            orphans = [
+                r["form_name"]
+                for r in self.read_catalog()
+                .join(
+                    self.read().select(F.col("title").alias("form_name")).distinct(),
+                    "form_name",
+                    "left_anti",
+                )
+                .collect()
+            ]
+            self._catalog_remove(orphans)
+            return orphans

@@ -161,3 +161,75 @@ def test_push_to_external_index_batches(spark):
 
     with pytest.raises(ValueError):
         push_to_external_index(records, sender, batch_size=0)
+
+
+# -- S12 writer-lock commit protocol ---------------------------------------
+# The reference's Pinecone upsert is last-writer-wins per id on the
+# server side (pipeline2.py:117-150); our parquet merge is
+# read-merge-overwrite, so CONCURRENT writers must serialize or the
+# earlier commit's rows vanish from the later commit's snapshot. The
+# writer lock linearizes them; this test drives 4 threads of interleaved
+# upserts into the SAME title partition and asserts no update is lost.
+
+
+def test_concurrent_upserts_lose_no_updates(index, spark):
+    import threading
+
+    n_writers, per_writer = 4, 3
+    errors: list[Exception] = []
+
+    def writer(w: int) -> None:
+        try:
+            for i in range(per_writer):
+                index.upsert(
+                    make_updates(spark, [(f"w{w}_{i}", "formX", f"text {w}/{i}")])
+                )
+        except Exception as exc:  # surface failures in the main thread
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    got = {r["id"] for r in index.read().select("id").collect()}
+    want = {f"w{w}_{i}" for w in range(n_writers) for i in range(per_writer)}
+    assert got == want  # every writer's every id survived
+
+
+def test_write_lock_times_out_then_breaks_stale(index, spark, tmp_path):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.index_maintenance import (
+        WriterLockTimeout,
+    )
+
+    # a held lock blocks a second writer until timeout
+    with index.write_lock():
+        import threading
+
+        blocked = VectorIndex(spark, index.path)
+        with pytest.raises(WriterLockTimeout):
+            with blocked.write_lock(timeout_sec=0.3):
+                pass
+
+    # a stale lock (holder died long ago) is broken, not waited on
+    import os
+    import time
+
+    with open(index.lock_path, "w") as f:
+        f.write("pid=0 ts=0\n")
+    old = time.time() - index.LOCK_STALE_TTL_SEC - 10
+    os.utime(index.lock_path, (old, old))
+    with index.write_lock(timeout_sec=5):
+        pass  # acquired by breaking the stale lock
+    assert not os.path.exists(index.lock_path)
+
+
+def test_write_lock_reentrant_within_thread(index, spark):
+    # public mutators nested under an explicit transaction must not
+    # self-deadlock (upsert takes the lock inside write_lock)
+    with index.write_lock():
+        index.upsert(make_updates(spark, [("r_0", "formR", "nested upsert")]))
+        index.delete_by_ids(["r_0"])
+    assert index.read().count() == 0 or not index.form_check("formR")
