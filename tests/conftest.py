@@ -1,5 +1,9 @@
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+import subprocess
 import sys
 from pathlib import Path
 
@@ -13,11 +17,65 @@ from assignment3_qachatapplication_vectorembeddings_spark.session import get_spa
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+_MOCKFS_DIR = Path(__file__).parent / "fixtures" / "mockfs"
+_MOCKFS_SRC = _MOCKFS_DIR / "sparkgraft" / "MockS3FileSystem.java"
+_MOCKFS_CLASSES = _MOCKFS_DIR / "classes"
+
+
+def ensure_mockfs_classes() -> str | None:
+    """Compile the mocks3:// contract-test FileSystem if javac and the
+    Hadoop client jar are available; returns the classes dir to put on
+    the driver classpath, or None (tests that need it will skip).
+    Compilation must happen BEFORE the shared SparkSession starts —
+    extraClassPath is fixed at JVM launch."""
+    cls = _MOCKFS_CLASSES / "sparkgraft" / "MockS3FileSystem.class"
+    if cls.exists() and cls.stat().st_mtime >= _MOCKFS_SRC.stat().st_mtime:
+        return str(_MOCKFS_CLASSES)
+    javac = shutil.which("javac")
+    if javac is None:
+        return None
+    import pyspark
+
+    jars = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars", "hadoop-client-api-*.jar")
+    )
+    if not jars:
+        return None
+    try:
+        subprocess.run(
+            [javac, "-encoding", "UTF-8", "-cp", jars[0], "-d",
+             str(_MOCKFS_CLASSES), str(_MOCKFS_SRC)],
+            check=True, capture_output=True, timeout=120,
+        )
+    except (subprocess.SubprocessError, OSError):
+        return None
+    return str(_MOCKFS_CLASSES)
+
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("pytest", shuffle_partitions=8)
+    extra = {}
+    cls_dir = ensure_mockfs_classes()
+    if cls_dir:
+        extra["spark.driver.extraClassPath"] = cls_dir
+        extra["spark.hadoop.fs.mocks3.impl"] = "sparkgraft.MockS3FileSystem"
+    spark = get_spark("pytest", shuffle_partitions=8, extra_conf=extra)
     yield spark
+
+
+@pytest.fixture(scope="session")
+def mocks3(spark):
+    """Skip unless the mocks3:// scheme is actually registered in the
+    running JVM (it isn't when the session was created by another test
+    run without the compiled class on the classpath)."""
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path("mocks3:///")
+        p.getFileSystem(hconf)
+    except Exception:
+        pytest.skip("mocks3 FileSystem not on the driver classpath")
+    return "mocks3://"
 
 
 @pytest.fixture(scope="session")
