@@ -40,6 +40,11 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]  # DuckDB SQL; None → driver does rows-only check
     doc: str = ""
+    #: optional quality metric for approximate queries with no SQL
+    #: oracle: (spark, sf_dir, result_rows) -> {metric: value}; the
+    #: gate (tools/check_corpus.py) prints and thresholds these so ANN
+    #: recall is asserted per run, not only in the pytest bounds
+    quality: Optional[Callable[[SparkSession, str, list], dict]] = None
 
 
 def _dec2(c):  # exact money arithmetic: sum(decimal) is order-independent
@@ -1177,6 +1182,12 @@ LIMIT 20
 
 
 def q_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency top-k. Skew posture: the Zipf head ("the") is
+    collapsed by map-side partial aggregation — each task emits ONE
+    partial per hot token, so the reduce side receives n_tasks rows per
+    token regardless of corpus size; the top-k itself is
+    TakeOrderedAndProject (no global sort). See q_skewed_agg_salted for
+    where manual salting IS needed."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
@@ -1753,11 +1764,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     rest = emb.filter(F.col("vec_id") != 0)
+    # nprobe=12/16: the gate thresholds recall@10 >= 0.9 (vs the exact
+    # q_topk_cosine baseline); nprobe=8 measured 0.7 at sf0.01 — the
+    # corpus default buys recall with 4 extra cell scans, still pruning
     cents = ivf_fit_centroids(rest, nlist=16)
-    hits = ivf_topk(ivf_assign(rest, cents), cents, qvec, 10, nprobe=8)
+    hits = ivf_topk(ivf_assign(rest, cents), cents, qvec, 10, nprobe=12)
     return hits.orderBy(F.desc("score"), F.asc("vec_id")).select(
         "vec_id", "label", F.round("score", 4).alias("score")
     )
+
+
+def ann_recall_at_10(spark: SparkSession, sf_dir: str, rows: list) -> dict:
+    """recall@10 of an approximate result vs the exact top-k baseline
+    (q_topk_cosine: same query vector, same filter, k=10). Used by the
+    gate as the ANN quality threshold (>= 0.9 at corpus defaults)."""
+    exact = {r["vec_id"] for r in q_topk_cosine(spark, sf_dir).collect()}
+    got = {r["vec_id"] for r in rows}
+    return {"recall@10": len(got & exact) / max(len(exact), 1)}
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1766,7 +1789,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     rest = emb.filter(F.col("vec_id") != 0)
-    planes = make_planes(len(qvec), num_tables=16, bits=10)
+    # 32 tables x 8 bits (vs 16x10): shorter signatures make buckets
+    # denser and doubled tables make misses independent — measured
+    # recall@10 1.0 at sf0.001 AND sf0.01 (16x10 sat at 0.6); the gate
+    # thresholds >= 0.9
+    planes = make_planes(len(qvec), num_tables=32, bits=8)
     hits = lsh_topk(rest, qvec, 10, planes, multiprobe=1)
     return hits.orderBy(F.desc("score"), F.asc("vec_id")).select(
         "vec_id", "label", F.round("score", 4).alias("score")
@@ -2854,6 +2881,49 @@ FROM per_token GROUP BY source ORDER BY source
 """
 
 
+def q_skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated per-user aggregation through ``salted_agg``
+    (operators/skew.py): stage 1 aggregates (user_id, salt) partials so
+    a hot user fans out over 16 reducers, stage 2 merges partials per
+    user — exact for algebraic aggregates, oracle-hash-identical to the
+    plain GROUP BY.
+
+    Scope note (why word_topk/vocab_stats/unigram_logprob are NOT
+    salted): a plain ``groupBy().count()/sum()`` after explode already
+    has Spark's map-side partial aggregation — each mapper collapses
+    its local copies of the hot token to ONE partial row, which is the
+    same two-level topology salting builds by hand, minus an extra
+    exchange. Salting pays off only where partials can't collapse
+    (e.g. per-key DISTINCT buffers) or partial agg is disabled."""
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("__cents", F.round(F.col("value") * 100, 0).cast("long"))
+    agg = salted_agg(
+        ev,
+        ["user_id"],
+        {"n_events": ("count", "*"), "cents": ("sum", "__cents")},
+        num_salts=16,
+    )
+    return (
+        agg.select(
+            "user_id",
+            "n_events",
+            F.round(F.col("cents") / 100.0, 2).alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(100)
+    )
+
+
+_SQL_SKEWED_AGG = """
+SELECT user_id, count(*) AS n_events,
+       round((sum(value::DECIMAL(18,2)))::DOUBLE, 2) AS total_value
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 100
+"""
+
+
 def q_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day trailing moving average of daily order revenue. Daily sums
     are carried as integer CENTS through the window (exact at any
@@ -3890,8 +3960,14 @@ CORPUS: dict[str, QuerySpec] = {
     "json_props_extract": QuerySpec(
         q_json_props, _SQL_JSON_PROPS, "JSON prop extraction + agg"
     ),
-    "ann_ivf_topk": QuerySpec(q_ann_ivf, None, "IVF (k-means cells) approx top-k"),
-    "ann_lsh_topk": QuerySpec(q_ann_lsh, None, "hyperplane-LSH approx top-k"),
+    "ann_ivf_topk": QuerySpec(
+        q_ann_ivf, None, "IVF (k-means cells) approx top-k",
+        quality=ann_recall_at_10,
+    ),
+    "ann_lsh_topk": QuerySpec(
+        q_ann_lsh, None, "hyperplane-LSH approx top-k",
+        quality=ann_recall_at_10,
+    ),
     "pypdf_chunks": QuerySpec(q_pypdf_chunks, None, "F2/F3 two-pass chunk pack"),
     "nougat_chunks": QuerySpec(q_nougat_chunks, None, "F4/F5/F6/W2/A1 nougat pack"),
     "lang_id": QuerySpec(
@@ -3981,6 +4057,10 @@ CORPUS: dict[str, QuerySpec] = {
     "vocab_stats": QuerySpec(
         q_vocab_stats, _SQL_VOCAB_STATS,
         "per-source vocabulary: tokens/types/hapax/TTR",
+    ),
+    "skewed_agg_salted": QuerySpec(
+        q_skewed_agg_salted, _SQL_SKEWED_AGG,
+        "salted two-level agg (skew.py) == plain GROUP BY oracle",
     ),
     "moving_avg_revenue": QuerySpec(
         q_moving_avg_revenue, _SQL_MOVING_AVG_REVENUE,

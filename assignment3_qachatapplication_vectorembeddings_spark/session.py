@@ -22,7 +22,15 @@ from pyspark.sql import SparkSession
 
 __all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
 
-DEFAULT_SHUFFLE_PARTITIONS = 32
+# Local-mode default. Measured at sf1 on local[32]: reduce-side data
+# per query is tens of MB, so reduce-task SCHEDULING dominates past ~8
+# partitions — 8 beat 32 by 20-40% across every shuffle-heavy corpus
+# query, and beat AQE's own coalescing (parallelismFirst keeps
+# n_partitions at core count, and parallelismFirst=false collapses to 1
+# partition, serializing the reduce — both worse). A cluster deployment
+# overrides via SPARK_GRAFT_SHUFFLE_PARTITIONS or spark-submit conf;
+# AQE skew-split still breaks up any hot partition at runtime.
+DEFAULT_SHUFFLE_PARTITIONS = 8
 
 
 def get_spark(

@@ -68,11 +68,31 @@ def _timestamp_columns(path: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
     return _TS_COLS[path]
 
 
+# Memoized analyzed DataFrames per (session, path). A DataFrame is an
+# immutable logical plan, so handing the same instance to every query
+# is safe and skips the per-call file listing + footer schema read
+# (~0.1-0.2 s per table access — real money when the gate runs 100+
+# queries). Keyed on the JVM session id so a new SparkSession never
+# sees another session's plans. Invalidate with clear_table_cache()
+# after overwriting a table path in place.
+_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    _DF_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark._jsparkSession), path)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     nanos, ntz = _timestamp_columns(path)
     if not nanos and not ntz:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        _DF_CACHE[key] = df
+        return df
     from pyspark.sql import functions as F
 
     if nanos:
@@ -85,6 +105,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(colname, F.expr(f"timestamp_micros({colname} div 1000)"))
     for colname in ntz:
         df = df.withColumn(colname, F.col(colname).cast("timestamp"))
+    _DF_CACHE[key] = df
     return df
 
 

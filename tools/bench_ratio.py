@@ -64,7 +64,7 @@ def main() -> int:
         runs, rest = int(rest[0]), rest[1:]
     names = rest or [n for n, s in CORPUS.items() if s.oracle]
 
-    spark = get_spark("bench-ratio", shuffle_partitions=32)
+    spark = get_spark("bench-ratio")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         p = f"{sf_dir}/{t}.parquet"

@@ -101,7 +101,20 @@ def main() -> int:
             srows = sdf.collect()
             spark_s = time.time() - t0
             if spec.oracle is None:
-                print(f"  {name:28s} rows-only: {len(srows):7d} rows  [{spark_s:5.2f}s]")
+                qual = ""
+                if spec.quality is not None:
+                    metrics = spec.quality(spark, sf_dir, srows)
+                    qual = "  " + " ".join(
+                        f"{k}={v:.3f}" for k, v in metrics.items()
+                    )
+                    # approximate queries must clear the quality bar,
+                    # not just return rows — recall < 0.9 is a FAILURE
+                    if any(v < 0.9 for v in metrics.values()):
+                        failures.append(name)
+                        qual += "  FAIL(<0.9)"
+                print(
+                    f"  {name:28s} rows-only: {len(srows):7d} rows  [{spark_s:5.2f}s]{qual}"
+                )
                 continue
             t0 = time.time()
             # fetch via Arrow: preserves int64-with-NULLs (pandas would widen
