@@ -189,6 +189,9 @@ def ngram_jaccard_pairs(
     sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).localCheckpoint(
         eager=True
     )
+    from .text_search import _PERSISTED
+
+    _PERSISTED.append(sh)
     return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
@@ -250,7 +253,7 @@ def minhash_band_buckets(
     sigs: DataFrame,
     *,
     id_col: str = "doc_id",
-    rows_per_band: int = 2,
+    rows_per_band: int = 4,
 ) -> DataFrame:
     """(id, band, sig): band signature = comma-joined minhashes in seed
     order. Docs agreeing on all R minhashes of a band share a bucket."""
@@ -274,7 +277,7 @@ def minhash_band_table(
     *,
     id_col: str = "doc_id",
     num_hashes: int = 16,
-    rows_per_band: int = 2,
+    rows_per_band: int = 4,
     hash_mode: str = "md5",
 ) -> DataFrame:
     """(id, band, sig) in ONE aggregation: collect each doc's shingle
@@ -291,7 +294,7 @@ def minhash_band_table(
     b_lit = "array(" + ",".join(f"{b}L" for _, b in coeffs) + ")"
     nbands = num_hashes // rows_per_band
     per_doc = (
-        sh.withColumn("base", F.expr(base))
+        (sh if "base" in sh.columns else sh.withColumn("base", F.expr(base)))
         .groupBy(id_col)
         .agg(F.collect_list("base").alias("bases"))
     )
@@ -318,7 +321,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 16,
-    rows_per_band: int = 2,
+    rows_per_band: int = 4,
     threshold: float = 0.8,
     hash_mode: str = "md5",
     fan_out: bool = True,
@@ -330,15 +333,31 @@ def minhash_lsh_pairs(
     path; the verify join runs only over candidates (few), so the
     exact-Jaccard cost is bounded by true-ish pairs, not all pairs.
     """
-    # the shingle table feeds FIVE plan branches (band table, df-filter,
-    # both self-join sides, per-doc counts); an EAGER checkpoint
-    # materializes it once and truncates the lineage, so each branch
-    # scans the checkpointed blocks instead of re-planning the explode —
-    # the lazy variant left all five branches re-deriving it (37-shuffle
-    # plan, ~2× wall time at sf0.1)
-    sh = shingle_table(
-        docs, id_col=id_col, text_col=text_col, n=n, fan_out=fan_out
-    ).localCheckpoint(eager=True)
+    # the shingle table feeds every downstream branch (band table plus
+    # the verify sets); an EAGER checkpoint materializes it once and
+    # truncates the lineage, so each branch scans the checkpointed
+    # blocks instead of re-planning the explode — the lazy variant left
+    # every branch re-deriving it (37-shuffle plan, ~2× wall time at
+    # sf0.1). Only NUMERIC columns are checkpointed: `base` (the
+    # minhash base hash) and `shx` (the 64-bit verify hash) — storing
+    # the shingle STRINGS tripled the block footprint and at sf1 a few
+    # repeated calls exhausted driver storage memory until broadcasts
+    # failed.
+    if hash_mode == "md5":
+        base = "cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint)"
+    else:
+        base = "pmod(xxhash64(shingle), 4294967296L)"
+    sh = (
+        shingle_table(docs, id_col=id_col, text_col=text_col, n=n, fan_out=fan_out)
+        .select(id_col, F.expr(base).alias("base"), F.xxhash64("shingle").alias("shx"))
+        .localCheckpoint(eager=True)
+    )
+    # register for release_caches(): sequential runners drop the refs
+    # after materializing each query so ContextCleaner can reclaim the
+    # checkpoint blocks (same contract as bm25's persisted frames)
+    from .text_search import _PERSISTED
+
+    _PERSISTED.append(sh)
     buckets = minhash_band_table(
         sh,
         id_col=id_col,
@@ -346,13 +365,21 @@ def minhash_lsh_pairs(
         rows_per_band=rows_per_band,
         hash_mode=hash_mode,
     )
+    # Candidate pairs via the distributed bucket self-join. (A
+    # bucket-local alternative — collect each bucket's ids, emit C(m,2)
+    # pairs with a higher-order expression — was measured and REVERTED:
+    # a hot bucket's m²/2 pairs land in ONE task, and the sf1 stress
+    # data produces 2.8k-doc buckets → 4M pairs serialized on one core.
+    # The self-join spreads exactly the same pairs across the cluster.)
+    # The band table is eagerly checkpointed so both join legs read the
+    # materialized blocks instead of each recomputing the minhash
+    # subtree. No broadcast hints anywhere: the candidate set is
+    # corpus-dependent (20M rows on the sf1 stress data) — AQE elects
+    # broadcasts at runtime when a side is actually small.
+    buckets = buckets.localCheckpoint(eager=True)
+    _PERSISTED.append(buckets)
     a = buckets.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band", "sig")
-    # the candidate set feeds THREE consumers (both legs of cand_ids and
-    # the final verify semi-join); it is tiny (near-dup candidates, not
-    # corpus rows), so materialize it once — without this the whole
-    # band-join subtree is re-planned per consumer and the explain blows
-    # up to ~37 shuffles
     cands = (
         a.join(b, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -360,17 +387,37 @@ def minhash_lsh_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # verify ONLY candidate docs: shrink the shingle table to docs that
-    # appear in some candidate pair before the quadratic-ish pair join —
-    # the exact-Jaccard cost is bounded by true-ish pairs, not all pairs
+    _PERSISTED.append(cands)
+    # verify ONLY candidate docs, pair-direct: each candidate doc's
+    # (hashed) shingle set is collected once, each candidate pair joins
+    # its two sets and takes an array intersection — 3 narrow stages on
+    # candidate-sized data, vs re-running the full inverted-index
+    # self-join machinery (per-doc counts, df filter, semi join, pair
+    # groupBy) over the candidate shingles. Values match _pair_jaccard:
+    # same 64-bit shingle hashing, same exact formula.
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))
         .unionByName(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
-    verified = _pair_jaccard(sh_cand, id_col).join(
-        F.broadcast(cands), ["doc_a", "doc_b"], "left_semi"
+    sets_ = (
+        sh.join(cand_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("shx").alias("shs"))
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    verified = (
+        cands.join(sets_.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("sa")), "doc_a")
+        .join(sets_.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("sb")), "doc_b")
+        .withColumn("inter", inter)
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.size("sa") + F.size("sb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
     )
     return verified.filter(F.col("jaccard") >= threshold)
 

