@@ -270,14 +270,29 @@ def run_sessionize_available_now(
     gap-sessionization exactly — the custom-stateful-operator
     batch-parity contract, checkable against a plain SQL oracle."""
     sess = sessionize_stream(events_stream)
-    q = (
-        sess.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
+    # State-store partition count is fixed at query start from
+    # shuffle.partitions. The pandas state stage is Python-CPU-bound
+    # per group, so it wants one partition per core — unlike JVM-state
+    # ops (dedup/window aggs), where fewer partitions win on task
+    # overhead. Raise to core count for this query only (fresh
+    # checkpoint per drain, so the partition count may differ per run).
+    spark = events_stream.sparkSession
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(int(old_sp), cores))
     )
-    q.awaitTermination()
+    try:
+        q = (
+            sess.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return (
         spark.table(query_name)
         .groupBy("user_id")
@@ -340,15 +355,22 @@ def _session_fn(
     # shuffle order — sorting each chunk independently would compute
     # gaps over unordered timestamps once a user exceeds one chunk per
     # micro-batch. Materialize the whole group, then sort globally.
+    # Gap detection is vectorized (np.diff over the sorted µs array) —
+    # the per-row pandas-scalar loop this replaced dominated the drain
+    # (~2× the whole query at sf1). Session count is order-independent
+    # under timestamp ties, so sorting the bare int array is exact.
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
-        for ts in pdf["ts"]:
-            ts_us = int(ts.value // 1000)  # pandas ns → µs
-            if last_ts_us is None or ts_us - last_ts_us > _GAP_US:
-                n_sessions += 1
-            last_ts_us = ts_us
-            n_events += 1
+        import numpy as np
+
+        pdf = pd.concat(chunks, ignore_index=True)
+        ts_us = (pdf["ts"].astype("int64").to_numpy() // 1000)
+        ts_us.sort()
+        n_sessions += int(last_ts_us is None or ts_us[0] - last_ts_us > _GAP_US)
+        if len(ts_us) > 1:
+            n_sessions += int((np.diff(ts_us) > _GAP_US).sum())
+        last_ts_us = int(ts_us[-1])
+        n_events += len(ts_us)
     state.update((last_ts_us, n_sessions, n_events))
     yield pd.DataFrame(
         {
