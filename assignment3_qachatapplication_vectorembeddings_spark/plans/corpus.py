@@ -1776,16 +1776,32 @@ FROM events GROUP BY event_type
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ann import ivf_assign, ivf_fit_centroids, ivf_topk
+    """IVF with MULTI-ASSIGNMENT (each vector posted to its top-2
+    cells): the synthetic 64-d embeddings are near-uniform, so cosine
+    neighbors routinely straddle Voronoi boundaries — single-assignment
+    recall@10 plateaued at 0.7 even probing 12/16 cells, while top-2
+    posting reaches 0.9-1.0 at every sf probing only 8/16. Storage 2×,
+    probe cost unchanged — the standard IVF recall/storage trade."""
+    import numpy as np
+
+    from ..operators.ann import ivf_assign_multi, ivf_fit_centroids
+    from ..operators.topk import topk_cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     rest = emb.filter(F.col("vec_id") != 0)
-    # nprobe=12/16: the gate thresholds recall@10 >= 0.9 (vs the exact
-    # q_topk_cosine baseline); nprobe=8 measured 0.7 at sf0.01 — the
-    # corpus default buys recall with 4 extra cell scans, still pruning
     cents = ivf_fit_centroids(rest, nlist=16)
-    hits = ivf_topk(ivf_assign(rest, cents), cents, qvec, 10, nprobe=12)
+    assigned = ivf_assign_multi(rest, cents, probes=2).withColumn(
+        "cluster", F.explode("clusters")
+    )
+    d = ((cents - np.asarray(qvec)[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d)[:8]]
+    cands = (
+        assigned.filter(F.col("cluster").isin(probe))
+        .drop("cluster", "clusters")
+        .dropDuplicates(["vec_id"])
+    )
+    hits = topk_cosine(cands, qvec, 10, vec_col="embedding")
     return hits.orderBy(F.desc("score"), F.asc("vec_id")).select(
         "vec_id", "label", F.round("score", 4).alias("score")
     )
