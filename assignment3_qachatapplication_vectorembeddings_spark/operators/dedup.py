@@ -52,6 +52,7 @@ __all__ = [
     "simhash_pairs",
     "connected_components",
     "embedding_topk_pairs",
+    "semdedup",
 ]
 
 
@@ -762,3 +763,98 @@ def embedding_topk_pairs(
         .limit(k)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then inside
+    each cluster drop every vector whose cosine similarity to an
+    already-kept vector exceeds ``threshold``.
+
+    Returns (id_col, cluster, centroid_sim, is_kept) for every input
+    row — callers filter ``is_kept`` for the survivor set; emitting the
+    full accounting keeps the "no silent shrinkage" rule.
+
+    Keep rule (deterministic): cluster members are visited in
+    DESCENDING similarity-to-centroid order (id ascending as the
+    tiebreak) and a member is kept iff no previously-kept member is
+    more than ``threshold``-similar. The paper keeps LOW-centroid-
+    similarity examples to bias kept data toward cluster edges; the
+    visit order here is a config-free deterministic variant — flip
+    ``keep_low`` for the paper's bias.
+
+    Scale shape: the quantizer fits on a bounded driver-side sample
+    (``ivf_fit_centroids``); assignment is a distributed pandas-UDF
+    matmul; the quadratic pairwise work happens CLUSTER-LOCALLY inside
+    ``applyInPandas`` — per-task memory is one cluster's matrix
+    (n/nlist × dim on average; size nlist so cells stay executor-sized,
+    the same budget rule as ``embedding_topk_pairs``). Nothing pairwise
+    ever crosses the shuffle: only (id, cluster) keys move.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .ann import ivf_assign, ivf_fit_centroids
+
+    n = emb.count()
+    k = nlist or max(8, n // 4096)
+    cents = ivf_fit_centroids(emb, vec_col=vec_col, nlist=k, seed=seed)
+    cents_norm = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    assigned = ivf_assign(emb, cents, vec_col=vec_col).select(
+        id_col, vec_col, "cluster"
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("cluster", IntegerType(), False),
+            StructField("centroid_sim", DoubleType(), False),
+            StructField("is_kept", BooleanType(), False),
+        ]
+    )
+
+    def _dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        cluster = int(pdf["cluster"].iloc[0])
+        mat = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        csim = mat @ cents_norm[cluster]
+        order = np.lexsort((pdf[id_col].to_numpy(), -csim))
+        kept_rows: list[int] = []
+        kept = np.zeros(len(pdf), dtype=bool)
+        for i in order:
+            if kept_rows:
+                sims = mat[kept_rows] @ mat[i]
+                if sims.max() > threshold:
+                    continue
+            kept[i] = True
+            kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "cluster": np.full(len(pdf), cluster, dtype="int32"),
+                "centroid_sim": csim,
+                "is_kept": kept,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(_dedup_cluster, out_schema)

@@ -792,6 +792,25 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_topk_pairs(emb, k=20)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup summary (rows-only: the k-means quantizer is
+    engine-side numpy; tests/test_dedup.py pins the keep rule on
+    handmade clusters and determinism across runs). Reports per-cluster
+    kept/dropped accounting — every input row is counted somewhere."""
+    from ..operators.dedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    marked = semdedup(emb, threshold=0.95, nlist=16)
+    return (
+        marked.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
 _SQL_EMBEDDING_NEAR_DUP = """
 SELECT id_a, id_b, round(c, 4) AS cosine FROM (
   SELECT a.vec_id id_a, b.vec_id id_b,
@@ -3937,6 +3956,10 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "embedding_near_dup": QuerySpec(
         q_embedding_near_dup, _SQL_EMBEDDING_NEAR_DUP, "top-20 cosine-closest pairs"
+    ),
+    "semdedup_summary": QuerySpec(
+        q_semdedup, None,
+        "SemDeDup: k-means cells + cluster-local cosine dedup (arXiv:2303.09540)",
     ),
     "dedup_components": QuerySpec(
         q_dedup_components, _SQL_DEDUP_COMPONENTS, "duplicate clusters via CC"

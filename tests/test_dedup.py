@@ -176,3 +176,60 @@ def test_embedding_topk_pairs_bucketed_path(spark, sf_dir, monkeypatch):
     assert planted <= set(got)
     for p in got:
         assert p in exact or got[p] <= max(exact.values())
+
+
+# -- SemDeDup (Abbas et al. 2023) ------------------------------------------
+
+
+def test_semdedup_keep_rule_and_accounting(spark):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.dedup import (
+        semdedup,
+    )
+
+    # two tight planted groups + one isolated vector; 8-d unit-ish rows
+    def v(base, eps):
+        return [float(b + e) for b, e in zip(base, eps)]
+
+    a = [1.0, 0, 0, 0, 0, 0, 0, 0]
+    b = [0, 1.0, 0, 0, 0, 0, 0, 0]
+    c = [0, 0, 1.0, 0, 0, 0, 0, 0]
+    rows = [
+        (1, v(a, [0.00] * 8)),
+        (2, v(a, [0.01] * 8)),   # ~dup of 1
+        (3, v(a, [0.02] * 8)),   # ~dup of 1/2
+        (4, v(b, [0.00] * 8)),
+        (5, v(b, [0.015] * 8)),  # ~dup of 4
+        (6, v(c, [0.0] * 8)),    # isolated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    marked = semdedup(emb, threshold=0.98, nlist=3, seed=7)
+    got = {r["vec_id"]: r for r in marked.collect()}
+
+    # exhaustive accounting: every input id appears exactly once
+    assert sorted(got) == [1, 2, 3, 4, 5, 6]
+    # each planted near-dup group keeps exactly one member; the isolated
+    # vector survives
+    kept = {i for i, r in got.items() if r["is_kept"]}
+    assert len(kept & {1, 2, 3}) == 1
+    assert len(kept & {4, 5}) == 1
+    assert 6 in kept
+    # determinism: identical second run
+    again = {r["vec_id"]: r["is_kept"] for r in semdedup(
+        emb, threshold=0.98, nlist=3, seed=7).collect()}
+    assert again == {i: r["is_kept"] for i, r in got.items()}
+
+
+def test_semdedup_threshold_one_keeps_everything(spark):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.dedup import (
+        semdedup,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    # cosine <= 1 strictly for distinct directions; threshold 1.0 never
+    # trips, so nothing is dropped regardless of clustering
+    marked = semdedup(emb, threshold=1.0, nlist=2, seed=1)
+    assert marked.filter("NOT is_kept").count() == 0
+    assert marked.count() == 10
