@@ -190,9 +190,9 @@ def ngram_jaccard_pairs(
     sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n).localCheckpoint(
         eager=True
     )
-    from .text_search import _PERSISTED
+    from ..runtime import register_materialized
 
-    _PERSISTED.append(sh)
+    register_materialized(sh)
     return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
@@ -356,9 +356,9 @@ def minhash_lsh_pairs(
     # register for release_caches(): sequential runners drop the refs
     # after materializing each query so ContextCleaner can reclaim the
     # checkpoint blocks (same contract as bm25's persisted frames)
-    from .text_search import _PERSISTED
+    from ..runtime import register_materialized
 
-    _PERSISTED.append(sh)
+    register_materialized(sh)
     buckets = minhash_band_table(
         sh,
         id_col=id_col,
@@ -378,7 +378,7 @@ def minhash_lsh_pairs(
     # corpus-dependent (20M rows on the sf1 stress data) — AQE elects
     # broadcasts at runtime when a side is actually small.
     buckets = buckets.localCheckpoint(eager=True)
-    _PERSISTED.append(buckets)
+    register_materialized(buckets)
     a = buckets.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band", "sig")
     cands = (
@@ -388,7 +388,7 @@ def minhash_lsh_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    _PERSISTED.append(cands)
+    register_materialized(cands)
     # verify ONLY candidate docs, pair-direct: each candidate doc's
     # (hashed) shingle set is collected once, each candidate pair joins
     # its two sets and takes an array intersection — 3 narrow stages on
@@ -467,7 +467,14 @@ def simhash_table(
         "    (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),"
         "  0L, (acc, x) -> acc + x)"
     )
-    return _fan_out(docs, id_col).select(id_col, simhash.alias("simhash"))
+    # NULL text: the expression would propagate to a NULL signature ROW,
+    # but the explode-based plan this replaced (and the SQL oracle's
+    # unnest) drop such docs entirely — keep that contract
+    return (
+        _fan_out(docs, id_col)
+        .filter(F.col(text_col).isNotNull())
+        .select(id_col, simhash.alias("simhash"))
+    )
 
 
 def simhash_pairs(
@@ -812,8 +819,9 @@ def semdedup(
 
     from .ann import ivf_assign, ivf_fit_centroids
 
-    n = emb.count()
-    k = nlist or max(8, n // 4096)
+    # the count only feeds the nlist default — don't pay a corpus scan
+    # when the caller already chose a cell count
+    k = nlist if nlist is not None else max(8, emb.count() // 4096)
     cents = ivf_fit_centroids(emb, vec_col=vec_col, nlist=k, seed=seed)
     cents_norm = cents / np.maximum(
         np.linalg.norm(cents, axis=1, keepdims=True), 1e-12

@@ -68,8 +68,11 @@ class VectorIndex:
     #: seconds to keep retrying for the writer lock before giving up
     LOCK_TIMEOUT_SEC = 120.0
     #: a lock file older than this is presumed abandoned (holder died
-    #: between acquire and release) and is broken by the next writer
-    LOCK_STALE_TTL_SEC = 600.0
+    #: between acquire and release) and is broken by the next writer.
+    #: MUST exceed the longest expected merge: there is no heartbeat —
+    #: a healthy writer whose commit outlives the TTL would have its
+    #: lock broken mid-write. Tune up for very large indexes.
+    LOCK_STALE_TTL_SEC = 3600.0
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -98,12 +101,25 @@ class VectorIndex:
 
     def _local_lock_file(self) -> str | None:
         """POSIX path of the lock file if it lives on a local filesystem,
-        else None (use the Hadoop FileSystem API)."""
+        else None (use the Hadoop FileSystem API).
+
+        Scheme-less paths are NOT assumed local: on a cluster
+        ``fs.defaultFS`` typically points at HDFS/an object store, and
+        the lock must live on the SAME filesystem as the data — a
+        driver-local lock for remote data would let every driver "hold"
+        its own lock. Resolve through Hadoop and take the POSIX branch
+        only when the resolved scheme is ``file``."""
         p = self.lock_path
         if p.startswith("file:"):
             return p[len("file:"):] or "/"
-        if "://" not in p and not p.startswith("file:"):
-            return p
+        if "://" in p:
+            return None
+        try:
+            fs, _jvm = self._fs()
+            if fs.getUri().getScheme() == "file":
+                return p
+        except Exception:
+            return p  # no JVM filesystem reachable → plain local path
         return None
 
     def _try_lock(self) -> bool:
@@ -121,10 +137,18 @@ class VectorIndex:
         hp = jvm.org.apache.hadoop.fs.Path(self.lock_path)
         try:
             out = fs.create(hp, False)  # overwrite=false → atomic claim
+        except Exception:
+            return False  # exists (or FS down — surfaces as timeout)
+        try:
             out.write(bytearray(stamp.encode()))
             out.close()
             return True
         except Exception:
+            # created but couldn't stamp: remove the claim rather than
+            # leave an orphan lock no writer owns (it would block
+            # everyone until the stale TTL)
+            with contextlib.suppress(Exception):
+                fs.delete(hp, False)
             return False
 
     def _lock_age_sec(self) -> float | None:
@@ -165,11 +189,19 @@ class VectorIndex:
         while not self._try_lock():
             age = self._lock_age_sec()
             if age is not None and age > self.LOCK_STALE_TTL_SEC:
-                # holder presumed dead; break the lock and re-contend
-                # (the atomic create decides the winner among breakers)
+                # Holder presumed dead. Re-stat IMMEDIATELY before the
+                # delete so a lock that was just released-and-reacquired
+                # by a live writer (fresh mtime) is never broken; the
+                # residual stat→delete window is microseconds against an
+                # hour-scale TTL. (A conditional delete — If-Match on
+                # object stores — would close it entirely.) After the
+                # break, fall through to the deadline check and sleep:
+                # breakers re-contend via the atomic create, and a
+                # failing delete must not turn into a busy spin.
                 with contextlib.suppress(Exception):
-                    self._unlock()
-                continue
+                    age2 = self._lock_age_sec()
+                    if age2 is not None and age2 > self.LOCK_STALE_TTL_SEC:
+                        self._unlock()
             if time.monotonic() > deadline:
                 raise WriterLockTimeout(
                     f"writer lock busy for >{timeout_sec or self.LOCK_TIMEOUT_SEC}s: "

@@ -38,30 +38,11 @@ __all__ = [
     "rank_by",
 ]
 
-# Persisted intermediates handed out by bm25_scores. Dataset.persist
-# registers in the session CacheManager, which pins the blocks until an
-# explicit unpersist (driver gc frees localCheckpoint RDDs, NOT
-# CacheManager entries) — callers running many queries in one session
-# must call release_caches() after materializing each result.
-_PERSISTED: list = []
-
-
-def release_caches() -> int:
-    """Unpersist every cached intermediate this module has handed out.
-
-    Returns the number of DataFrames released. Safe to call any time:
-    unpersisting is idempotent and lazily-persisted frames that never
-    materialized just drop their CacheManager registration.
-    """
-    n = 0
-    while _PERSISTED:
-        df = _PERSISTED.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass
-    return n
+# The materialized-intermediate registry lives in runtime.py (it is
+# shared with the dedup checkpoints, not bm25-private); release_caches
+# is re-exported here because existing runners import it from this
+# module.
+from ..runtime import register_materialized, release_caches  # noqa: F401
 
 
 def tokens_expr(text: Column) -> Column:
@@ -135,7 +116,7 @@ def bm25_scores(
     from pyspark import StorageLevel
 
     per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(per_doc)
+    register_materialized(per_doc)
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

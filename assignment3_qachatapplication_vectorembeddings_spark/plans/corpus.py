@@ -2727,7 +2727,11 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").isin("NATION_1", "NATION_2")
         ).collect()
     }
-    k1, k2 = keymap["NATION_1"], keymap["NATION_2"]
+    # a dataset missing either nation yields the same well-defined
+    # EMPTY result the join formulation produced (not a KeyError):
+    # sentinel keys match no supplier/customer row
+    k1 = keymap.get("NATION_1", -1)
+    k2 = keymap.get("NATION_2", -2)
 
     def name_of(key_col):
         return F.when(key_col == k1, "NATION_1").otherwise("NATION_2")

@@ -33,7 +33,7 @@ def main() -> None:
     # the plan, not session startup.
     next(iter(CORPUS.values())).fn(spark, sf_dir).limit(1).collect()
 
-    from assignment3_qachatapplication_vectorembeddings_spark.operators.text_search import release_caches
+    from assignment3_qachatapplication_vectorembeddings_spark.runtime import release_caches
 
     timings: dict[str, float] = {}
     for name, spec in CORPUS.items():

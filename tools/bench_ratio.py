@@ -49,7 +49,7 @@ def best_of(fn, runs: int, spark=None) -> float:
     # need the explicit unpersist in release_caches().
     import gc
 
-    from assignment3_qachatapplication_vectorembeddings_spark.operators.text_search import release_caches
+    from assignment3_qachatapplication_vectorembeddings_spark.runtime import release_caches
 
     release_caches()
     gc.collect()

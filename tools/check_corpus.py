@@ -139,7 +139,7 @@ def main() -> int:
             # unpersist, which release_caches() does.
             import gc
 
-            from assignment3_qachatapplication_vectorembeddings_spark.operators.text_search import release_caches
+            from assignment3_qachatapplication_vectorembeddings_spark.runtime import release_caches
 
             release_caches()
             gc.collect()

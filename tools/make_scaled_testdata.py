@@ -29,7 +29,10 @@ if _REPO not in sys.path:
 from pyspark.sql import functions as F
 
 from assignment3_qachatapplication_vectorembeddings_spark.session import get_spark
-from assignment3_qachatapplication_vectorembeddings_spark.sources.tables import load_table
+from assignment3_qachatapplication_vectorembeddings_spark.sources.tables import (
+    clear_table_cache,
+    load_table,
+)
 
 #: big enough that no source key crosses replica ranges
 OFFSET = 10_000_000
@@ -64,6 +67,9 @@ def main() -> int:
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
 
     spark = get_spark("make-scaled-testdata", shuffle_partitions=32)
+    # this tool overwrites parquet dirs in place on reruns; memoized
+    # relations would pin the previous run's file listing
+    clear_table_cache()
 
     for t in DIMS:
         load_table(spark, src, t).coalesce(1).write.mode("overwrite").parquet(
