@@ -233,3 +233,19 @@ def test_semdedup_threshold_one_keeps_everything(spark):
     marked = semdedup(emb, threshold=1.0, nlist=2, seed=1)
     assert marked.filter("NOT is_kept").count() == 0
     assert marked.count() == 10
+
+
+def test_simhash_table_drops_null_text(spark):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.dedup import (
+        simhash_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in simhash_table(docs).collect()}
+    # NULL text vanishes (matching the explode plan and the SQL oracle's
+    # unnest); empty text still signs (hash of the single '' token)
+    assert set(rows) == {1, 3}
+    assert rows[1] is not None and rows[3] is not None
