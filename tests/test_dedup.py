@@ -249,3 +249,77 @@ def test_simhash_table_drops_null_text(spark):
     # unnest); empty text still signs (hash of the single '' token)
     assert set(rows) == {1, 3}
     assert rows[1] is not None and rows[3] is not None
+
+
+@pytest.mark.parametrize("seed", [3, 17, 92])
+def test_simhash_banding_lossless_vs_brute_force(spark, seed):
+    """The pigeonhole band join must find EXACTLY the pairs brute-force
+    hamming comparison finds — banding is a join strategy, not an
+    approximation."""
+    import itertools
+    import random
+
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_table,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    base = rng.choices(vocab, k=60)
+    docs = []
+    for i in range(20):
+        words = list(base)
+        # small mutations so some pairs land within hamming<=4
+        for _ in range(rng.randint(0, 6)):
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_table(df).collect()}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 4
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(df, max_distance=4).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 41])
+def test_minhash_verified_pairs_subset_of_exact_and_finds_identicals(spark, seed):
+    """LSH candidates are approximate, but (a) every VERIFIED pair must
+    also appear in the exact n-gram Jaccard pairs at the same threshold
+    (the verify stage computes true Jaccard), and (b) an exact duplicate
+    (identical text → identical signatures in every band) can never be
+    missed."""
+    import random
+
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = []
+    for i in range(15):
+        docs.append((i, " ".join(rng.choices(vocab, k=50))))
+    docs.append((100, docs[0][1]))  # planted exact duplicate of doc 0
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, threshold=0.8).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert abs(j - exact[pair]) < 1e-12  # verify stage = true Jaccard
+    assert (0, 100) in lsh  # identical docs always collide in every band
