@@ -55,6 +55,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions.minibpe import minibpe_count
 from ..functions.textfns import bpe_token_count_py
 
 __all__ = [
@@ -100,6 +101,12 @@ def _tiktoken_count(text: str, _cache: dict = {}) -> int:
 TOKENIZERS: dict[str, Callable[[str], int]] = {
     "ws": _ws_count,
     "bpe": bpe_token_count_py,
+    # Genuine merge-based byte-level BPE (stdlib-only, deterministic
+    # self-trained table) whose counts are NON-additive across join
+    # seams like real cl100k — always available, so the fold goldens
+    # exercise seam-sensitive counting even without tiktoken. See
+    # functions/minibpe.py.
+    "minibpe": minibpe_count,
 }
 
 try:
