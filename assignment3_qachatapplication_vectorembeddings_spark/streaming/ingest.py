@@ -338,6 +338,20 @@ _SESSION_STATE_SCHEMA = StructType(
 
 _GAP_US = 1800 * 1_000_000  # 30 min, matching the batch sessionization
 
+# Per-group output template: building a fresh 1-row DataFrame from a
+# dict costs ~160µs; copying a dtype-correct template and poking values
+# via .iat costs ~50µs. With one Python call per user per micro-batch
+# (~15k groups at sf1) the constructor is a top-2 term in the whole
+# drain, so this matters. Dtypes must match _SESSION_OUT_SCHEMA exactly
+# (int64 / int32 / int64) or Arrow re-casts per group.
+_OUT_TEMPLATE = pd.DataFrame(
+    {
+        "user_id": pd.array([0], dtype="int64"),
+        "n_sessions": pd.array([0], dtype="int32"),
+        "n_events": pd.array([0], dtype="int64"),
+    }
+)
+
 
 def _session_fn(
     key: Tuple[int],
@@ -355,16 +369,22 @@ def _session_fn(
     # shuffle order — sorting each chunk independently would compute
     # gaps over unordered timestamps once a user exceeds one chunk per
     # micro-batch. Materialize the whole group, then sort globally.
+    # pd.concat costs ~130µs/call even for one chunk, so the (dominant)
+    # single-chunk case skips it and concatenates bare µs arrays only
+    # when a group really spans chunks.
     # Gap detection is vectorized (np.diff over the sorted µs array) —
     # the per-row pandas-scalar loop this replaced dominated the drain
     # (~2× the whole query at sf1). Session count is order-independent
     # under timestamp ties, so sorting the bare int array is exact.
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    if chunks:
-        import numpy as np
+    import numpy as np
 
-        pdf = pd.concat(chunks, ignore_index=True)
-        ts_us = (pdf["ts"].astype("int64").to_numpy() // 1000)
+    arrs = [
+        pdf["ts"].to_numpy().view("int64") // 1000
+        for pdf in pdfs
+        if len(pdf)
+    ]
+    if arrs:
+        ts_us = arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
         ts_us.sort()
         n_sessions += int(last_ts_us is None or ts_us[0] - last_ts_us > _GAP_US)
         if len(ts_us) > 1:
@@ -372,21 +392,23 @@ def _session_fn(
         last_ts_us = int(ts_us[-1])
         n_events += len(ts_us)
     state.update((last_ts_us, n_sessions, n_events))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_sessions": [n_sessions],
-            "n_events": [n_events],
-        }
-    )
+    out = _OUT_TEMPLATE.copy()
+    out.iat[0, 0] = key[0]
+    out.iat[0, 1] = n_sessions
+    out.iat[0, 2] = n_events
+    yield out
 
 
 def sessionize_stream(events: DataFrame) -> DataFrame:
     """applyInPandasWithState: per-user session counts, updated per
     micro-batch — the custom-stateful-operator pattern (SURVEY §2.9's
     'not required for parity' op, provided anyway for the streaming
-    mode)."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    mode).
+
+    Projects to (user_id, ts) before the stateful shuffle: the
+    sessionizer reads only timestamps, so the other event columns would
+    just widen the exchange and every per-group Arrow transfer."""
+    return events.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
         _session_fn,
         outputStructType=_SESSION_OUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
