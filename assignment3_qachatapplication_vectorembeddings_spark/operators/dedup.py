@@ -50,6 +50,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_table",
     "simhash_pairs",
+    "duplicate_span_table",
     "connected_components",
     "embedding_topk_pairs",
     "semdedup",
@@ -526,6 +527,75 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_distance)
         .distinct()
+    )
+
+
+def duplicate_span_table(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+    fan_out: bool = True,
+) -> DataFrame:
+    """Token-span-level exact duplication: per-document maximal runs of
+    corpus-duplicated ``n``-grams (the distributed analogue of
+    suffix-array substring dedup — Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"). Sits between ``line_dedup``
+    (line-level) and the doc-level near-dup family: a span copied
+    between two documents (or repeated inside one — also real
+    duplication for LM training) is made entirely of ``n``-grams with
+    corpus frequency ≥ ``min_count``, so maximal runs of such grams
+    recover the duplicated substrings without ever building a suffix
+    array.
+
+    Returns ``(id_col, span_start, n_grams, n_tokens)`` — one row per
+    maximal duplicated span; ``span_start`` is the 0-based token
+    offset, ``n_tokens = n_grams + n - 1`` the tokens the span covers.
+
+    Scale shape: gram positions stay 8-byte xxhash64 longs (never gram
+    strings — a false span needs a 64-bit collision, the documented
+    `_pair_jaccard` odds); the frequency count is a map-side-combining
+    groupBy on the hash; the duplicated-gram set is the small side of
+    the semi join (AQE broadcasts it); the run detection is one
+    shuffle keyed on the document id plus an in-partition window —
+    nothing quadratic, no driver materialization.
+    """
+    from pyspark.sql.window import Window
+
+    if fan_out:
+        docs = _fan_out(docs, id_col)
+    toks = docs.select(
+        id_col,
+        F.expr(
+            rf"filter(split(trim(lower({text_col})), '\\s+'), x -> x <> '')"
+        ).alias("_toks"),
+    )
+    args = ", ".join(f"_toks[i+{j}]" for j in range(n))
+    hashes = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(0, size(_toks)-{n}), i -> xxhash64({args})) "
+        "ELSE array() END"
+    )
+    grams = toks.select(id_col, F.posexplode(hashes).alias("pos", "h"))
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    hits = grams.join(dup, "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = hits.withColumn("rid", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy(id_col, "rid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .withColumn("n_tokens", F.col("n_grams") + F.lit(n - 1))
+        .drop("rid")
     )
 
 

@@ -3386,7 +3386,61 @@ SELECT (SELECT count(*) FROM documents WHERE source <> 'src0') AS n_train,
        count(*) AS n_contaminated,
        round(count(*) / (SELECT count(*) FROM documents
                          WHERE source <> 'src0')::DOUBLE, 4) AS pct
-FROM contam
+FROM contam"""
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup summary: maximal duplicated 5-gram token
+    spans (``duplicate_span_table``, the suffix-array-free analogue of
+    Lee et al. substring dedup) rolled up per source. Counts are
+    position-offset-invariant (no raw span offsets in the output), so
+    the Spark 0-based and DuckDB 1-based token positions agree
+    exactly. The join back to documents for the source column keys on
+    doc_id — the same partitioning the span groupBy just produced."""
+    from ..operators.dedup import duplicate_span_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_span_table(docs, n=5, min_count=2)
+    return (
+        spans.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_with_dups"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("n_grams").alias("n_dup_grams"),
+            F.sum("n_tokens").alias("n_dup_tokens"),
+            F.max("n_tokens").alias("max_span_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_DUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') t
+  FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+         || t[i+3] || ' ' || t[i+4] AS g
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i
+        FROM toks)),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+  FROM grams JOIN dupg USING (g)),
+spans AS (
+  SELECT doc_id, count(*) AS n_grams, count(*) + 4 AS n_tokens
+  FROM runs GROUP BY doc_id, rid)
+SELECT d.source,
+       count(DISTINCT s.doc_id) AS n_docs_with_dups,
+       count(*) AS n_spans,
+       CAST(sum(s.n_grams) AS BIGINT) AS n_dup_grams,
+       CAST(sum(s.n_tokens) AS BIGINT) AS n_dup_tokens,
+       max(s.n_tokens) AS max_span_tokens
+FROM spans s JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
 """
 
 
@@ -4189,6 +4243,10 @@ CORPUS: dict[str, QuerySpec] = {
     "contamination_check": QuerySpec(
         q_contamination_check, _SQL_CONTAMINATION,
         "benchmark decontamination: 5-gram overlap semi join",
+    ),
+    "dup_spans": QuerySpec(
+        q_dup_spans, _SQL_DUP_SPANS,
+        "substring dedup: maximal duplicated 5-gram token spans per source",
     ),
     "min_cost_supplier": QuerySpec(
         q_min_cost_supplier, _SQL_MIN_COST_SUPPLIER,

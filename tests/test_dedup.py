@@ -323,3 +323,54 @@ def test_minhash_verified_pairs_subset_of_exact_and_finds_identicals(spark, seed
     for pair, j in lsh.items():
         assert abs(j - exact[pair]) < 1e-12  # verify stage = true Jaccard
     assert (0, 100) in lsh  # identical docs always collide in every band
+
+
+def test_duplicate_span_table_hand_golden(spark):
+    """Hand-enumerable span cases: a cross-doc shared run, a within-doc
+    repeat (two separated 1-gram spans), and a clean doc."""
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.dedup import (
+        duplicate_span_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # A and B share tokens "a b c d e f" -> grams "a b c d e",
+            # "b c d e f": ONE maximal span of 2 grams / 6 tokens each
+            (1, "a b c d e f g h"),
+            (2, "x a b c d e f y"),
+            # "p q r s t" occurs at token 0 and 5 -> two separated
+            # spans of 1 gram / 5 tokens
+            (3, "p q r s t p q r s t"),
+            # no duplicated grams
+            (4, "one two three four five six"),
+            # short doc: no grams at all
+            (5, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicate_span_table(docs, n=5, min_count=2).collect()
+    got = sorted((r.doc_id, r.span_start, r.n_grams, r.n_tokens) for r in rows)
+    assert got == [
+        (1, 0, 2, 6),   # "a b c d e f" starts at token 0 in doc 1
+        (2, 1, 2, 6),   # ... and at token 1 in doc 2
+        (3, 0, 1, 5),
+        (3, 5, 1, 5),
+    ]
+
+
+def test_duplicate_span_min_count_and_empty(spark):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.dedup import (
+        duplicate_span_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    # every gram occurs 3x; min_count=4 filters everything
+    assert duplicate_span_table(docs, min_count=4).count() == 0
+    spans = duplicate_span_table(docs, min_count=3).collect()
+    # each doc: one span covering both grams (6 tokens)
+    assert sorted((r.doc_id, r.n_grams, r.n_tokens) for r in spans) == [
+        (1, 2, 6), (2, 2, 6), (3, 2, 6),
+    ]
