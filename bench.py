@@ -35,8 +35,7 @@ def main() -> None:
 
     from assignment3_qachatapplication_vectorembeddings_spark.runtime import release_caches
 
-    timings: dict[str, float] = {}
-    for name, spec in CORPUS.items():
+    def _run_once(spec) -> float:
         t0 = time.time()
         df = spec.fn(spark, sf_dir)
         try:
@@ -47,7 +46,21 @@ def main() -> None:
             df.toArrow()
         except Exception:
             df.collect()  # non-Arrow-convertible result types
-        timings[name] = round(time.time() - t0, 4)
+        return time.time() - t0
+
+    # Warm best-of-2 with a fresh plan per run — the SAME methodology
+    # BASELINE.md's DuckDB ratio table uses (tools/bench_ratio.py), so
+    # the driver's BENCH_r{N} and the baseline are comparable. The cold
+    # first-run total is reported alongside: it bundles Catalyst
+    # analysis + codegen + Python-UDF ship-out, real one-time costs but
+    # not plan cost.
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    for name, spec in CORPUS.items():
+        first = _run_once(spec)
+        second = _run_once(spec)
+        cold[name] = round(first, 4)
+        timings[name] = round(min(first, second), 4)
         # unpersist between queries (outside the timed section): cached
         # intermediates otherwise pin CacheManager blocks for the whole
         # run and later queries measure memory pressure
@@ -58,7 +71,10 @@ def main() -> None:
         "metric": "corpus_total_wall",
         "value": total,
         "unit": "sec",
+        "timing": "warm_best_of_2_fresh_plans",
+        "cold_total": round(sum(cold.values()), 4),
         "queries": timings,
+        "queries_cold": cold,
         "sf": sf,
     }
     full_line = json.dumps(full, separators=(",", ":"))
@@ -77,6 +93,8 @@ def main() -> None:
         "metric": "corpus_total_wall",
         "value": total,
         "unit": "sec",
+        "timing": "warm_best_of_2",
+        "cold_total": round(sum(cold.values()), 4),
         "n_queries": len(timings),
         "queries": {},
         "queries_truncated": True,

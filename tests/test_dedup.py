@@ -374,3 +374,50 @@ def test_duplicate_span_min_count_and_empty(spark):
     assert sorted((r.doc_id, r.n_grams, r.n_tokens) for r in spans) == [
         (1, 2, 6), (2, 2, 6), (3, 2, 6),
     ]
+
+
+@pytest.mark.parametrize("seed", [7, 23, 61])
+def test_duplicate_spans_match_bruteforce(spark, seed):
+    """Random small-vocab docs (dense gram collisions) vs an in-process
+    brute-force span finder — counts must match exactly."""
+    import random
+    from collections import Counter
+
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.dedup import (
+        duplicate_span_table,
+    )
+
+    n, min_count = 4, 2
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(8)]  # tiny vocab -> many dup grams
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 30))))
+            for i in range(40)]
+
+    # brute force: corpus gram frequencies, then maximal runs per doc
+    freq = Counter()
+    toks = {}
+    for did, text in docs:
+        t = [w for w in text.strip().lower().split() if w]
+        toks[did] = t
+        for i in range(len(t) - n + 1):
+            freq[tuple(t[i:i + n])] += 1
+    expected = set()
+    for did, t in toks.items():
+        dup = [freq[tuple(t[i:i + n])] >= min_count
+               for i in range(len(t) - n + 1)]
+        i = 0
+        while i < len(dup):
+            if dup[i]:
+                j = i
+                while j + 1 < len(dup) and dup[j + 1]:
+                    j += 1
+                expected.add((did, i, j - i + 1, j - i + n))
+                i = j + 1
+            i += 1
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.n_grams, r.n_tokens)
+        for r in duplicate_span_table(df, n=n, min_count=min_count).collect()
+    }
+    assert got == expected
