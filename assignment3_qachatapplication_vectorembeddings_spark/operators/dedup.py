@@ -75,24 +75,11 @@ def normalized_tokens(text: Column) -> Column:
 
 
 def _fan_out(docs: DataFrame, id_col: str) -> DataFrame:
-    """Repartition documents by id before a CPU-heavy per-doc stage.
+    """Repartition documents by id before a CPU-heavy per-doc stage
+    (shared widen-only logic: see ``operators.fanout.fan_out``)."""
+    from .fanout import fan_out
 
-    Tokenization/hashing cost lives map-side, so it inherits the INPUT
-    file layout — a corpus packed into few row groups would serialize
-    shingling onto as many cores. Hashing docs across the cluster first
-    costs one narrow-text shuffle (input text is smaller than the
-    exploded shingle output it produces) and the doc-key partitioning is
-    exactly what every downstream groupBy(id) reuses.
-    """
-    spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    # only widen: if the scan already yields >= target splits, an extra
-    # exchange would SHRINK map parallelism and shuffle full text for
-    # nothing (and an exchange above the scan can also hide filter
-    # pushdown from the plan auditor)
-    if docs.rdd.getNumPartitions() >= target:
-        return docs
-    return docs.repartition(target, F.col(id_col))
+    return fan_out(docs, id_col)
 
 
 def shingle_table(

@@ -137,8 +137,16 @@ _DECODED_SCHEMA = StructType(
 def decode_images(df: DataFrame, codec=None) -> DataFrame:
     """binary → raw pixel buffer (media_id, width, height, channels,
     pixels). One Arrow batch in, one out; rows with decode failures are
-    dropped with a null-quarantine pattern (None pixels filtered)."""
+    dropped with a null-quarantine pattern (None pixels filtered).
+
+    Decode is the CPU-heavy per-row stage of any media pipeline, so the
+    input is fanned out (widen-only) before the pandas stage — a
+    single-row-group media table must not serialize decoding onto one
+    core."""
+    from .fanout import fan_out
+
     codec = codec or FakeCodec()
+    df = fan_out(df, "media_id")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

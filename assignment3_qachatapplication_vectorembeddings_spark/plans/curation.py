@@ -70,6 +70,12 @@ def curate_documents(
     cfg = config or CurationConfig()
     q = quality_columns(F.col(text_col))
 
+    # the lang-ID pandas UDF + quality/fingerprint expressions below run
+    # map-side on the INPUT layout; fan out (widen-only) so a
+    # single-row-group corpus doesn't serialize scoring onto one core
+    from ..operators.fanout import fan_out
+
+    docs = fan_out(docs, id_col)
     scored = docs.select(
         id_col,
         text_col,
