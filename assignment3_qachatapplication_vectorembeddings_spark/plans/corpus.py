@@ -3440,7 +3440,54 @@ SELECT d.source,
        CAST(sum(s.n_tokens) AS BIGINT) AS n_dup_tokens,
        max(s.n_tokens) AS max_span_tokens
 FROM spans s JOIN documents d USING (doc_id)
-GROUP BY d.source ORDER BY d.source
+GROUP BY d.source ORDER BY d.source"""
+
+
+def q_novelty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest novelty (source src1 plays the incoming
+    batch): batch docs whose normalized-content fingerprint never
+    occurs in the rest of the corpus. Runs through the Bloom-pruned
+    ``novel_rows`` operator — the bloom resolves most of the batch
+    without touching the corpus; only the "maybe" residue pays the
+    exact semi join, and false positives can only route rows to the
+    exact stage, never change the answer — so the result is EXACT and
+    the oracle is a plain anti join on the same fingerprint."""
+    from ..operators.novelty import novel_rows
+
+    # fingerprint once, then checkpoint the narrow (id, source, fp)
+    # projection: the bloom build and the verify anti join are separate
+    # plan executions, and without this the corpus text would be
+    # regex-normalized + md5'd twice
+    from ..operators.fanout import fan_out
+
+    fps = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id", "source", exact_fingerprint(F.col("text")).alias("__fp")
+        )
+        .localCheckpoint(eager=False)
+    )
+    corpus = fps.filter(F.col("source") != "src1").select("__fp")
+    batch = fps.filter(F.col("source") == "src1").select("doc_id", "__fp")
+    # m=2^23 bits / k=7: ~2e-6 FP at 200k corpus keys — 7 probes per
+    # row beats the "optimal" k=29 (probe CPU scales with k; FP is
+    # already far below anything that would widen the verify stage)
+    novel, _ = novel_rows(corpus, batch, "__fp", k=7, with_stats=False)
+    return novel.select("doc_id").orderBy("doc_id")
+
+
+# same normalization as exact_fingerprint (casefold, collapse \s+, trim);
+# DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all
+_SQL_NOVELTY = r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+  FROM documents)
+SELECT b.doc_id
+FROM fp b
+WHERE b.source = 'src1'
+  AND NOT EXISTS (SELECT 1 FROM fp c WHERE c.source <> 'src1' AND c.f = b.f)
+ORDER BY doc_id
 """
 
 
@@ -4247,6 +4294,10 @@ CORPUS: dict[str, QuerySpec] = {
     "dup_spans": QuerySpec(
         q_dup_spans, _SQL_DUP_SPANS,
         "substring dedup: maximal duplicated 5-gram token spans per source",
+    ),
+    "novelty_check": QuerySpec(
+        q_novelty_check, _SQL_NOVELTY,
+        "bloom-pruned incremental novelty (exact; anti-join oracle)",
     ),
     "min_cost_supplier": QuerySpec(
         q_min_cost_supplier, _SQL_MIN_COST_SUPPLIER,

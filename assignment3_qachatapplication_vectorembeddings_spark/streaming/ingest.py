@@ -378,11 +378,16 @@ def _session_fn(
     # under timestamp ties, so sorting the bare int array is exact.
     import numpy as np
 
-    arrs = [
-        pdf["ts"].to_numpy().view("int64") // 1000
-        for pdf in pdfs
-        if len(pdf)
-    ]
+    def _to_us(series: pd.Series) -> "np.ndarray":
+        arr = series.to_numpy()
+        # Arrow→pandas normally yields datetime64[ns], but be exact if a
+        # future serializer hands datetime64[us] through; never sort a
+        # raw .view() in place (it would scribble on the input frame).
+        if np.datetime_data(arr.dtype)[0] == "us":
+            return arr.view("int64").copy()
+        return arr.view("int64") // 1000
+
+    arrs = [_to_us(pdf["ts"]) for pdf in pdfs if len(pdf)]
     if arrs:
         ts_us = arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
         ts_us.sort()

@@ -1,0 +1,89 @@
+"""Bloom-pruned novelty operator: exactness vs a plain anti join —
+including under an adversarially tiny (high-FP) filter — and pruning
+behavior."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from assignment3_qachatapplication_vectorembeddings_spark.operators.novelty import (
+    corpus_bloom,
+    novel_rows,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, key string")
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_novel_rows_equals_anti_join(spark, seed):
+    rng = random.Random(seed)
+    corpus_keys = [f"k{i}" for i in range(200)]
+    # batch: half planted dups of corpus keys, half fresh
+    batch_rows = []
+    for i in range(100):
+        if rng.random() < 0.5:
+            batch_rows.append((1000 + i, rng.choice(corpus_keys)))
+        else:
+            batch_rows.append((1000 + i, f"fresh{i}"))
+    corpus = _mk(spark, [(i, k) for i, k in enumerate(corpus_keys)])
+    batch = _mk(spark, batch_rows)
+
+    novel, stats = novel_rows(corpus, batch, "key")
+    got = {r.doc_id for r in novel.collect()}
+    expected = {
+        r.doc_id
+        for r in batch.join(corpus.select("key"), "key", "left_anti").collect()
+    }
+    assert got == expected
+    assert stats["n_batch"] == 100
+    # 1 MiB default filter over 200 keys: FP rate ~0, so the "maybe"
+    # subset is exactly the true duplicates
+    assert stats["n_maybe"] == 100 - len(expected)
+
+
+def test_novel_rows_exact_under_saturated_bloom(spark):
+    """m=8 bits: the filter saturates and says 'maybe' for nearly
+    everything — the answer must STILL be exact (FPs only route rows
+    through the exact join)."""
+    corpus = _mk(spark, [(i, f"k{i}") for i in range(50)])
+    batch = _mk(spark, [(100 + i, f"k{i}") for i in range(25)]  # dups
+                + [(200 + i, f"new{i}") for i in range(25)])    # novel
+    novel, stats = novel_rows(corpus, batch, "key", m_bits=8, k=2)
+    got = {r.doc_id for r in novel.collect()}
+    assert got == {200 + i for i in range(25)}
+    assert stats["prune_rate"] <= 0.5  # saturated: little or no pruning
+
+
+def test_no_false_negatives(spark):
+    """Every key inserted into the bloom must probe 'maybe' — a false
+    negative would silently mark a duplicate as novel."""
+    corpus = _mk(spark, [(i, f"k{i}") for i in range(1000)])
+    # batch IS the corpus: nothing may come out novel
+    novel, stats = novel_rows(corpus, corpus, "key", m_bits=1 << 16, k=6)
+    assert novel.count() == 0
+    assert stats["n_maybe"] == 1000
+
+
+def test_empty_sides(spark):
+    corpus = _mk(spark, [(1, "a")])
+    empty = corpus.limit(0)
+    # empty corpus: all batch rows novel, zero maybes
+    novel, stats = novel_rows(empty, corpus, "key")
+    assert {r.doc_id for r in novel.collect()} == {1}
+    assert stats["n_maybe"] == 0
+    # empty batch: nothing novel
+    novel2, stats2 = novel_rows(corpus, empty, "key")
+    assert novel2.count() == 0
+    assert stats2["n_batch"] == 0
+
+
+def test_corpus_bloom_k_derivation(spark):
+    keys = _mk(spark, [(i, f"k{i}") for i in range(10)])
+    _, k = corpus_bloom(keys.select("key"), "key", m_bits=1 << 10, expected_items=100)
+    assert k == round((1 << 10) / 100 * 0.6931471805599453)
+    with pytest.raises(ValueError):
+        corpus_bloom(keys.select("key"), "key", m_bits=12)
