@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, StructField, StructType
 
-__all__ = ["corpus_bloom", "novel_rows"]
+__all__ = ["corpus_bloom", "novel_rows", "snapshot_diff"]
 
 #: seed for the second base hash (any constant ≠ the implicit 42 of
 #: single-arg xxhash64; fixed so filters are reproducible across runs)
@@ -180,3 +180,38 @@ def novel_rows(
         "k": k,
     }
     return novel, stats
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Dataset-version diff: per-id status between two corpus
+    snapshots — ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both, fingerprint differs), ``unchanged``.
+
+    One full-outer shuffle join on the id; both inputs should already
+    be narrow (id, fingerprint) projections — pass content hashes, not
+    text. NULL fingerprints compare via null-safe equality, so a doc
+    whose text became NULL (or vice versa) reads as ``changed``, not
+    ``unchanged``.
+    """
+    o = old.select(
+        F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp_old")
+    ).withColumn("__in_old", F.lit(True))
+    n = new.select(
+        F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp_new")
+    ).withColumn("__in_new", F.lit(True))
+    j = o.join(n, "__id", "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("__fp_old").eqNullSafe(F.col("__fp_new")), F.lit("changed")
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col("__id").alias(id_col), status.alias("status"))

@@ -3487,7 +3487,232 @@ SELECT b.doc_id
 FROM fp b
 WHERE b.source = 'src1'
   AND NOT EXISTS (SELECT 1 FROM fp c WHERE c.source <> 'src1' AND c.f = b.f)
-ORDER BY doc_id
+ORDER BY doc_id"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff (``snapshot_diff``): two deterministic
+    corpus snapshots are derived from the documents table with the
+    engine's cross-engine-stable md5-id bucket — old = buckets 0-89,
+    new = buckets 5-99 with buckets 40-49 textually edited — so the
+    diff has all four statuses and both engines construct identical
+    versions. One full-outer join on the id; counts per status."""
+    from ..operators.novelty import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    base = docs.select("doc_id", "text", bucket.alias("__b"))
+    old = base.filter(F.col("__b") < 90).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    edited = (F.col("__b") >= 40) & (F.col("__b") < 50)
+    new = base.filter(F.col("__b") >= 5).select(
+        "doc_id",
+        F.when(edited, F.md5(F.concat(F.col("text"), F.lit(" v2"))))
+        .otherwise(F.md5("text"))
+        .alias("fp"),
+    )
+    return (
+        snapshot_diff(old, new, id_col="doc_id", fp_col="fp")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH base AS (
+  SELECT doc_id, text,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+  FROM documents),
+old AS (SELECT doc_id, md5(text) AS fp FROM base WHERE b < 90),
+new AS (SELECT doc_id,
+               CASE WHEN b >= 40 AND b < 50 THEN md5(text || ' v2')
+                    ELSE md5(text) END AS fp
+        FROM base WHERE b >= 5),
+diff AS (
+  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT status, count(*) AS n_docs FROM diff GROUP BY status ORDER BY status"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., arXiv:2302.03169): score
+    raw-corpus docs by importance weight under a hashed bag-of-words
+    model — log p_target(x) − log p_raw(x) with src0 as the target
+    domain. Features are 8192 md5-hash buckets (the cross-engine hash
+    idiom; DSIR's own memory-bounding trick), bucket LMs are add-1
+    smoothed, and per-token log-ratios are snapped to integer
+    micro-nats and summed as LONGS (order-independent — the
+    unigram_logprob idiom). Top-100 docs by mean per-token log-ratio.
+
+    Plan shape: one conditional groupBy(bucket) builds BOTH LMs in a
+    single shuffle; the ≤8192-row ratio table broadcasts, so scoring
+    never shuffles token instances — the only other exchange is the
+    per-doc rollup."""
+    from ..operators.fanout import fan_out
+
+    B = 8192
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long"),
+        F.lit(B),
+    )
+    tb = toks.select("doc_id", "source", bucket.alias("b"))
+    is_target = F.col("source") == "src0"
+    lm = tb.groupBy("b").agg(
+        F.count(F.when(is_target, 1)).alias("ct"),
+        F.count(F.when(~is_target, 1)).alias("cr"),
+    )
+    totals = lm.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    # ratio of add-1-smoothed bucket probabilities as ONE double
+    # division of exact integer products, then ln → micro-nat long
+    ratio = (
+        (F.col("ct") + 1).cast("double") * (F.col("nr") + B).cast("double")
+    ) / ((F.col("cr") + 1).cast("double") * (F.col("nt") + B).cast("double"))
+    lr_micro = F.round(F.round(F.log(ratio), 6) * 1e6, 0).cast("long")
+    ratios = lm.crossJoin(F.broadcast(totals)).select(
+        "b", lr_micro.alias("lr")
+    )
+    scored = (
+        tb.filter(~is_target)
+        .join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr").alias("lr_sum"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                (F.col("lr_sum") / F.lit(1e6)) / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("dsir_logratio"),
+        )
+        .orderBy(F.desc("dsir_logratio"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+_SQL_DSIR = r"""
+WITH toks AS (
+  SELECT doc_id, source, t.token
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(token)
+  WHERE t.token <> ''),
+tb AS (
+  SELECT doc_id, source,
+         ('0x' || substring(md5(token), 1, 8))::BIGINT % 8192 AS b
+  FROM toks),
+lm AS (
+  SELECT b,
+         count(*) FILTER (WHERE source = 'src0') AS ct,
+         count(*) FILTER (WHERE source <> 'src0') AS cr
+  FROM tb GROUP BY b),
+totals AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM lm),
+ratios AS (
+  SELECT b,
+         round(ln(((ct + 1)::DOUBLE * (nr + 8192)::DOUBLE)
+                  / ((cr + 1)::DOUBLE * (nt + 8192)::DOUBLE)),
+               6)::DECIMAL(18,6) AS lr
+  FROM lm CROSS JOIN totals),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(lr) AS lr_sum
+  FROM tb JOIN ratios USING (b)
+  WHERE source <> 'src0'
+  GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(lr_sum::DOUBLE / n_tokens, 4) AS dsir_logratio
+FROM scored
+ORDER BY dsir_logratio DESC, doc_id ASC
+LIMIT 100"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing summary: greedy next-fit packing of
+    docs into 2048-token sequences inside 32 stable id-hash buckets
+    (``operators/packing.pack_sequences``), rolled up per bucket. The
+    per-bucket walk is deterministic (id order), so a recursive-CTE
+    oracle reproduces the exact sequence assignment. fill_rate =
+    packed tokens / (sequences × capacity)."""
+    from ..operators.fanout import fan_out
+    from ..operators.packing import pack_sequences
+
+    CAP, NB = 2048, 32
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(NB),
+    )
+    base = docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        bucket.alias("bucket"),
+    )
+    packed = pack_sequences(base, max_tokens=CAP)
+    seqs = packed.groupBy("bucket").agg(F.max("seq").alias("n_seqs"))
+    tokens = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    return (
+        tokens.join(seqs, "bucket")
+        .select(
+            "bucket",
+            "n_docs",
+            "n_seqs",
+            "sum_tokens",
+            F.round(
+                F.col("sum_tokens")
+                / (F.col("n_seqs") * F.lit(CAP)).cast("double"),
+                4,
+            ).alias("fill_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SQL_PACK_SEQUENCES = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 32 AS bucket
+  FROM documents),
+d AS (SELECT bucket, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM base),
+walk AS (
+  SELECT bucket, rn, n_tokens, 1::BIGINT AS seq, n_tokens AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.n_tokens,
+         CASE WHEN w.fill + d.n_tokens > 2048 THEN w.seq + 1 ELSE w.seq END,
+         CASE WHEN w.fill + d.n_tokens > 2048 THEN d.n_tokens
+              ELSE w.fill + d.n_tokens END
+  FROM walk w JOIN d ON d.bucket = w.bucket AND d.rn = w.rn + 1)
+SELECT bucket,
+       count(*) AS n_docs,
+       max(seq) AS n_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       round(sum(n_tokens)::DOUBLE / (max(seq) * 2048), 4) AS fill_rate
+FROM walk GROUP BY bucket ORDER BY bucket
 """
 
 
@@ -4298,6 +4523,18 @@ CORPUS: dict[str, QuerySpec] = {
     "novelty_check": QuerySpec(
         q_novelty_check, _SQL_NOVELTY,
         "bloom-pruned incremental novelty (exact; anti-join oracle)",
+    ),
+    "snapshot_diff": QuerySpec(
+        q_snapshot_diff, _SQL_SNAPSHOT_DIFF,
+        "dataset-version diff: added/removed/changed/unchanged counts",
+    ),
+    "dsir_weights": QuerySpec(
+        q_dsir_weights, _SQL_DSIR,
+        "DSIR importance weights: hashed-bow target/raw log-ratio top-100",
+    ),
+    "pack_sequences": QuerySpec(
+        q_pack_sequences, _SQL_PACK_SEQUENCES,
+        "training-sequence next-fit packing per id-hash bucket",
     ),
     "min_cost_supplier": QuerySpec(
         q_min_cost_supplier, _SQL_MIN_COST_SUPPLIER,

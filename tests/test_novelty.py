@@ -87,3 +87,31 @@ def test_corpus_bloom_k_derivation(spark):
     assert k == round((1 << 10) / 100 * 0.6931471805599453)
     with pytest.raises(ValueError):
         corpus_bloom(keys.select("key"), "key", m_bits=12)
+
+
+def test_snapshot_diff_statuses_and_null_fp(spark):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.novelty import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, None)],
+        "doc_id long, fp string",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 changed, 3 missing (removed), 6 added,
+        # 4: NULL->NULL is unchanged, 5: NULL->value is changed
+        [(1, "a"), (2, "B"), (4, None), (5, "now"), (6, "f")],
+        "doc_id long, fp string",
+    )
+    got = {
+        r.doc_id: r.status for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",
+        5: "changed",
+        6: "added",
+    }
