@@ -553,6 +553,11 @@ def duplicate_span_table(
 
     if fan_out:
         docs = _fan_out(docs, id_col)
+    # empty tokens are filtered EXPLICITLY (and the SQL oracle mirrors
+    # it with list_filter): Java's split drops trailing empty strings
+    # while DuckDB keeps them, so unfiltered tokenization diverges on
+    # trailing non-space whitespace — filtering both sides is the only
+    # whitespace-robust parity
     toks = docs.select(
         id_col,
         F.expr(

@@ -156,10 +156,17 @@ def novel_rows(
 
     h1, h2 = _hash_cols(F.col(key_col))
     # both output branches (certain-novel, maybe) consume the probe
-    # column; checkpoint so the pandas probe runs ONCE over the batch
+    # column; checkpoint so the pandas probe runs ONCE over the batch.
+    # Register the checkpoint AND the bitmap broadcast with the shared
+    # release registry (runtime.py contract) so sequential runners can
+    # drop the blocks between queries.
+    from ..runtime import register_materialized
+
     flagged = batch.withColumn("__maybe", _maybe_member(h1, h2)).localCheckpoint(
         eager=False
     )
+    register_materialized(flagged)
+    register_materialized(bc)
     certain_novel = flagged.filter(~F.col("__maybe")).drop("__maybe")
     maybe = flagged.filter(F.col("__maybe")).drop("__maybe")
     # the exact stage: only "maybe" rows meet the corpus (anti join
@@ -170,7 +177,11 @@ def novel_rows(
 
     if not with_stats:
         return novel, None
-    n_batch = batch.count()
+    # count the checkpointed frame (same cardinality as batch —
+    # withColumn preserves rows) so stats never re-run the batch's
+    # upstream lineage; this count also materializes the checkpoint
+    # for the maybe-count right after
+    n_batch = flagged.count()
     n_maybe = maybe.count()
     stats = {
         "n_batch": n_batch,

@@ -58,7 +58,11 @@ def pack_sequences(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, ignore_index=True)
-        toks = pdf[tokens_col].to_numpy()
+        # NULL token counts arrive as NaN (Arrow widens long->float64);
+        # NaN would poison the fill comparison (permanently False) and
+        # silently merge the rest of the bucket into one sequence —
+        # treat a NULL count as 0 tokens
+        toks = pdf[tokens_col].fillna(0).astype("int64").to_numpy()
         seqs = []
         seq, fill = 0, 0
         for n in toks:

@@ -3369,7 +3369,9 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CONTAMINATION = r"""
 WITH toks AS (
-  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') t
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
   FROM documents),
 grams AS (
   SELECT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
@@ -3417,7 +3419,9 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_DUP_SPANS = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') t
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
   FROM documents),
 grams AS (
   SELECT doc_id, i AS pos,
@@ -3460,6 +3464,8 @@ def q_novelty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex-normalized + md5'd twice
     from ..operators.fanout import fan_out
 
+    from ..runtime import register_materialized
+
     fps = (
         fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         .select(
@@ -3467,6 +3473,7 @@ def q_novelty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    register_materialized(fps)
     corpus = fps.filter(F.col("source") != "src1").select("__fp")
     batch = fps.filter(F.col("source") == "src1").select("doc_id", "__fp")
     # m=2^23 bits / k=7: ~2e-6 FP at 200k corpus keys — 7 probes per
@@ -3663,7 +3670,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.select(
         "doc_id",
-        token_count_col(F.col("text")).alias("n_tokens"),
+        # NULL text counts as 0 tokens on BOTH engines (see oracle)
+        F.coalesce(token_count_col(F.col("text")), F.lit(0)).alias("n_tokens"),
         bucket.alias("bucket"),
     )
     packed = pack_sequences(base, max_tokens=CAP)
@@ -3692,7 +3700,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PACK_SEQUENCES = r"""
 WITH RECURSIVE base AS (
   SELECT doc_id,
-         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         coalesce(len(regexp_extract_all(text, '\S+')), 0) AS n_tokens,
          ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 32 AS bucket
   FROM documents),
 d AS (SELECT bucket, doc_id, n_tokens,

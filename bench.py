@@ -58,6 +58,10 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name, spec in CORPUS.items():
         first = _run_once(spec)
+        # release BETWEEN the two runs too: run 1's registered
+        # checkpoint blocks would otherwise stay pinned while run 2 (the
+        # warm number usually selected) executes under doubled memory
+        release_caches()
         second = _run_once(spec)
         cold[name] = round(first, 4)
         timings[name] = round(min(first, second), 4)

@@ -63,3 +63,16 @@ def test_pack_matches_reference(spark, seed):
     ]
     cap = 250
     assert _run(spark, rows, cap) == _reference(rows, cap)
+
+
+def test_pack_null_token_counts(spark):
+    """NULL n_tokens (e.g. NULL text upstream) packs as 0 tokens
+    instead of poisoning the bucket fill with NaN."""
+    rows = [(0, 1, 100), (0, 2, None), (0, 3, 200), (0, 4, 100)]
+    df = spark.createDataFrame(rows, "bucket long, doc_id long, n_tokens long")
+    got = {
+        r.doc_id: r.seq for r in pack_sequences(df, max_tokens=250).collect()
+    }
+    # fill: 100, +0 (NULL) = 100, +200 = 300 > 250 -> seq 2 (fill 200),
+    # +100 = 300 > 250 -> seq 3
+    assert got == {1: 1, 2: 1, 3: 2, 4: 3}

@@ -36,23 +36,28 @@ def best_of(fn, runs: int, spark=None) -> float:
         # registered (release_caches covers known persist sites; this
         # covers future ones) so 90 sequential queries don't degrade
         spark.catalog.clearCache()
+    # drop DataFrame refs between runs so ContextCleaner releases each
+    # run's localCheckpoint blocks — otherwise 90 sequential queries
+    # (x2 runs) accumulate pinned RDDs and later timings measure memory
+    # pressure, not plans. persist()ed frames are pinned in CacheManager
+    # regardless of gc and need the explicit unpersist in
+    # release_caches(); releasing between the two runs also keeps run 2
+    # (the usually-selected warm number) from executing under run 1's
+    # still-pinned blocks.
+    import gc
+
+    from assignment3_qachatapplication_vectorembeddings_spark.runtime import release_caches
+
     fn()  # warmup, discarded
+    release_caches()
+    gc.collect()
     times = []
     for _ in range(runs):
         t0 = time.time()
         fn()
         times.append(time.time() - t0)
-    # drop DataFrame refs from this query so ContextCleaner releases its
-    # localCheckpoint blocks — otherwise 90 sequential queries accumulate
-    # pinned RDDs and later timings measure memory pressure, not plans.
-    # persist()ed frames are pinned in CacheManager regardless of gc and
-    # need the explicit unpersist in release_caches().
-    import gc
-
-    from assignment3_qachatapplication_vectorembeddings_spark.runtime import release_caches
-
-    release_caches()
-    gc.collect()
+        release_caches()
+        gc.collect()
     return min(times)
 
 
