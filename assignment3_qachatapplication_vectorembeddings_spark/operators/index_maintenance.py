@@ -394,6 +394,76 @@ class VectorIndex:
             "namespaces": per_form,
         }
 
+    # -- maintenance: small-file compaction -----------------------------------
+
+    def _partition_file_counts(self) -> dict[str, int]:
+        """Data-file count per title partition (skips _SUCCESS etc.)."""
+        fs, jvm = self._fs()
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        out: dict[str, int] = {}
+        if not fs.exists(root):
+            return out
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("title=")):
+                continue
+            n = sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if f.isFile() and not f.getPath().getName().startswith("_")
+            )
+            out[name[len("title="):]] = n
+        return out
+
+    def compact(self, *, max_files_per_partition: int = 1) -> dict[str, int]:
+        """Rewrite fragmented title partitions down to one file each.
+
+        Long-running ingest accumulates small files (append-mode loads,
+        per-micro-batch streaming upserts of OTHER tools, externally
+        produced layouts); small files poison scan parallelism math and
+        object-store listing at scale, so periodic compaction is part
+        of index health. Only partitions with more than
+        ``max_files_per_partition`` data files rewrite (dynamic
+        partition overwrite — untouched titles keep their files and
+        their mtimes); the catalog, which grows by append on every
+        upsert, is folded to a single file as well. Runs under the
+        writer lock like every mutation. Returns the pre-compaction
+        file count per rewritten title.
+        """
+        with self.write_lock():
+            counts = self._partition_file_counts()
+            victims = {
+                t: n for t, n in counts.items() if n > max_files_per_partition
+            }
+            if victims:
+                rows = (
+                    self.read()
+                    .filter(F.col("title").isin(list(victims)))
+                    .select("id", "vector", "title", "text")
+                    # cut lineage before overwriting the files being read
+                    .localCheckpoint(eager=True)
+                )
+                (
+                    rows.repartition("title")  # one reduce partition per title
+                    .write.mode("overwrite")
+                    .partitionBy("title")
+                    .parquet(self.path)
+                )
+            fs, jvm = self._fs()
+            cat = jvm.org.apache.hadoop.fs.Path(self.catalog_path)
+            if fs.exists(cat):
+                n_cat = sum(
+                    1
+                    for f in fs.listStatus(cat)
+                    if f.isFile() and not f.getPath().getName().startswith("_")
+                )
+                if n_cat > max_files_per_partition:
+                    kept = self.read_catalog().coalesce(1).localCheckpoint(
+                        eager=True
+                    )
+                    kept.write.mode("overwrite").parquet(self.catalog_path)
+            return victims
+
     # -- J3/J4: catalog sync ---------------------------------------------------
 
     def _catalog_add(self, form_names: Sequence[str]) -> None:

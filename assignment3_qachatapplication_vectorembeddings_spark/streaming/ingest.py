@@ -49,6 +49,7 @@ __all__ = [
     "run_windowed_counts_available_now",
     "dedup_stream",
     "sessionize_stream",
+    "run_streaming_novelty_ingest",
 ]
 
 #: Incoming document records (one json per line in the landing dir).
@@ -420,3 +421,63 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_streaming_novelty_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+):
+    """Streaming incremental-corpus ingest: only NOVEL documents pass.
+
+    Each micro-batch keeps the documents whose normalized-content
+    fingerprint occurs neither in the static corpus nor in anything
+    already ingested by earlier batches, then appends them to
+    ``out_path`` — the streaming face of ``operators.novelty``: the
+    corpus-side Bloom filter resolves most of the batch without
+    touching the corpus, the exact anti join cleans up the "maybe"
+    residue, and re-deliveries (at-least-once sources) or re-posted
+    documents in later batches are dropped because the output feeds
+    back into the seen-set. Within-batch duplicates collapse via a
+    fingerprint dropDuplicates before the novelty check.
+    """
+    from ..functions.textfns import exact_fingerprint
+    from ..operators.novelty import novel_rows
+    from ..runtime import release_caches
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.withColumn(
+            "__fp", exact_fingerprint(F.col("text"))
+        ).dropDuplicates(["__fp"])
+        seen = spark.read.parquet(corpus_path).select(
+            exact_fingerprint(F.col("text")).alias("__fp")
+        )
+        try:
+            ingested = spark.read.parquet(out_path).select(
+                exact_fingerprint(F.col("text")).alias("__fp")
+            )
+            seen = seen.unionByName(ingested)
+        except Exception:
+            pass  # first batch: nothing ingested yet
+        novel, _ = novel_rows(seen, batch, "__fp", with_stats=False)
+        novel.drop("__fp").write.mode("append").parquet(out_path)
+        # novel_rows registers its checkpoint + broadcast with the
+        # shared release registry; a long-running stream must drain it
+        # per batch or the registry pins blocks forever
+        release_caches()
+
+    writer = (
+        stream_documents(spark, landing_dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_process)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

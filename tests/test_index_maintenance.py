@@ -233,3 +233,48 @@ def test_write_lock_reentrant_within_thread(index, spark):
         index.upsert(make_updates(spark, [("r_0", "formR", "nested upsert")]))
         index.delete_by_ids(["r_0"])
     assert index.read().count() == 0 or not index.form_check("formR")
+
+
+def test_compact_folds_fragmented_partitions(index, spark, tmp_path):
+    """Two append-mode loads fragment each title partition; compact
+    rewrites only fragmented partitions down to one file with the row
+    set unchanged, and folds the append-grown catalog."""
+    import os
+
+    a = make_updates(spark, [("a_0", "formA", "alpha"), ("a_1", "formA", "beta")])
+    b = make_updates(spark, [("a_2", "formA", "gamma"), ("c_0", "formC", "delta")])
+    # fragment formA across two files via raw append loads (bypassing
+    # upsert's per-partition rewrite), then register forms via upsert
+    # of a third, already-compact title
+    for df in (a, b):
+        df.coalesce(1).write.mode("append").partitionBy("title").parquet(index.path)
+    index.upsert(make_updates(spark, [("z_0", "formZ", "zeta")]))
+    index._catalog_add(["formA", "formC"])  # grow the catalog by append
+
+    before = index._partition_file_counts()
+    assert before["formA"] == 2 and before["formZ"] == 1
+    rows_before = {
+        (r["id"], r["title"], r["text"]) for r in index.read().collect()
+    }
+    z_files_before = sorted(os.listdir(f"{index.path}/title=formZ"))
+
+    victims = index.compact()
+    assert set(victims) == {
+        t for t, n in before.items() if n > 1
+    } and victims["formA"] == 2
+
+    after = index._partition_file_counts()
+    assert all(n == 1 for n in after.values())
+    assert {
+        (r["id"], r["title"], r["text"]) for r in index.read().collect()
+    } == rows_before
+    # the already-compact partition was not rewritten
+    assert sorted(os.listdir(f"{index.path}/title=formZ")) == z_files_before
+    # catalog folded to one data file and still lists all forms
+    cat_files = [
+        f for f in os.listdir(index.catalog_path)
+        if not f.startswith("_") and not f.endswith(".crc")
+    ]
+    assert len(cat_files) == 1
+    forms = {r["form_name"] for r in index.read_catalog().collect()}
+    assert {"formA", "formC", "formZ"} <= forms

@@ -314,3 +314,50 @@ def test_session_fn_orders_across_arrow_chunks():
     assert out["n_events"].tolist() == [4]
     # state carries (last_ts_us, n_sessions, n_events)
     assert state.value[1] == 2 and state.value[2] == 4
+
+
+def test_streaming_novelty_ingest(spark, tmp_path):
+    """Only unseen documents pass: corpus dups are dropped, within-batch
+    duplicates collapse, and a later drain re-posting an already-
+    ingested doc adds nothing (output feeds the seen-set)."""
+    import json
+
+    from assignment3_qachatapplication_vectorembeddings_spark.streaming.ingest import (
+        run_streaming_novelty_ingest,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_path = str(tmp_path / "novel_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [("X", "known doc one"), ("Y", "known doc two")],
+        "FormName string, text string",
+    ).write.parquet(corpus_path)
+
+    def land(name, rows):
+        with open(landing / name, "w") as f:
+            for form, text in rows:
+                f.write(json.dumps({"FormName": form, "text": text}) + "\n")
+
+    # batch 1: a corpus dup (normalized-equal), a fresh doc (twice,
+    # within-batch dup), another fresh doc
+    land("b1.json", [
+        ("X2", "  KNOWN   doc one "),   # same fingerprint as corpus X
+        ("A", "fresh alpha"),
+        ("A2", "fresh alpha"),          # within-batch dup of A
+        ("B", "fresh beta"),
+    ])
+    q = run_streaming_novelty_ingest(spark, str(landing), corpus_path, out_path, ckpt)
+    q.awaitTermination()
+    texts = sorted(r["text"] for r in spark.read.parquet(out_path).collect())
+    assert texts == ["fresh alpha", "fresh beta"]
+
+    # batch 2 (same checkpoint): redelivered A + genuinely new C
+    land("b2.json", [("A", "fresh alpha"), ("C", "fresh gamma")])
+    q = run_streaming_novelty_ingest(spark, str(landing), corpus_path, out_path, ckpt)
+    q.awaitTermination()
+    texts = sorted(r["text"] for r in spark.read.parquet(out_path).collect())
+    assert texts == ["fresh alpha", "fresh beta", "fresh gamma"]
