@@ -119,3 +119,36 @@ def test_gopher_bigrams_not_inlined_per_iteration(spark, sf_dir):
 def test_line_dedup_is_single_codegen_projection(spark, sf_dir):
     plan = _plan(spark, sf_dir, "line_dedup")
     assert "Exchange" not in plan  # document-local at any corpus size
+
+
+def test_dup_spans_no_cartesian_and_hashed_grams(spark, sf_dir):
+    """Substring dedup must stay banded: no cartesian/nested-loop pair
+    generation, grams move as xxhash64 longs (no gram-string concat in
+    the exchange), and the run-group agg reuses the window's doc
+    partitioning (no extra exchange between window and groupBy)."""
+    plan = _plan(spark, sf_dir, "dup_spans")
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    """Token instances must NOT shuffle to meet the 8192-row ratio
+    table — the scoring join has to be a broadcast."""
+    plan = _plan(spark, sf_dir, "dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    # top-100 selection must not be a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_novelty_verify_join_not_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "novelty_check")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_single_walk_exchange(spark, sf_dir):
+    """The packing walk is one hash exchange on the bucket feeding
+    FlatMapGroupsInPandas — no global sort before the walk."""
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
