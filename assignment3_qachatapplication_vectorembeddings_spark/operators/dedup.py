@@ -50,6 +50,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_table",
     "simhash_pairs",
+    "hashed_gram_table",
     "duplicate_span_table",
     "connected_components",
     "embedding_topk_pairs",
@@ -321,6 +322,15 @@ def minhash_lsh_pairs(
     Candidate generation touches only (band, sig) buckets — the 100 TB
     path; the verify join runs only over candidates (few), so the
     exact-Jaccard cost is bounded by true-ish pairs, not all pairs.
+
+    Recall is PROBABILISTIC and set by the banding: with the default
+    16 hashes in 4 bands of 4 rows, a pair at true Jaccard s collides
+    in ≥1 band with p = 1−(1−s⁴)⁴ — ≈0.87 at s=0.8, ≈0.986 at s=0.9,
+    1.0 for identical docs. The previous 8×2 default found ~0.9997 of
+    s=0.8 pairs but passed ~20M false candidates on the sf1 stress
+    corpus (S-curve midpoint 0.35 vs 0.71 now); callers needing
+    near-certain recall at the threshold should raise ``num_hashes`` /
+    lower ``rows_per_band`` and pay the candidate volume.
     """
     # the shingle table feeds every downstream branch (band table plus
     # the verify sets); an EAGER checkpoint materializes it once and
@@ -517,6 +527,56 @@ def simhash_pairs(
     )
 
 
+def hashed_gram_table(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    extra_cols: tuple[str, ...] = (),
+    distinct: bool = False,
+    with_pos: bool = False,
+    fan_out: bool = True,
+) -> DataFrame:
+    """xxhash64 word ``n``-grams of whitespace tokens, one row per gram
+    occurrence: ``(id_col, *extra_cols[, pos], h)``. The single shared
+    builder behind substring dedup and decontamination — grams never
+    materialize as strings (multi-arg xxhash64 separates fields; the
+    explode and any downstream join move 8-byte longs).
+
+    Empty tokens are filtered EXPLICITLY, and SQL oracles must mirror
+    it with ``list_filter``: Java's split drops trailing empty strings
+    while DuckDB keeps them, so unfiltered tokenization diverges on
+    trailing non-space whitespace — filtering both sides is the only
+    whitespace-robust parity.
+
+    ``distinct=True`` dedups grams within a doc (membership semantics);
+    ``with_pos=True`` keeps the 0-based gram position (span/run
+    semantics). Documents with fewer than ``n`` tokens yield no rows.
+    """
+    if fan_out:
+        docs = _fan_out(docs, id_col)
+    toks = docs.select(
+        id_col,
+        *extra_cols,
+        F.expr(
+            rf"filter(split(trim(lower({text_col})), '\\s+'), x -> x <> '')"
+        ).alias("_toks"),
+    )
+    args = ", ".join(f"_toks[i+{j}]" for j in range(n))
+    body = f"transform(sequence(0, size(_toks)-{n}), i -> xxhash64({args}))"
+    if distinct:
+        body = f"array_distinct({body})"
+    hashes = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN {body} ELSE array() END"
+    )
+    if with_pos:
+        return toks.select(
+            id_col, *extra_cols, F.posexplode(hashes).alias("pos", "h")
+        )
+    return toks.select(id_col, *extra_cols, F.explode(hashes).alias("h"))
+
+
 def duplicate_span_table(
     docs: DataFrame,
     *,
@@ -551,26 +611,14 @@ def duplicate_span_table(
     """
     from pyspark.sql.window import Window
 
-    if fan_out:
-        docs = _fan_out(docs, id_col)
-    # empty tokens are filtered EXPLICITLY (and the SQL oracle mirrors
-    # it with list_filter): Java's split drops trailing empty strings
-    # while DuckDB keeps them, so unfiltered tokenization diverges on
-    # trailing non-space whitespace — filtering both sides is the only
-    # whitespace-robust parity
-    toks = docs.select(
-        id_col,
-        F.expr(
-            rf"filter(split(trim(lower({text_col})), '\\s+'), x -> x <> '')"
-        ).alias("_toks"),
+    grams = hashed_gram_table(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        with_pos=True,
+        fan_out=fan_out,
     )
-    args = ", ".join(f"_toks[i+{j}]" for j in range(n))
-    hashes = F.expr(
-        f"CASE WHEN size(_toks) >= {n} THEN "
-        f"transform(sequence(0, size(_toks)-{n}), i -> xxhash64({args})) "
-        "ELSE array() END"
-    )
-    grams = toks.select(id_col, F.posexplode(hashes).alias("pos", "h"))
     dup = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -842,6 +890,7 @@ def semdedup(
     threshold: float = 0.95,
     nlist: int | None = None,
     seed: int = 42,
+    keep_low: bool = False,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then inside
@@ -856,9 +905,9 @@ def semdedup(
     DESCENDING similarity-to-centroid order (id ascending as the
     tiebreak) and a member is kept iff no previously-kept member is
     more than ``threshold``-similar. The paper keeps LOW-centroid-
-    similarity examples to bias kept data toward cluster edges; the
-    visit order here is a config-free deterministic variant — flip
-    ``keep_low`` for the paper's bias.
+    similarity examples to bias kept data toward cluster edges —
+    ``keep_low=True`` flips the visit order to ascending centroid
+    similarity for exactly that bias.
 
     Scale shape: the quantizer fits on a bounded driver-side sample
     (``ivf_fit_centroids``); assignment is a distributed pandas-UDF
@@ -908,7 +957,9 @@ def semdedup(
         )
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         csim = mat @ cents_norm[cluster]
-        order = np.lexsort((pdf[id_col].to_numpy(), -csim))
+        order = np.lexsort(
+            (pdf[id_col].to_numpy(), csim if keep_low else -csim)
+        )
         kept_rows: list[int] = []
         kept = np.zeros(len(pdf), dtype=bool)
         for i in order:

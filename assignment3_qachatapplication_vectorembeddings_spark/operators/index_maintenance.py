@@ -151,6 +151,31 @@ class VectorIndex:
                 fs.delete(hp, False)
             return False
 
+    def _read_lock_stamp(self) -> str | None:
+        """Current lock-file content (the holder's pid/ts stamp), or
+        None if unreadable/vanished. Every acquirer writes a unique
+        stamp, so content equality identifies a SPECIFIC holder."""
+        local = self._local_lock_file()
+        try:
+            if local is not None:
+                with open(local, "r") as f:
+                    return f.read()
+            fs, jvm = self._fs()
+            hp = jvm.org.apache.hadoop.fs.Path(self.lock_path)
+            stream = fs.open(hp)
+            try:
+                data = bytearray()
+                while True:
+                    b = stream.read()
+                    if b < 0:
+                        break
+                    data.append(b)
+                return data.decode(errors="replace")
+            finally:
+                stream.close()
+        except Exception:
+            return None
+
     def _lock_age_sec(self) -> float | None:
         local = self._local_lock_file()
         try:
@@ -189,18 +214,28 @@ class VectorIndex:
         while not self._try_lock():
             age = self._lock_age_sec()
             if age is not None and age > self.LOCK_STALE_TTL_SEC:
-                # Holder presumed dead. Re-stat IMMEDIATELY before the
-                # delete so a lock that was just released-and-reacquired
-                # by a live writer (fresh mtime) is never broken; the
-                # residual stat→delete window is microseconds against an
-                # hour-scale TTL. (A conditional delete — If-Match on
-                # object stores — would close it entirely.) After the
+                # Holder presumed dead. The break is CONTENT-conditional:
+                # record the stale holder's unique stamp, re-verify age,
+                # and delete only if the stamp is UNCHANGED immediately
+                # before the unlink — so a breaker that got descheduled
+                # after its staleness check can never delete a DIFFERENT
+                # (fresh) writer's lock: that lock carries a new stamp
+                # and the equality fails. The residual window is one
+                # read→delete syscall pair and requires two breakers
+                # overlapping inside it (a conditional delete — If-Match
+                # on object stores — would close it entirely). After the
                 # break, fall through to the deadline check and sleep:
                 # breakers re-contend via the atomic create, and a
                 # failing delete must not turn into a busy spin.
                 with contextlib.suppress(Exception):
+                    stale_stamp = self._read_lock_stamp()
                     age2 = self._lock_age_sec()
-                    if age2 is not None and age2 > self.LOCK_STALE_TTL_SEC:
+                    if (
+                        stale_stamp is not None
+                        and age2 is not None
+                        and age2 > self.LOCK_STALE_TTL_SEC
+                        and self._read_lock_stamp() == stale_stamp
+                    ):
                         self._unlock()
             if time.monotonic() > deadline:
                 raise WriterLockTimeout(

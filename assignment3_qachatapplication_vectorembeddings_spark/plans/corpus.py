@@ -47,6 +47,19 @@ class QuerySpec:
     quality: Optional[Callable[[SparkSession, str, list], dict]] = None
 
 
+def _md5_bucket(c, n: int):
+    """Cross-engine-stable bucket in [0, n): first 8 md5 hex chars as a
+    long, mod n. Parity-critical — must stay bit-identical to DuckDB's
+    ``('0x' || substring(md5(x::VARCHAR), 1, 8))::BIGINT % n`` (also
+    expressible in Trino/Flink SQL), which is why every split/diff/
+    bucketing query shares THIS helper instead of hand-rolling it.
+    (The string cast is an identity on string columns like tokens.)"""
+    return F.pmod(
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(n),
+    )
+
+
 def _dec2(c):  # exact money arithmetic: sum(decimal) is order-independent
     return c.cast("decimal(18,2)")
 
@@ -1281,11 +1294,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure map-side filter (the rate CASE and the hash both sit on the
     scan) followed by one small agg."""
     events = load_table(spark, sf_dir, "events")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
-        .cast("long"),
-        F.lit(100),
-    )
+    bucket = _md5_bucket(F.col("event_id"), 100)
     rate = F.coalesce(
         *[
             F.when(F.col("event_type") == k, F.lit(v))
@@ -3254,11 +3263,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-prefix bucket is the engine's cross-engine-stable hash idiom
     (same value in DuckDB, Trino, or Flink SQL)."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long"),
-        F.lit(100),
-    )
+    bucket = _md5_bucket(F.col("doc_id"), 100)
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -3325,32 +3330,19 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct contaminated ids. The semi join keys on the gram string;
     at corpus scale the benchmark side is the small one and AQE
     broadcasts it — nothing quadratic anywhere."""
+    from ..operators.dedup import hashed_gram_table
+
     docs = load_table(spark, sf_dir, "documents")
-    # grams never materialize as strings: each 5-gram becomes
-    # xxhash64(tok[i..i+4]) straight off the token array — multi-arg
-    # xxhash64 separates fields (no concat ambiguity), the explode and
-    # the semi join move 8-byte longs instead of 5-word text, and the
-    # concat allocation disappears (measured 1.6 s → 0.9 s at sf1). A
-    # false contamination needs a 64-bit collision between a train gram
-    # and a distinct bench gram — odds far below corpus pair counts,
-    # deterministic if ever hit (the _pair_jaccard idiom).
-    n = 5
-    toks = docs.select(
-        "doc_id",
-        "source",
-        # NB the doubled backslash: SQL string literals eat one level of
-        # escaping, so '\s+' would split on the LETTER s
-        F.expr(r"filter(split(trim(lower(text)), '\\s+'), x -> x <> '')").alias(
-            "_toks"
-        ),
+    # grams never materialize as strings (hashed_gram_table: multi-arg
+    # xxhash64 straight off the token array — the explode and the semi
+    # join move 8-byte longs instead of 5-word text; measured
+    # 1.6 s → 0.9 s at sf1). A false contamination needs a 64-bit
+    # collision between a train gram and a distinct bench gram — odds
+    # far below corpus pair counts, deterministic if ever hit (the
+    # _pair_jaccard idiom).
+    grams = hashed_gram_table(
+        docs, n=5, extra_cols=("source",), distinct=True
     )
-    args = ", ".join(f"_toks[i+{j}]" for j in range(n))
-    hashes = F.expr(
-        f"CASE WHEN size(_toks) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size(_toks)-{n}), i -> xxhash64({args}))) "
-        "ELSE array() END"
-    )
-    grams = toks.select("doc_id", "source", F.explode(hashes).alias("h"))
     bench_grams = grams.filter(F.col("source") == "src0").select("h").distinct()
     train_grams = grams.filter(F.col("source") != "src0").select("doc_id", "h")
     train = docs.filter(F.col("source") != "src0")
@@ -3507,11 +3499,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.novelty import snapshot_diff
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long"),
-        F.lit(100),
-    )
+    bucket = _md5_bucket(F.col("doc_id"), 100)
     base = docs.select("doc_id", "text", bucket.alias("__b"))
     old = base.filter(F.col("__b") < 90).select(
         "doc_id", F.md5("text").alias("fp")
@@ -3573,10 +3561,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long"),
-        F.lit(B),
-    )
+    bucket = _md5_bucket(F.col("token"), B)
     tb = toks.select("doc_id", "source", bucket.alias("b"))
     is_target = F.col("source") == "src0"
     lm = tb.groupBy("b").agg(
@@ -3663,11 +3648,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     CAP, NB = 2048, 32
     docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long"),
-        F.lit(NB),
-    )
+    bucket = _md5_bucket(F.col("doc_id"), NB)
     base = docs.select(
         "doc_id",
         # NULL text counts as 0 tokens on BOTH engines (see oracle)

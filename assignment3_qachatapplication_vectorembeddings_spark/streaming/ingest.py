@@ -458,13 +458,18 @@ def run_streaming_novelty_ingest(
         seen = spark.read.parquet(corpus_path).select(
             exact_fingerprint(F.col("text")).alias("__fp")
         )
-        try:
+        # existence check, NOT a bare try/except around the read: a
+        # corrupt footer or transient store error must FAIL the batch
+        # (streaming retries it) — silently degrading the seen-set to
+        # corpus-only would re-ingest every earlier doc as a duplicate
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hp):
             ingested = spark.read.parquet(out_path).select(
                 exact_fingerprint(F.col("text")).alias("__fp")
             )
             seen = seen.unionByName(ingested)
-        except Exception:
-            pass  # first batch: nothing ingested yet
         novel, _ = novel_rows(seen, batch, "__fp", with_stats=False)
         novel.drop("__fp").write.mode("append").parquet(out_path)
         # novel_rows registers its checkpoint + broadcast with the

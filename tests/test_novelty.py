@@ -115,3 +115,23 @@ def test_snapshot_diff_statuses_and_null_fp(spark):
         5: "changed",
         6: "added",
     }
+
+
+def test_null_keys_match_anti_join(spark):
+    """NULL keys: xxhash64 is non-nullable (NULL hashes to the seed
+    value), so NULL-key rows flow through the bloom consistently and —
+    like a plain anti join, whose equality never matches NULL — always
+    come out novel."""
+    corpus = spark.createDataFrame(
+        [(1, "a"), (2, None)], "doc_id long, key string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "a"), (11, None), (12, "b")], "doc_id long, key string"
+    )
+    novel, _ = novel_rows(corpus, batch, "key")
+    got = {r.doc_id for r in novel.collect()}
+    expected = {
+        r.doc_id
+        for r in batch.join(corpus.select("key"), "key", "left_anti").collect()
+    }
+    assert got == expected == {11, 12}
