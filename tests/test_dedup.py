@@ -421,3 +421,29 @@ def test_duplicate_spans_match_bruteforce(spark, seed):
         for r in duplicate_span_table(df, n=n, min_count=min_count).collect()
     }
     assert got == expected
+
+
+def test_semdedup_keep_low_flips_survivor_choice(spark):
+    """keep_low=True visits members in ASCENDING centroid similarity,
+    so within a near-dup group the cluster-EDGE member survives
+    instead of the most central one (the paper's bias)."""
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.dedup import (
+        semdedup,
+    )
+
+    # one cluster: id 1 sits at the centroid direction, id 2 is the
+    # same direction but perturbed (lower centroid sim, still > 0.98
+    # similar to id 1); with nlist=1 both land in the one cell
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.995, 0.0999, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    hi = {r["vec_id"]: r["is_kept"]
+          for r in semdedup(emb, threshold=0.98, nlist=1, seed=3).collect()}
+    lo = {r["vec_id"]: r["is_kept"]
+          for r in semdedup(emb, threshold=0.98, nlist=1, seed=3,
+                            keep_low=True).collect()}
+    # exactly one survivor either way, but a different one
+    assert sum(hi.values()) == 1 and sum(lo.values()) == 1
+    assert hi != lo
