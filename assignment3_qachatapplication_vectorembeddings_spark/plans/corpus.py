@@ -4137,16 +4137,28 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE array() END"
         ).alias("bigrams"),
     )
-    top_bigram = (
-        base.select("doc_id", F.explode("bigrams").alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_bigram_cnt"))
+    # top-bigram count as a PER-ROW higher-order expression: sort the
+    # doc's bigram array and take the longest equal-run. The explode →
+    # groupBy(doc,bg) → groupBy(doc) → join-back formulation consumed
+    # the tokenize+bigram base TWICE (two subtrees) and paid two
+    # exchanges + a join purely for this scalar; the fold touches the
+    # array once per row (the lambda reads accumulator+element, never
+    # indexes the aliased array, so the optimizer can't re-inline the
+    # tokenization per iteration — the zip_with rule above).
+    top_cnt = F.expr(
+        "CASE WHEN size(bigrams) = 0 THEN 0 ELSE "
+        "aggregate(array_sort(bigrams), "
+        "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+        "(a, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1), "
+        "'best', greatest(a.best, "
+        "IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1))), "
+        "a -> a.best) END"
     )
     per_doc = (
-        base.drop("bigrams")
-        .join(top_bigram, "doc_id", "left")
+        base.withColumn("top_bigram_cnt", top_cnt)
+        .drop("bigrams")
         .select(
             "doc_id",
             "source",
