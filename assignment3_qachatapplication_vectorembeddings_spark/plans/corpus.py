@@ -3678,6 +3678,71 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (the static-target core of
+    DoReMi-style domain reweighting, arXiv:2305.10429): per-source
+    sampling weights that move the token distribution toward a uniform
+    target share, capped at 5x upsampling. Weights and resampled token
+    counts use integer micro-unit arithmetic (w_micro = weight * 1e4 as
+    a long; sampled = toks * w_micro div 1e4) so both engines agree
+    bit-for-bit — no double rounding at .5 boundaries. One groupBy +
+    a 1-row broadcast of the corpus totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(
+            F.coalesce(token_count_col(F.col("text")), F.lit(0))
+        ).alias("toks")
+    )
+    totals = per_src.agg(
+        F.sum("toks").alias("total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    w_micro = F.least(
+        F.lit(50000),
+        F.round(
+            F.col("total")
+            / (F.col("n_sources") * F.col("toks")).cast("double")
+            * 1e4,
+            0,
+        ).cast("long"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn("w_micro", w_micro)
+        .select(
+            "source",
+            "toks",
+            F.round(F.col("toks") / F.col("total").cast("double"), 4).alias(
+                "share"
+            ),
+            (F.col("w_micro") / F.lit(1e4)).alias("weight"),
+            F.expr("toks * w_micro div 10000").alias("sampled_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_DOMAIN_MIX = r"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(coalesce(len(regexp_extract_all(text, '\S+')), 0))
+              AS BIGINT) AS toks
+  FROM documents GROUP BY source),
+totals AS (SELECT CAST(sum(toks) AS BIGINT) AS total,
+                  count(*) AS n_sources FROM per_src),
+w AS (
+  SELECT source, toks, total,
+         least(50000,
+               CAST(round(total / (n_sources * toks)::DOUBLE * 10000, 0)
+                    AS BIGINT)) AS w_micro
+  FROM per_src CROSS JOIN totals)
+SELECT source, toks,
+       round(toks / total::DOUBLE, 4) AS share,
+       w_micro / 10000.0 AS weight,
+       toks * w_micro // 10000 AS sampled_tokens
+FROM w ORDER BY source"""
+
+
 _SQL_PACK_SEQUENCES = r"""
 WITH RECURSIVE base AS (
   SELECT doc_id,
@@ -4536,6 +4601,10 @@ CORPUS: dict[str, QuerySpec] = {
     "pack_sequences": QuerySpec(
         q_pack_sequences, _SQL_PACK_SEQUENCES,
         "training-sequence next-fit packing per id-hash bucket",
+    ),
+    "domain_mix": QuerySpec(
+        q_domain_mix, _SQL_DOMAIN_MIX,
+        "uniform-target domain reweighting: capped per-source sampling weights",
     ),
     "min_cost_supplier": QuerySpec(
         q_min_cost_supplier, _SQL_MIN_COST_SUPPLIER,
