@@ -85,3 +85,35 @@ def test_stratified_sample_fractions(spark, sf_dir):
     for k, frac in (("click", 0.5), ("view", 0.25), ("signup", 0.1)):
         assert 0 < got[k] < totals[k]
         assert abs(got[k] / totals[k] - frac) < 0.15
+
+
+def test_domain_mix_cap_and_integer_weights(spark, tmp_path):
+    """A vanishingly small source hits the 5x upsampling cap; weights
+    are micro-unit integers so sampled_tokens is exact."""
+    import pyspark.sql.functions as F
+
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.corpus import (
+        q_domain_mix,
+    )
+
+    rows = (
+        [(i, "srcA", "w " * 1000) for i in range(50)]        # huge source
+        + [(1000, "srcB", "x y z")]                          # tiny source
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df = df.withColumn("n_chars", F.length("text"))
+    sf = str(tmp_path / "mini")
+    (tmp_path / "mini").mkdir()
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    out = {r["source"]: r for r in q_domain_mix(spark, sf).collect()}
+    # srcB holds 3 of 50003 tokens; uniform target is 1/2 — uncapped
+    # weight would be ~8334x, so the 5x cap binds
+    assert out["srcB"]["weight"] == 5.0
+    assert out["srcB"]["sampled_tokens"] == 15  # 3 * 50000 div 10000
+    # srcA is above target share -> downsampled below 1
+    assert out["srcA"]["weight"] < 1.0
+    assert (
+        out["srcA"]["sampled_tokens"]
+        == 50000 * int(out["srcA"]["weight"] * 10000) // 10000
+    )
