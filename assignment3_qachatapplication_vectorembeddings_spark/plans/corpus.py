@@ -3697,14 +3697,19 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").alias("total"),
         F.count(F.lit(1)).alias("n_sources"),
     )
-    w_micro = F.least(
-        F.lit(50000),
-        F.round(
-            F.col("total")
-            / (F.col("n_sources") * F.col("toks")).cast("double")
-            * 1e4,
-            0,
-        ).cast("long"),
+    # toks = 0 (a source whose docs are all empty/NULL text) must not
+    # reach the division: guard to the cap, which is also what the
+    # oracle's least(cap, round(inf)) computes for 0-token sources
+    w_micro = F.when(F.col("toks") == 0, F.lit(50000)).otherwise(
+        F.least(
+            F.lit(50000),
+            F.round(
+                F.col("total")
+                / (F.col("n_sources") * F.col("toks")).cast("double")
+                * 1e4,
+                0,
+            ).cast("long"),
+        )
     )
     return (
         per_src.crossJoin(F.broadcast(totals))
@@ -3732,9 +3737,10 @@ totals AS (SELECT CAST(sum(toks) AS BIGINT) AS total,
                   count(*) AS n_sources FROM per_src),
 w AS (
   SELECT source, toks, total,
-         least(50000,
-               CAST(round(total / (n_sources * toks)::DOUBLE * 10000, 0)
-                    AS BIGINT)) AS w_micro
+         CASE WHEN toks = 0 THEN 50000
+              ELSE least(50000,
+                         CAST(round(total / (n_sources * toks)::DOUBLE
+                                    * 10000, 0) AS BIGINT)) END AS w_micro
   FROM per_src CROSS JOIN totals)
 SELECT source, toks,
        round(toks / total::DOUBLE, 4) AS share,
@@ -4159,9 +4165,10 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 # and Dolma): word-count bounds, mean-word-length bounds, type-token
 # ratio, and repeated-bigram coverage. Everything except the top-bigram
 # count is per-ROW array math (zero shuffles, whole-stage codegen); the
-# bigram mode costs one explode + two narrow aggs. Per-doc ratios are
-# rounded then summed as exact decimals so per-source averages are
-# order-independent (same idiom as BM25/unigram_logprob).
+# bigram mode is a per-row fold over the sorted bigram array (no
+# explode, no join). Per-doc ratios are rounded then summed as exact
+# decimals so per-source averages are order-independent (same idiom as
+# BM25/unigram_logprob).
 # --------------------------------------------------------------------------
 
 
@@ -4234,7 +4241,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,6)")
             .alias("ttr"),
             F.round(
-                F.coalesce(F.col("top_bigram_cnt"), F.lit(0)) * 2 / F.col("n_words"),
+                F.col("top_bigram_cnt") * 2 / F.col("n_words"),
                 6,
             )
             .cast("decimal(18,6)")
@@ -4245,8 +4252,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("word_chars") / F.col("n_words") <= 10)
                 & (F.col("n_types") / F.col("n_words") > 0.2)
                 & (
-                    F.coalesce(F.col("top_bigram_cnt"), F.lit(0)) * 2
-                    / F.col("n_words")
+                    F.col("top_bigram_cnt") * 2 / F.col("n_words")
                     < 0.2
                 )
             ).alias("keep"),

@@ -117,3 +117,25 @@ def test_domain_mix_cap_and_integer_weights(spark, tmp_path):
         out["srcA"]["sampled_tokens"]
         == 50000 * int(out["srcA"]["weight"] * 10000) // 10000
     )
+
+
+def test_domain_mix_zero_token_source(spark, tmp_path):
+    """A source whose docs are all empty text gets the capped weight
+    (matching the oracle) instead of a DIVIDE_BY_ZERO crash."""
+    import pyspark.sql.functions as F
+
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.corpus import (
+        q_domain_mix,
+    )
+
+    rows = [(1, "srcA", "a b c d"), (2, "srcB", "")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df = df.withColumn("n_chars", F.length("text"))
+    sf = str(tmp_path / "zt")
+    (tmp_path / "zt").mkdir()
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    out = {r["source"]: r for r in q_domain_mix(spark, sf).collect()}
+    assert out["srcB"]["toks"] == 0
+    assert out["srcB"]["weight"] == 5.0
+    assert out["srcB"]["sampled_tokens"] == 0

@@ -431,12 +431,15 @@ def test_semdedup_keep_low_flips_survivor_choice(spark):
         semdedup,
     )
 
-    # one cluster: id 1 sits at the centroid direction, id 2 is the
-    # same direction but perturbed (lower centroid sim, still > 0.98
-    # similar to id 1); with nlist=1 both land in the one cell
+    # one cluster (nlist=1), three mutual near-dups (every pairwise
+    # cosine > 0.98) with REAL centroid-sim margins (~3e-3, not fp
+    # noise): the centroid (mean of the three) is closest to id 1,
+    # then id 3, then id 2. keep-high visits 1 first and drops 2 and
+    # 3; keep_low visits 2 (the cluster edge) first and drops 1 and 3.
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
-        (2, [0.995, 0.0999, 0.0, 0.0]),
+        (2, [0.989, 0.148, 0.0, 0.0]),
+        (3, [0.998, -0.02, 0.0, 0.0]),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     hi = {r["vec_id"]: r["is_kept"]
@@ -444,6 +447,5 @@ def test_semdedup_keep_low_flips_survivor_choice(spark):
     lo = {r["vec_id"]: r["is_kept"]
           for r in semdedup(emb, threshold=0.98, nlist=1, seed=3,
                             keep_low=True).collect()}
-    # exactly one survivor either way, but a different one
-    assert sum(hi.values()) == 1 and sum(lo.values()) == 1
-    assert hi != lo
+    assert hi == {1: True, 2: False, 3: False}
+    assert lo == {1: False, 2: True, 3: False}
