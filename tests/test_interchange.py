@@ -97,3 +97,44 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == before_rows
     # idempotent: already compact → no rewrite
     assert compact_parquet(spark, path, target_file_bytes=1 << 30) == n_after
+
+
+def test_jsonl_roundtrip_and_id_synthesis(spark, tmp_path):
+    """jsonl read: external ids hash stably, missing ids synthesize
+    deterministically from (file, text), unknown fields are ignored,
+    missing text surfaces as NULL; write→read round-trips content."""
+    import gzip
+    import json
+
+    from assignment3_qachatapplication_vectorembeddings_spark.sources.jsonl import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    with gzip.open(d / "part0.jsonl.gz", "wt") as f:
+        f.write(json.dumps({"id": "doc-A", "text": "alpha text",
+                            "source": "web", "extra_field": 7}) + "\n")
+        f.write(json.dumps({"text": "no id here"}) + "\n")
+        f.write(json.dumps({"source": "web"}) + "\n")  # no text
+
+    docs = read_documents_jsonl(spark, str(d))
+    rows = {r["text"]: r for r in docs.collect()}
+    assert set(rows) == {"alpha text", "no id here", None}
+    assert rows["alpha text"]["source"] == "web"
+    assert rows["no id here"]["source"] == "jsonl"
+    assert rows["alpha text"]["n_chars"] == 10
+    assert rows[None]["n_chars"] is None
+    # deterministic: re-read gives identical ids
+    again = {r["text"]: r["doc_id"] for r in
+             read_documents_jsonl(spark, str(d)).collect()}
+    assert again == {t: r["doc_id"] for t, r in rows.items()}
+
+    # round-trip through the writer
+    out = str(tmp_path / "out")
+    write_documents_jsonl(docs, out)
+    back = read_documents_jsonl(spark, out)
+    assert sorted(r["text"] for r in back.collect() if r["text"]) == [
+        "alpha text", "no id here",
+    ]
