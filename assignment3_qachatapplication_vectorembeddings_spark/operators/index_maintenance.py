@@ -3,19 +3,44 @@
 The reference maintains a Pinecone index (create/upsert/fetch/delete/
 stats, ``airflow-pipeline/dags/pipeline2.py:104-225``) plus a MySQL
 ``vectordatabasestats`` catalog kept in sync by insert-if-absent and
-delete-cascade passes (``:315-367``). Here the index is a **parquet
-table partitioned by title**:
+delete-cascade passes (``:315-367``). Both of those stores give READERS
+a consistent view during writes (Pinecone upsert is server-side
+last-writer-wins per id, pipeline2.py:117-150; MySQL is MVCC). Here the
+index is a parquet table with a **versioned-manifest commit protocol**
+(the public Delta/Iceberg snapshot idea, sized down to one JSON file):
 
-- the reference's metadata filter ``{"title": {"$in": ...}}`` becomes
-  partition pruning — Catalyst never touches other forms' files;
-- upsert = per-partition merge (replace-by-id) using dynamic partition
-  overwrite, so only the touched titles rewrite — the 100 TB analogue
-  of Delta MERGE without requiring Delta;
-- delete-by-form = dropping partition directories (metadata-only, no
-  data rewrite);
-- the reference's ``sleep(60)`` eventual-consistency dance
-  (pipeline2.py:178) disappears: table and catalog update in the same
-  job, reads after writes see truth immediately.
+- data files are IMMUTABLE. Every commit writes its rows to a fresh
+  generation directory ``{path}/data/g<version>-<nonce>/title=<t>/``
+  and never touches existing files;
+- a manifest ``{path}/_manifest/v<version>.json`` maps each live title
+  to the generation that holds its current rows, and carries the form
+  catalog (``vectordatabasestats`` analogue) inline — so index + catalog
+  move in ONE atomic commit, where the reference needs two systems and
+  a ``sleep(60)`` reconciliation dance (pipeline2.py:178);
+- readers resolve the highest complete manifest ONCE per read and pin
+  that snapshot: an in-flight upsert/compact writes only new
+  directories and publishes a new manifest last, so a concurrent
+  reader always sees either the old or the new complete row-set,
+  never a partially-replaced partition;
+- the reference's metadata filter ``{"title": {"$in": ...}}`` is still
+  partition pruning: each generation is read with its live titles as a
+  partition filter, so Catalyst never touches superseded or foreign
+  files;
+- delete-by-form is manifest-only (drop the mapping entry): zero file
+  IO, the 100 TB analogue of a metadata-only partition drop;
+- superseded generations are reclaimed by :meth:`vacuum` (bounded
+  retention, like table-format VACUUM — readers may pin a snapshot for
+  at most the retention window).
+
+Commit safety: writers serialize on an exclusive lock taken via atomic
+create-if-absent, and the manifest publish itself is ALSO
+create-if-absent on the next version number — a second fence, so even
+a writer that raced past a broken stale lock cannot clobber another
+commit (it gets :class:`ConcurrentCommitError` and must retry). On
+object stores whose ``create`` is not atomic (plain S3 PUT semantics),
+pass ``conditional_put=`` (modelling S3 conditional writes,
+``If-None-Match: *``) or the index fails fast with
+:class:`UnsupportedLockFilesystemError` instead of silently racing.
 
 Id semantics: the reference *recomputes* ``vector_id = title + "_" +
 combined-frame index`` at load time (pipeline2.py:130-132), silently
@@ -27,10 +52,15 @@ row_number over a deterministic ordering.
 from __future__ import annotations
 
 import contextlib
+import json
 import os
 import threading
 import time
-from typing import Sequence
+import urllib.parse
+import uuid
+from datetime import datetime, timezone
+from functools import reduce
+from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,11 +68,36 @@ from pyspark.sql.window import Window
 
 from ..schemas import FORM_CATALOG_SCHEMA, INDEX_SCHEMA
 
-__all__ = ["VectorIndex", "WriterLockTimeout", "vector_ids_like_reference"]
+__all__ = [
+    "ConcurrentCommitError",
+    "UnsupportedLockFilesystemError",
+    "VectorIndex",
+    "WriterLockTimeout",
+    "vector_ids_like_reference",
+]
 
 
 class WriterLockTimeout(TimeoutError):
     """Raised when the index writer lock cannot be acquired in time."""
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published the manifest version this commit was
+    about to claim — the loser's data directory is orphaned (vacuum
+    reclaims it) and the caller should retry the whole mutation."""
+
+
+class UnsupportedLockFilesystemError(RuntimeError):
+    """The index path lives on a filesystem whose ``create`` is not
+    atomic and no ``conditional_put`` was supplied — single-writer
+    safety cannot be guaranteed, so mutations refuse to run."""
+
+
+#: filesystems whose create(path, overwrite=false) is atomic: POSIX
+#: O_EXCL, HDFS (namespace op). mocks3 is the contract-test FS that
+#: models an object store WITH atomic create; mocks3na models one
+#: without (plain S3 PUT semantics) and is deliberately NOT listed.
+_ATOMIC_CREATE_SCHEMES = {"file", "hdfs", "viewfs", "mocks3"}
 
 
 def vector_ids_like_reference(chunks: DataFrame, *, order_cols: Sequence[str] = ("title", "chunk_pos")) -> DataFrame:
@@ -58,11 +113,18 @@ def vector_ids_like_reference(chunks: DataFrame, *, order_cols: Sequence[str] = 
 
 
 class VectorIndex:
-    """Parquet-backed vector index with Pinecone-parity maintenance ops.
+    """Parquet-backed vector index with Pinecone-parity maintenance ops
+    and snapshot-isolated readers.
 
-    Layout: ``{path}/title=<form>/part-*.parquet`` with columns
-    (id, vector, text). The catalog (``vectordatabasestats`` analogue)
-    lives at ``{path}__catalog`` as (form_name, recent_activity).
+    Layout::
+
+        {path}/_manifest/v<0-padded version>.json   # commit log
+        {path}/data/g<version>-<nonce>/title=<t>/*.parquet
+
+    Data columns: (id, vector, text) + ``title`` partition column. The
+    catalog (``vectordatabasestats`` analogue, (form_name,
+    recent_activity)) lives inside the manifest, committed atomically
+    with the partition mapping.
     """
 
     #: seconds to keep retrying for the writer lock before giving up
@@ -71,110 +133,195 @@ class VectorIndex:
     #: between acquire and release) and is broken by the next writer.
     #: MUST exceed the longest expected merge: there is no heartbeat —
     #: a healthy writer whose commit outlives the TTL would have its
-    #: lock broken mid-write. Tune up for very large indexes.
+    #: lock broken mid-write (the manifest create-if-absent fence then
+    #: turns the race into ConcurrentCommitError, not lost data).
     LOCK_STALE_TTL_SEC = 3600.0
+    #: upsert folds the oldest generations into its own commit once the
+    #: live-generation count would exceed this, bounding the read plan
+    #: at AUTO_FOLD_MAX union branches (tiered compaction: cold titles
+    #: ride along with a hot commit; hot titles fold themselves).
+    AUTO_FOLD_MAX = 32
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        atomic_create: bool | None = None,
+        conditional_put: Callable[[str, bytes], bool] | None = None,
+    ):
         self.spark = spark
-        self.path = path
-        self.catalog_path = path + "__catalog"
-        self.lock_path = path + "__lock"
+        self.path = path.rstrip("/")
+        self.manifest_dir = f"{self.path}/_manifest"
+        self.lock_path = self.path + "__lock"
+        #: conditional-put hook for object stores without atomic
+        #: create: (absolute path, content) -> True iff the object was
+        #: created and did NOT exist (S3 PutObject If-None-Match: *).
+        self.conditional_put = conditional_put
+        self._atomic_create = atomic_create
         # re-entrancy marker is per-thread: two threads sharing one
         # VectorIndex must still contend for the file lock
         self._lock_tls = threading.local()
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    # -- writer lock -------------------------------------------------------
-    #
-    # The merge in upsert()/delete_*() is read-merge-overwrite; two
-    # concurrent writers that interleave (both read the same snapshot,
-    # both overwrite) silently lose the first committer's rows. Writers
-    # therefore serialize on an exclusive lock taken via ATOMIC
-    # create-if-absent: O_CREAT|O_EXCL on POSIX paths, and
-    # FileSystem.create(path, overwrite=false) elsewhere — atomic on
-    # HDFS (namespace op) and mapping to a conditional PUT
-    # (`If-None-Match: *`) on object stores that support it. This is the
-    # "enforced single-writer" commit story: mutations are linearized,
-    # so no update is ever lost; readers are unaffected (they never take
-    # the lock). A crashed holder's lock is broken after
-    # LOCK_STALE_TTL_SEC based on the lock file's modification time.
+    # -- filesystem plumbing ----------------------------------------------
 
-    def _local_lock_file(self) -> str | None:
-        """POSIX path of the lock file if it lives on a local filesystem,
-        else None (use the Hadoop FileSystem API).
+    def _fs(self):
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(self.path)
+        return path.getFileSystem(hconf), jvm
 
-        Scheme-less paths are NOT assumed local: on a cluster
-        ``fs.defaultFS`` typically points at HDFS/an object store, and
-        the lock must live on the SAME filesystem as the data — a
-        driver-local lock for remote data would let every driver "hold"
-        its own lock. Resolve through Hadoop and take the POSIX branch
-        only when the resolved scheme is ``file``."""
-        p = self.lock_path
+    def _scheme(self) -> str:
+        if "://" in self.path:
+            return self.path.split("://", 1)[0]
+        if self.path.startswith("file:"):
+            return "file"
+        try:
+            fs, _jvm = self._fs()
+            return fs.getUri().getScheme() or "file"
+        except Exception:
+            return "file"  # no JVM filesystem reachable → plain local
+
+    def _has_atomic_create(self) -> bool:
+        if self._atomic_create is not None:
+            return self._atomic_create
+        return self._scheme() in _ATOMIC_CREATE_SCHEMES
+
+    def _local(self, p: str) -> str | None:
+        """POSIX form of ``p`` if it lives on a local filesystem, else
+        None (use the Hadoop FileSystem API). Scheme-less paths are NOT
+        assumed local: on a cluster ``fs.defaultFS`` typically points
+        at HDFS/an object store, and index metadata must live on the
+        SAME filesystem as the data."""
         if p.startswith("file:"):
             return p[len("file:"):] or "/"
         if "://" in p:
             return None
-        try:
-            fs, _jvm = self._fs()
-            if fs.getUri().getScheme() == "file":
-                return p
-        except Exception:
-            return p  # no JVM filesystem reachable → plain local path
-        return None
+        return p if self._scheme() == "file" else None
 
-    def _try_lock(self) -> bool:
-        local = self._local_lock_file()
-        stamp = f"pid={os.getpid()} ts={time.time():.3f}\n"
+    def _read_small_file(self, p: str) -> bytes | None:
+        """Full content of a small metadata file, or None if it cannot
+        be read (missing, mid-write on weird stores, FS down)."""
+        local = self._local(p)
+        try:
+            if local is not None:
+                with open(local, "rb") as f:
+                    return f.read()
+            fs, jvm = self._fs()
+            stream = fs.open(jvm.org.apache.hadoop.fs.Path(p))
+            try:
+                try:
+                    # commons-io ships with Spark; bulk read beats a
+                    # per-byte py4j round-trip by orders of magnitude
+                    return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+                except Exception:
+                    data = bytearray()
+                    while True:
+                        b = stream.read()
+                        if b < 0:
+                            break
+                        data.append(b)
+                    return bytes(data)
+            finally:
+                stream.close()
+        except Exception:
+            return None
+
+    def _create_exclusive(self, p: str, content: bytes) -> bool:
+        """Create ``p`` with ``content`` iff it does not exist — the
+        single primitive both the lock and the manifest fence ride on.
+        Routes to conditional_put on non-atomic stores."""
+        if self.conditional_put is not None and not self._has_atomic_create():
+            return bool(self.conditional_put(p, content))
+        if not self._has_atomic_create():
+            raise UnsupportedLockFilesystemError(
+                f"{self._scheme()}:// does not guarantee atomic "
+                "create-if-absent; pass conditional_put= (object-store "
+                "conditional write, e.g. S3 If-None-Match) or "
+                "atomic_create=True if the store does provide it"
+            )
+        local = self._local(p)
         if local is not None:
+            os.makedirs(os.path.dirname(local) or "/", exist_ok=True)
             try:
                 fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 return False
-            with os.fdopen(fd, "w") as f:
-                f.write(stamp)
+            with os.fdopen(fd, "wb") as f:
+                f.write(content)
             return True
         fs, jvm = self._fs()
-        hp = jvm.org.apache.hadoop.fs.Path(self.lock_path)
+        hp = jvm.org.apache.hadoop.fs.Path(p)
         try:
             out = fs.create(hp, False)  # overwrite=false → atomic claim
         except Exception:
             return False  # exists (or FS down — surfaces as timeout)
         try:
-            out.write(bytearray(stamp.encode()))
+            out.write(bytearray(content))
             out.close()
             return True
         except Exception:
-            # created but couldn't stamp: remove the claim rather than
-            # leave an orphan lock no writer owns (it would block
-            # everyone until the stale TTL)
+            # created but couldn't write: remove the claim rather than
+            # leave an orphan no writer owns
             with contextlib.suppress(Exception):
                 fs.delete(hp, False)
             return False
 
-    def _read_lock_stamp(self) -> str | None:
-        """Current lock-file content (the holder's pid/ts stamp), or
-        None if unreadable/vanished. Every acquirer writes a unique
-        stamp, so content equality identifies a SPECIFIC holder."""
-        local = self._local_lock_file()
-        try:
-            if local is not None:
-                with open(local, "r") as f:
-                    return f.read()
-            fs, jvm = self._fs()
-            hp = jvm.org.apache.hadoop.fs.Path(self.lock_path)
-            stream = fs.open(hp)
+    def _delete_path(self, p: str, recursive: bool = False) -> None:
+        local = self._local(p)
+        if local is not None:
+            if recursive:
+                import shutil
+
+                shutil.rmtree(local, ignore_errors=True)
+            else:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(local)
+            return
+        fs, jvm = self._fs()
+        fs.delete(jvm.org.apache.hadoop.fs.Path(p), recursive)
+
+    def _list_dir(self, p: str) -> list[str]:
+        """Child names of a directory ([] if missing)."""
+        local = self._local(p)
+        if local is not None:
             try:
-                data = bytearray()
-                while True:
-                    b = stream.read()
-                    if b < 0:
-                        break
-                    data.append(b)
-                return data.decode(errors="replace")
-            finally:
-                stream.close()
+                return sorted(os.listdir(local))
+            except OSError:
+                return []
+        fs, jvm = self._fs()
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        try:
+            if not fs.exists(hp):
+                return []
+            return sorted(st.getPath().getName() for st in fs.listStatus(hp))
         except Exception:
-            return None
+            return []
+
+    # -- writer lock -------------------------------------------------------
+    #
+    # Mutations are read-merge-publish; two concurrent writers that
+    # interleave (both read the same manifest, both publish) would fork
+    # the version history. Writers therefore serialize on an exclusive
+    # lock taken via atomic create-if-absent (O_CREAT|O_EXCL locally,
+    # FileSystem.create(path, overwrite=false) on HDFS, conditional PUT
+    # on object stores via the conditional_put hook). A crashed
+    # holder's lock is broken after LOCK_STALE_TTL_SEC; the manifest
+    # version fence backstops any stale-break race.
+
+    def _local_lock_file(self) -> str | None:
+        return self._local(self.lock_path)
+
+    def _try_lock(self) -> bool:
+        stamp = f"pid={os.getpid()} nonce={uuid.uuid4().hex} ts={time.time():.3f}\n"
+        return self._create_exclusive(self.lock_path, stamp.encode())
+
+    def _read_lock_stamp(self) -> str | None:
+        """Current lock-file content (the holder's unique stamp), or
+        None if unreadable/vanished. Content equality identifies a
+        SPECIFIC holder."""
+        data = self._read_small_file(self.lock_path)
+        return None if data is None else data.decode(errors="replace")
 
     def _lock_age_sec(self) -> float | None:
         local = self._local_lock_file()
@@ -188,13 +335,7 @@ class VectorIndex:
             return None  # lock vanished between observation and stat
 
     def _unlock(self) -> None:
-        local = self._local_lock_file()
-        if local is not None:
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(local)
-            return
-        fs, jvm = self._fs()
-        fs.delete(jvm.org.apache.hadoop.fs.Path(self.lock_path), False)
+        self._delete_path(self.lock_path)
 
     @contextlib.contextmanager
     def write_lock(self, timeout_sec: float | None = None):
@@ -203,7 +344,9 @@ class VectorIndex:
         Public so multi-operation transactions (e.g. upsert + verify +
         catalog fix-up) can hold the lock across calls; single mutations
         acquire it implicitly. Re-entrant within this VectorIndex object
-        so nested public methods don't self-deadlock."""
+        so nested public methods don't self-deadlock. Fails fast with
+        UnsupportedLockFilesystemError on stores where no atomic
+        create-if-absent (or conditional_put substitute) exists."""
         if getattr(self._lock_tls, "held", False):
             yield
             return
@@ -222,11 +365,11 @@ class VectorIndex:
                 # (fresh) writer's lock: that lock carries a new stamp
                 # and the equality fails. The residual window is one
                 # read→delete syscall pair and requires two breakers
-                # overlapping inside it (a conditional delete — If-Match
-                # on object stores — would close it entirely). After the
-                # break, fall through to the deadline check and sleep:
-                # breakers re-contend via the atomic create, and a
-                # failing delete must not turn into a busy spin.
+                # overlapping inside it; even then, the manifest
+                # version fence downgrades the worst case from lost
+                # data to a ConcurrentCommitError for one loser. After
+                # the break, fall through to the deadline check and
+                # sleep: breakers re-contend via the atomic create.
                 with contextlib.suppress(Exception):
                     stale_stamp = self._read_lock_stamp()
                     age2 = self._lock_age_sec()
@@ -251,35 +394,131 @@ class VectorIndex:
             self._lock_tls.held = False
             self._unlock()
 
-    # -- helpers ----------------------------------------------------------
+    # -- manifest commit log ----------------------------------------------
 
-    def _fs(self):
-        jvm = self.spark._jvm
-        hconf = self.spark._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(self.path)
-        return path.getFileSystem(hconf), jvm
+    @staticmethod
+    def _manifest_name(version: int) -> str:
+        return f"v{version:020d}.json"
+
+    def _manifest_versions(self) -> list[int]:
+        out = []
+        for name in self._list_dir(self.manifest_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                with contextlib.suppress(ValueError):
+                    out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def _load_manifest(self) -> tuple[int, dict] | None:
+        """Highest COMPLETE manifest, or None (no index). A manifest
+        mid-write by a concurrent committer parses as incomplete (the
+        trailing ``"complete"`` sentinel is written last), and the
+        reader falls back one version — that fallback IS the snapshot
+        isolation: v(N+1) becomes visible only once fully durable."""
+        for version in reversed(self._manifest_versions()):
+            data = self._read_small_file(
+                f"{self.manifest_dir}/{self._manifest_name(version)}"
+            )
+            if data is None:
+                continue
+            try:
+                payload = json.loads(data)
+            except ValueError:
+                continue
+            if payload.get("complete") is True:
+                return version, payload
+        return None
+
+    def _publish_manifest(
+        self, version: int, partitions: dict[str, str], catalog: dict[str, str]
+    ) -> None:
+        """Atomically publish manifest ``version`` via create-if-absent
+        — the commit point AND the fencing token: if the version file
+        already exists, another writer won the version and this commit
+        must abort (its data dirs stay orphaned until vacuum)."""
+        payload = {
+            "version": version,
+            "partitions": partitions,
+            "catalog": catalog,
+            "committed_utc": datetime.now(timezone.utc).isoformat(),
+            # written LAST in the serialized object: a truncated
+            # manifest cannot parse to complete=true
+            "complete": True,
+        }
+        target = f"{self.manifest_dir}/{self._manifest_name(version)}"
+        if not self._create_exclusive(target, json.dumps(payload).encode()):
+            raise ConcurrentCommitError(
+                f"manifest v{version} already exists at {self.manifest_dir} "
+                "— concurrent commit detected; retry the mutation"
+            )
+
+    def _state(self) -> tuple[int, dict[str, str], dict[str, str]]:
+        """(version, title→generation dir, form→recent_activity iso)."""
+        m = self._load_manifest()
+        if m is None:
+            return 0, {}, {}
+        version, payload = m
+        return version, dict(payload["partitions"]), dict(payload["catalog"])
+
+    def _new_generation(self, version: int) -> str:
+        # the nonce keeps a fenced-off loser's directory from colliding
+        # with the winner's next attempt at the same version
+        return f"data/g{version:020d}-{uuid.uuid4().hex[:8]}"
+
+    # -- reads (snapshot-isolated) ----------------------------------------
 
     def exists(self) -> bool:
-        fs, jvm = self._fs()
-        return fs.exists(jvm.org.apache.hadoop.fs.Path(self.path))
+        return self._load_manifest() is not None
 
-    def read(self) -> DataFrame:
-        if not self.exists():
-            return self.spark.createDataFrame([], INDEX_SCHEMA)
-        try:
-            df = self.spark.read.parquet(self.path)
-        except Exception:
-            # root dir survives after the last partition is dropped —
-            # an index with zero partitions is an empty index
-            return self.spark.createDataFrame([], INDEX_SCHEMA)
-        # partition column comes back typed; normalize to the schema order
-        return df.select("id", "vector", F.col("title").cast("string"), "text")
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], INDEX_SCHEMA)
+
+    def read(self, titles: Sequence[str] | None = None) -> DataFrame:
+        """Snapshot read: resolves the manifest once; the returned
+        DataFrame only references immutable generation files, so it
+        stays consistent while writers commit (until vacuum passes the
+        retention window). ``titles`` prunes driver-side before any
+        scan is planned (the reference's ``$in`` metadata filter)."""
+        m = self._load_manifest()
+        if m is None:
+            return self._empty()
+        parts = m[1]["partitions"]
+        if titles is not None:
+            want = set(titles)
+            parts = {t: d for t, d in parts.items() if t in want}
+        by_dir: dict[str, list[str]] = {}
+        for t, d in parts.items():
+            by_dir.setdefault(d, []).append(t)
+        frames = []
+        for d, ts in by_dir.items():
+            # per-generation scan restricted to the titles the manifest
+            # says are CURRENT in that generation: the isin on the
+            # partition column becomes a PartitionFilter, so superseded
+            # titles' files in the same generation are never read
+            # cast BEFORE the isin: partition-column type inference may
+            # read a numeric-looking title as int, and "007" must not
+            # prune as 7 (Catalyst still folds cast+In into a partition
+            # filter)
+            df = (
+                self.spark.read.parquet(f"{self.path}/{d}")
+                .select("id", "vector", F.col("title").cast("string").alias("title"), "text")
+                .filter(F.col("title").isin(ts))
+            )
+            frames.append(df)
+        if not frames:
+            return self._empty()
+        return reduce(DataFrame.unionByName, frames)
 
     def read_catalog(self) -> DataFrame:
-        fs, jvm = self._fs()
-        if not fs.exists(jvm.org.apache.hadoop.fs.Path(self.catalog_path)):
+        m = self._load_manifest()
+        if m is None:
             return self.spark.createDataFrame([], FORM_CATALOG_SCHEMA)
-        return self.spark.read.parquet(self.catalog_path)
+        rows = [
+            (form, datetime.fromisoformat(ts))
+            for form, ts in sorted(m[1]["catalog"].items())
+        ]
+        if not rows:
+            return self.spark.createDataFrame([], FORM_CATALOG_SCHEMA)
+        return self.spark.createDataFrame(rows, FORM_CATALOG_SCHEMA)
 
     def dimension(self) -> int | None:
         """S11: dimension inferred from data (pipeline2.py:134)."""
@@ -291,42 +530,56 @@ class VectorIndex:
     def upsert(self, updates: DataFrame) -> None:
         """MERGE-by-id limited to the touched title partitions.
 
-        updates: DataFrame(id, vector, title, text). Only partitions
-        whose title appears in ``updates`` are rewritten: survivors =
-        old rows of those titles anti-joined on id, union the updates.
-
-        Writers serialize on :meth:`write_lock`, so concurrent upserts
-        commit one after another and none is lost.
+        updates: DataFrame(id, vector, title, text). survivors = old
+        rows of the touched titles anti-joined on id, union the
+        updates; the merged rows land in a FRESH generation directory
+        and one manifest commit repoints the touched titles — readers
+        of the previous snapshot keep their (immutable) files.
         """
         with self.write_lock():
             self._upsert_locked(updates)
 
     def _upsert_locked(self, updates: DataFrame) -> None:
         updates = updates.select("id", "vector", "title", "text")
-        if self.exists():
+        titles = [r["title"] for r in updates.select("title").distinct().collect()]
+        if not titles:
+            return
+        version, parts, catalog = self._state()
+        if parts:
             dim = self.dimension()
             if dim is not None:
                 # S11 dimension check: reject mismatched vectors upfront
                 bad = updates.filter(F.size("vector") != dim).limit(1).count()
                 if bad:
                     raise ValueError(f"vector dimension mismatch (index dim={dim})")
-            titles = [r["title"] for r in updates.select("title").distinct().collect()]
-            old = self.read().filter(F.col("title").isin(titles))
-            survivors = old.join(
-                updates.select("id"), "id", "left_anti"
-            ).select("id", "vector", "title", "text")
-            merged = survivors.unionByName(updates)
-            # cut lineage before overwriting the path being read
-            merged = merged.localCheckpoint(eager=True)
-        else:
-            merged = updates
+        merge_titles = set(titles)
+        # tiered auto-fold: if this commit would push the live
+        # generation count past AUTO_FOLD_MAX, carry the OLDEST
+        # generations' titles along into this generation — bounds the
+        # read plan width without ever rewriting the whole index
+        live_dirs = sorted(set(parts.values()))
+        if len(live_dirs) + 1 > self.AUTO_FOLD_MAX:
+            to_fold = len(live_dirs) + 1 - self.AUTO_FOLD_MAX + 1
+            for d in live_dirs[:to_fold]:  # oldest first (version-prefixed names)
+                merge_titles.update(t for t, pd_ in parts.items() if pd_ == d)
+        old = self.read(titles=sorted(merge_titles)) if parts else self._empty()
+        survivors = old.join(updates.select("id"), "id", "left_anti").select(
+            "id", "vector", "title", "text"
+        )
+        merged = survivors.unionByName(updates)
+        gen = self._new_generation(version + 1)
         (
             merged.repartition("title")
-            .write.mode("overwrite")
+            .write.mode("overwrite")  # fresh nonce dir; overwrite is inert
             .partitionBy("title")
-            .parquet(self.path)
+            .parquet(f"{self.path}/{gen}")
         )
-        self._catalog_add([r["title"] for r in updates.select("title").distinct().collect()])
+        now = datetime.now(timezone.utc).isoformat()
+        for t in merge_titles:
+            parts[t] = gen
+        for t in titles:
+            catalog.setdefault(t, now)  # insert-if-absent, pipeline2.py:315-331
+        self._publish_manifest(version + 1, parts, catalog)
 
     # -- S13: point fetch ---------------------------------------------------
 
@@ -345,83 +598,82 @@ class VectorIndex:
     # -- P9: existence check ------------------------------------------------
 
     def form_check(self, form_name: str) -> bool:
-        return (
-            self.read().filter(F.col("title") == form_name).limit(1).count() > 0
-        )
+        # manifest invariant: a title is mapped iff it has rows
+        m = self._load_manifest()
+        return m is not None and form_name in m[1]["partitions"]
 
     # -- S14: deletes ---------------------------------------------------------
 
     def delete_by_ids(self, vector_ids: Sequence[str]) -> None:
         """Delete ids, then cascade: forms left with no vectors are
         removed from the catalog (pipeline2.py:171-193 without the
-        sleep — the rewrite is transactional per partition)."""
+        sleep — partition mapping and catalog move in one commit)."""
         with self.write_lock():
             self._delete_by_ids_locked(vector_ids)
 
     def _delete_by_ids_locked(self, vector_ids: Sequence[str]) -> None:
-        affected_forms = sorted(set(self.forms_of_ids(vector_ids)))
-        if not affected_forms:
+        affected = sorted(set(self.forms_of_ids(vector_ids)))
+        if not affected:
             return
+        version, parts, catalog = self._state()
         remaining = (
-            self.read()
-            .filter(F.col("title").isin(affected_forms))
+            self.read(titles=affected)
             .filter(~F.col("id").isin(list(vector_ids)))
             .select("id", "vector", "title", "text")
-            .localCheckpoint(eager=True)
         )
-        surviving_titles = {
+        surviving = {
             r["title"] for r in remaining.select("title").distinct().collect()
         }
-        if surviving_titles:
+        if surviving:
+            gen = self._new_generation(version + 1)
             (
                 remaining.repartition("title")
                 .write.mode("overwrite")
                 .partitionBy("title")
-                .parquet(self.path)
+                .parquet(f"{self.path}/{gen}")
             )
-        # dynamic overwrite only rewrites partitions present in the new
-        # data; emptied partitions must be dropped explicitly
-        emptied = [t for t in affected_forms if t not in surviving_titles]
-        self._drop_partitions(emptied)
-        self._catalog_remove(emptied)
+            for t in surviving:
+                parts[t] = gen
+        for t in affected:
+            if t not in surviving:
+                parts.pop(t, None)
+                catalog.pop(t, None)  # J4 cascade
+        self._publish_manifest(version + 1, parts, catalog)
 
     def delete_by_form(self, form_titles: Sequence[str]) -> None:
-        """delete_by_form (pipeline2.py:195-197): metadata-only partition
-        drop — no full-index enumeration with a dummy query vector
-        (pipeline2.py:214-225) and no data rewrite."""
+        """delete_by_form (pipeline2.py:195-197): MANIFEST-ONLY — the
+        titles' mapping entries are dropped in one commit; no file is
+        read or written (vs the reference's full-index enumeration with
+        a dummy query vector, pipeline2.py:214-225). Vacuum reclaims
+        the orphaned bytes later."""
         with self.write_lock():
-            present = [t for t in form_titles if self.form_check(t)]
-            self._drop_partitions(present)
-            self._catalog_remove(list(form_titles))
+            version, parts, catalog = self._state()
+            if version == 0:
+                return
+            for t in form_titles:
+                parts.pop(t, None)
+                catalog.pop(t, None)
+            self._publish_manifest(version + 1, parts, catalog)
 
     def delete_all(self) -> None:
         """delete_all (pipeline2.py:199-202) + catalog truncate (:333-338)."""
         with self.write_lock():
             fs, jvm = self._fs()
-            for p in (self.path, self.catalog_path):
-                hp = jvm.org.apache.hadoop.fs.Path(p)
-                if fs.exists(hp):
-                    fs.delete(hp, True)
-
-    def _drop_partitions(self, titles: Sequence[str]) -> None:
-        if not titles:
-            return
-        fs, jvm = self._fs()
-        for t in titles:
-            hp = jvm.org.apache.hadoop.fs.Path(f"{self.path}/title={t}")
+            hp = jvm.org.apache.hadoop.fs.Path(self.path)
             if fs.exists(hp):
                 fs.delete(hp, True)
 
     # -- S15: stats -----------------------------------------------------------
 
     def stats(self) -> dict:
-        agg = self.read().agg(
+        snapshot = self.read()
+        agg = snapshot.agg(
             F.count(F.lit(1)).alias("total_vector_count"),
             F.min(F.size("vector")).alias("dimension"),
         ).head()
         per_form = {
             r["title"]: r["n"]
-            for r in self.read().groupBy("title").agg(F.count(F.lit(1)).alias("n")).collect()
+            for r in snapshot.groupBy("title").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         return {
             "total_vector_count": agg["total_vector_count"],
@@ -429,112 +681,153 @@ class VectorIndex:
             "namespaces": per_form,
         }
 
-    # -- maintenance: small-file compaction -----------------------------------
+    # -- maintenance: compaction + vacuum -------------------------------------
 
     def _partition_file_counts(self) -> dict[str, int]:
-        """Data-file count per title partition (skips _SUCCESS etc.)."""
-        fs, jvm = self._fs()
-        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        """Data-file count per LIVE title (skips _SUCCESS etc.).
+        Matching is on UNESCAPED partition values (Hadoop escapes
+        special characters as %XX in directory names), keyed by the
+        manifest's true title strings — a title like ``Form A=B%`` is
+        counted and compacted like any other."""
+        _version, parts, _catalog = self._state()
         out: dict[str, int] = {}
-        if not fs.exists(root):
-            return out
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not (st.isDirectory() and name.startswith("title=")):
+        by_dir: dict[str, set[str]] = {}
+        for t, d in parts.items():
+            by_dir.setdefault(d, set()).add(t)
+        fs, jvm = self._fs()
+        for d, live in by_dir.items():
+            gen_root = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{d}")
+            if not fs.exists(gen_root):
                 continue
-            n = sum(
-                1
-                for f in fs.listStatus(st.getPath())
-                if f.isFile() and not f.getPath().getName().startswith("_")
-            )
-            out[name[len("title="):]] = n
+            for st in fs.listStatus(gen_root):
+                name = st.getPath().getName()
+                if not (st.isDirectory() and name.startswith("title=")):
+                    continue
+                title = urllib.parse.unquote(name[len("title="):])
+                if title not in live:
+                    continue  # superseded rows parked in this generation
+                out[title] = sum(
+                    1
+                    for f in fs.listStatus(st.getPath())
+                    if f.isFile() and not f.getPath().getName().startswith("_")
+                )
         return out
 
     def compact(self, *, max_files_per_partition: int = 1) -> dict[str, int]:
-        """Rewrite fragmented title partitions down to one file each.
+        """Consolidate fragmented titles and stale generations.
 
-        Long-running ingest accumulates small files (append-mode loads,
-        per-micro-batch streaming upserts of OTHER tools, externally
-        produced layouts); small files poison scan parallelism math and
-        object-store listing at scale, so periodic compaction is part
-        of index health. Only partitions with more than
-        ``max_files_per_partition`` data files rewrite (dynamic
-        partition overwrite — untouched titles keep their files and
-        their mtimes); the catalog, which grows by append on every
-        upsert, is folded to a single file as well. Runs under the
-        writer lock like every mutation. Returns the pre-compaction
-        file count per rewritten title.
-        """
+        Victims: titles with more than ``max_files_per_partition`` data
+        files, plus every title NOT living in the newest generation
+        (generation spread is the new fragmentation: each one is a
+        union branch in the read plan and a listing round-trip at
+        scale). Victims are rewritten into ONE new generation — one
+        file per title — and the manifest repointed in a single commit;
+        titles already compact in the newest generation keep their
+        files untouched. Returns pre-compaction file counts for the
+        rewritten titles. Run :meth:`vacuum` afterwards to reclaim the
+        superseded bytes."""
         with self.write_lock():
+            version, parts, catalog = self._state()
+            if not parts:
+                return {}
             counts = self._partition_file_counts()
+            newest_dir = max(set(parts.values()))  # version-prefixed names sort
             victims = {
-                t: n for t, n in counts.items() if n > max_files_per_partition
+                t: counts.get(t, 0)
+                for t in parts
+                if counts.get(t, 0) > max_files_per_partition or parts[t] != newest_dir
             }
-            if victims:
-                rows = (
-                    self.read()
-                    .filter(F.col("title").isin(list(victims)))
-                    .select("id", "vector", "title", "text")
-                    # cut lineage before overwriting the files being read
-                    .localCheckpoint(eager=True)
-                )
-                (
-                    rows.repartition("title")  # one reduce partition per title
-                    .write.mode("overwrite")
-                    .partitionBy("title")
-                    .parquet(self.path)
-                )
-            fs, jvm = self._fs()
-            cat = jvm.org.apache.hadoop.fs.Path(self.catalog_path)
-            if fs.exists(cat):
-                n_cat = sum(
-                    1
-                    for f in fs.listStatus(cat)
-                    if f.isFile() and not f.getPath().getName().startswith("_")
-                )
-                if n_cat > max_files_per_partition:
-                    kept = self.read_catalog().coalesce(1).localCheckpoint(
-                        eager=True
-                    )
-                    kept.write.mode("overwrite").parquet(self.catalog_path)
+            if not victims:
+                return {}
+            rows = self.read(titles=sorted(victims)).select(
+                "id", "vector", "title", "text"
+            )
+            gen = self._new_generation(version + 1)
+            (
+                rows.repartition("title")  # one reduce partition per title
+                .write.mode("overwrite")
+                .partitionBy("title")
+                .parquet(f"{self.path}/{gen}")
+            )
+            for t in victims:
+                parts[t] = gen
+            self._publish_manifest(version + 1, parts, catalog)
             return victims
+
+    def vacuum(self, *, keep_versions: int = 2) -> dict:
+        """Reclaim generations referenced by none of the newest
+        ``keep_versions`` manifests, and drop the older manifests.
+        Readers pin snapshots (read() resolves the manifest once), so
+        retention must cover the longest-running reader — the same
+        contract as table-format VACUUM. Runs under the writer lock."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        with self.write_lock():
+            versions = self._manifest_versions()
+            retained = versions[-keep_versions:]
+            referenced: set[str] = set()
+            for v in retained:
+                data = self._read_small_file(
+                    f"{self.manifest_dir}/{self._manifest_name(v)}"
+                )
+                with contextlib.suppress(Exception):
+                    referenced.update(json.loads(data)["partitions"].values())
+            removed_dirs = []
+            for name in self._list_dir(f"{self.path}/data"):
+                rel = f"data/{name}"
+                if rel not in referenced:
+                    self._delete_path(f"{self.path}/{rel}", recursive=True)
+                    removed_dirs.append(rel)
+            removed_manifests = 0
+            for v in versions[:-keep_versions]:
+                self._delete_path(f"{self.manifest_dir}/{self._manifest_name(v)}")
+                removed_manifests += 1
+            return {
+                "data_dirs_removed": removed_dirs,
+                "manifests_removed": removed_manifests,
+            }
 
     # -- J3/J4: catalog sync ---------------------------------------------------
 
     def _catalog_add(self, form_names: Sequence[str]) -> None:
-        """Insert-if-absent (pipeline2.py:315-331): left-anti then append."""
+        """Insert-if-absent (pipeline2.py:315-331) as a standalone
+        commit; inside upsert the add piggybacks on the data commit."""
         if not form_names:
             return
-        new = self.spark.createDataFrame(
-            [(n,) for n in form_names], "form_name string"
-        ).withColumn("recent_activity", F.current_timestamp())
-        existing = self.read_catalog()
-        to_add = new.join(existing.select("form_name"), "form_name", "left_anti")
-        to_add.write.mode("append").parquet(self.catalog_path)
+        with self.write_lock():
+            version, parts, catalog = self._state()
+            now = datetime.now(timezone.utc).isoformat()
+            changed = False
+            for n in form_names:
+                if n not in catalog:
+                    catalog[n] = now
+                    changed = True
+            if changed:
+                self._publish_manifest(version + 1, parts, catalog)
 
     def _catalog_remove(self, form_names: Sequence[str]) -> None:
         if not form_names:
             return
-        kept = (
-            self.read_catalog()
-            .filter(~F.col("form_name").isin(list(form_names)))
-            .localCheckpoint(eager=True)
-        )
-        kept.write.mode("overwrite").parquet(self.catalog_path)
+        with self.write_lock():
+            version, parts, catalog = self._state()
+            changed = False
+            for n in form_names:
+                if catalog.pop(n, None) is not None:
+                    changed = True
+            if changed:
+                self._publish_manifest(version + 1, parts, catalog)
 
     def sync_catalog_orphans(self) -> list[str]:
         """J4: forms in the catalog with no surviving vectors → removed.
-        One anti-join replaces the reference's poll-sleep-recheck loop."""
+        With the manifest invariant (a title is mapped iff it has rows)
+        this is a driver-side set difference — the reference's
+        poll-sleep-recheck loop (pipeline2.py:352-367) and even the
+        anti join disappear."""
         with self.write_lock():
-            orphans = [
-                r["form_name"]
-                for r in self.read_catalog()
-                .join(
-                    self.read().select(F.col("title").alias("form_name")).distinct(),
-                    "form_name",
-                    "left_anti",
-                )
-                .collect()
-            ]
-            self._catalog_remove(orphans)
+            version, parts, catalog = self._state()
+            orphans = sorted(set(catalog) - set(parts))
+            if orphans:
+                for n in orphans:
+                    catalog.pop(n, None)
+                self._publish_manifest(version + 1, parts, catalog)
             return orphans

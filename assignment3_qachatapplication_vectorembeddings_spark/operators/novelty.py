@@ -22,10 +22,12 @@ filter is built here as first-class dataflow:
   (``h1 + i*h2 mod m``), which preserves Bloom guarantees with just
   the two base hashes.
 
-The bitmap is collected (``m/8`` bytes × partitions; 2^23 bits =
-1 MiB partials) and rebroadcast to the batch-side membership UDF. On a
-real cluster the collect/broadcast is driver-bounded by ``m``, not by
-corpus size — the whole point.
+Per-partition partials are OR-merged through a fixed-fan-in tree level
+before the driver sees them, so the collect is bounded at
+``FAN_IN × m/8`` bytes — independent of BOTH corpus size and scan
+partition count (a 100 TB corpus scanned as 100k splits still hands
+the driver ≤ 16 bitmaps). The merged bitmap is rebroadcast to the
+batch-side membership UDF.
 """
 
 from __future__ import annotations
@@ -41,14 +43,23 @@ from pyspark.sql.types import BinaryType, StructField, StructType
 
 __all__ = ["corpus_bloom", "novel_rows", "snapshot_diff"]
 
-#: seed for the second base hash (any constant ≠ the implicit 42 of
-#: single-arg xxhash64; fixed so filters are reproducible across runs)
-_H2_SEED = 0x9E3779B9
+#: salt column mixed into the second base hash. NOTE: Spark's
+#: multi-arg xxhash64 chains this constant through the same seed-42
+#: hash, so h2 = xxhash64(key, salt) is a deterministic remix of the
+#: key's hash state rather than an independently SEEDED hash —
+#: Kirsch–Mitzenmacher independence is weakened, which can only
+#: inflate the false-positive rate slightly. Correctness is unaffected:
+#: FPs are re-verified by the exact anti join downstream.
+_H2_SALT = 0x9E3779B9
+
+#: fan-in of the partial-bitmap OR-merge level: the driver never
+#: collects more than this many m/8-byte bitmaps
+_MERGE_FAN_IN = 16
 
 
 def _hash_cols(key: Column) -> Tuple[Column, Column]:
     """Two independent-ish 64-bit hashes of a key, JVM-side."""
-    return F.xxhash64(key), F.xxhash64(key, F.lit(_H2_SEED))
+    return F.xxhash64(key), F.xxhash64(key, F.lit(_H2_SALT))
 
 
 def _probe_positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
@@ -72,9 +83,10 @@ def corpus_bloom(
 
     Returns ``(bitmap_bytes, k)``. ``k`` defaults to the optimal
     ``round(m/n * ln 2)`` when ``expected_items`` is given, else 4.
-    The build is one distributed pass: per-partition bitmaps OR-merged
-    on the driver (the only driver-side data is ``m/8`` bytes per
-    partition, independent of corpus size).
+    The build is one distributed pass over the keys plus a fixed-fan-in
+    OR-merge level over the (tiny) partial bitmaps, so the driver
+    collects at most ``_MERGE_FAN_IN`` bitmaps (``m/8`` bytes each) no
+    matter how many partitions the corpus scans as.
     """
     if m_bits % 8:
         raise ValueError("m_bits must be a multiple of 8")
@@ -104,8 +116,28 @@ def corpus_bloom(
         if touched:
             yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
 
+    def _merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitmap = np.zeros(n_bytes, dtype=np.uint8)
+        touched = False
+        for pdf in batches:
+            for buf in pdf["bitmap"]:
+                bitmap |= np.frombuffer(buf, dtype=np.uint8)
+                touched = True
+        if touched:
+            yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
     schema = StructType([StructField("bitmap", BinaryType(), False)])
-    parts = hashed.mapInPandas(_partial, schema=schema).collect()
+    # tree level: shuffle the 1-row-per-partition partials down to
+    # _MERGE_FAN_IN tasks and OR them executor-side. repartition (not
+    # coalesce) so the scan stage keeps its full parallelism — only the
+    # m/8-byte partial rows move. Driver memory is then capped at
+    # _MERGE_FAN_IN x m/8 bytes regardless of scan partition count.
+    parts = (
+        hashed.mapInPandas(_partial, schema=schema)
+        .repartition(_MERGE_FAN_IN)
+        .mapInPandas(_merge, schema=schema)
+        .collect()
+    )
     out = np.zeros(n_bytes, dtype=np.uint8)
     for row in parts:
         out |= np.frombuffer(row["bitmap"], dtype=np.uint8)

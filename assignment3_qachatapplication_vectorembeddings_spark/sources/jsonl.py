@@ -13,7 +13,12 @@ File-content addressing survives re-runs and re-ordering of the scan
 (the same line in the same file always gets the same id) — unlike
 ``monotonically_increasing_id``, which depends on partition layout. A
 collision needs two identical texts in one file, which are true
-duplicates anyway (downstream exact dedup keys on content).
+duplicates anyway (downstream exact dedup keys on content). Caveat:
+rows with NEITHER an id NOR a text field collapse to one doc_id per
+file (Spark's multi-arg xxhash64 skips NULL args, so every such row
+hashes to ``xxhash64(file)``) — there is no deterministic per-line
+disambiguator for them; curation gates drop NULL-text rows anyway, so
+the collapse never reaches a kept corpus.
 """
 
 from __future__ import annotations
@@ -76,7 +81,14 @@ def write_documents_jsonl(
 ) -> None:
     """Write the documents shape as jsonl (one object per line,
     optionally gzip-compressed part files — the layout every LLM data
-    tool ingests)."""
+    tool ingests).
+
+    Note on round-trips: ``read_documents_jsonl`` re-derives doc_id as
+    ``xxhash64(stringified id)``, so numeric ids written here come back
+    as a DIFFERENT (but deterministic) 64-bit value. Id STABILITY holds
+    across repeated reads of the same files; id EQUALITY does not hold
+    across a write→read round-trip — join on content fingerprints when
+    correlating a corpus with its jsonl export."""
     writer = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
     ).write.mode(mode)

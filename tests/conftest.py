@@ -18,18 +18,24 @@ from assignment3_qachatapplication_vectorembeddings_spark.session import get_spa
 SF_SMOKE = "/root/testdata/sf0.001"
 
 _MOCKFS_DIR = Path(__file__).parent / "fixtures" / "mockfs"
-_MOCKFS_SRC = _MOCKFS_DIR / "sparkgraft" / "MockS3FileSystem.java"
+_MOCKFS_SRCS = sorted((_MOCKFS_DIR / "sparkgraft").glob("*.java"))
 _MOCKFS_CLASSES = _MOCKFS_DIR / "classes"
 
 
 def ensure_mockfs_classes() -> str | None:
-    """Compile the mocks3:// contract-test FileSystem if javac and the
-    Hadoop client jar are available; returns the classes dir to put on
-    the driver classpath, or None (tests that need it will skip).
-    Compilation must happen BEFORE the shared SparkSession starts —
-    extraClassPath is fixed at JVM launch."""
-    cls = _MOCKFS_CLASSES / "sparkgraft" / "MockS3FileSystem.class"
-    if cls.exists() and cls.stat().st_mtime >= _MOCKFS_SRC.stat().st_mtime:
+    """Compile the mocks3://(+mocks3na://) contract-test FileSystems if
+    javac and the Hadoop client jar are available; returns the classes
+    dir to put on the driver classpath, or None (tests that need it
+    will skip). Compilation must happen BEFORE the shared SparkSession
+    starts — extraClassPath is fixed at JVM launch."""
+    classes = [
+        _MOCKFS_CLASSES / "sparkgraft" / (src.stem + ".class")
+        for src in _MOCKFS_SRCS
+    ]
+    if all(
+        cls.exists() and cls.stat().st_mtime >= src.stat().st_mtime
+        for cls, src in zip(classes, _MOCKFS_SRCS)
+    ):
         return str(_MOCKFS_CLASSES)
     javac = shutil.which("javac")
     if javac is None:
@@ -44,7 +50,7 @@ def ensure_mockfs_classes() -> str | None:
     try:
         subprocess.run(
             [javac, "-encoding", "UTF-8", "-cp", jars[0], "-d",
-             str(_MOCKFS_CLASSES), str(_MOCKFS_SRC)],
+             str(_MOCKFS_CLASSES)] + [str(s) for s in _MOCKFS_SRCS],
             check=True, capture_output=True, timeout=120,
         )
     except (subprocess.SubprocessError, OSError):
@@ -59,6 +65,7 @@ def spark():
     if cls_dir:
         extra["spark.driver.extraClassPath"] = cls_dir
         extra["spark.hadoop.fs.mocks3.impl"] = "sparkgraft.MockS3FileSystem"
+        extra["spark.hadoop.fs.mocks3na.impl"] = "sparkgraft.MockS3LaxFileSystem"
     spark = get_spark("pytest", shuffle_partitions=8, extra_conf=extra)
     yield spark
 
@@ -76,6 +83,20 @@ def mocks3(spark):
     except Exception:
         pytest.skip("mocks3 FileSystem not on the driver classpath")
     return "mocks3://"
+
+
+@pytest.fixture(scope="session")
+def mocks3na(spark):
+    """The non-atomic-create object-store scheme (plain S3 PUT
+    semantics); skips like mocks3 when unregistered."""
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path("mocks3na:///")
+        p.getFileSystem(hconf)
+    except Exception:
+        pytest.skip("mocks3na FileSystem not on the driver classpath")
+    return "mocks3na://"
 
 
 @pytest.fixture(scope="session")

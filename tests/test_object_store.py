@@ -103,3 +103,107 @@ def test_vector_index_lifecycle_on_mocks3(spark, mocks3, tmp_path):
     assert sorted(
         r["form_name"] for r in idx.read_catalog().collect()
     ) == ["formB"]
+
+
+# -- non-atomic-create object stores (plain S3 PUT semantics) ---------------
+# mocks3na:// forces overwrite=true on every create: the hazard real S3
+# had before conditional writes. The writer lock and the manifest fence
+# both ride on create-if-absent, so VectorIndex must either be given a
+# conditional_put hook (S3 `If-None-Match: *`) or refuse to mutate.
+
+
+def test_lax_scheme_create_if_absent_is_broken(spark, mocks3na, tmp_path):
+    """Fixture sanity: on mocks3na, two overwrite=false creates of the
+    same path BOTH succeed — the atomic claim silently does not exist."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path(f"{mocks3na}{tmp_path}/claim")
+    fs = hp.getFileSystem(hconf)
+    for _ in range(2):
+        out = fs.create(hp, False)  # would raise on an atomic FS
+        out.write(bytearray(b"x"))
+        out.close()
+    assert fs.exists(hp)
+
+
+def test_write_lock_fails_fast_on_non_atomic_store(spark, mocks3na, tmp_path):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.index_maintenance import (
+        UnsupportedLockFilesystemError,
+    )
+
+    idx = VectorIndex(spark, f"{mocks3na}{tmp_path}/index")
+    df = spark.createDataFrame(
+        [("a_0", [1.0, 2.0], "formA", "alpha")],
+        "id string, vector array<float>, title string, text string",
+    )
+    with pytest.raises(UnsupportedLockFilesystemError, match="conditional_put"):
+        idx.upsert(df)
+    # nothing was committed: the index does not exist
+    assert not idx.exists()
+
+
+def _posix_conditional_put(path: str, content: bytes) -> bool:
+    """Test stand-in for an object-store conditional write (S3
+    PutObject + If-None-Match: *): atomic create-if-absent implemented
+    OUTSIDE the (deliberately broken) Hadoop create path."""
+    import os
+
+    local = path.split("://", 1)[1]
+    os.makedirs(os.path.dirname(local) or "/", exist_ok=True)
+    try:
+        fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "wb") as f:
+        f.write(content)
+    return True
+
+
+def test_lifecycle_on_non_atomic_store_with_conditional_put(
+    spark, mocks3na, tmp_path
+):
+    """Full maintenance lifecycle over the non-atomic scheme once a
+    conditional-put primitive is supplied — including concurrent
+    writers, whose mutual exclusion now rides on the hook."""
+    import threading
+
+    idx = VectorIndex(
+        spark,
+        f"{mocks3na}{tmp_path}/index",
+        conditional_put=_posix_conditional_put,
+    )
+
+    def updates(rows):
+        return spark.createDataFrame(
+            [(i, [float(len(i)), 1.0], t, x) for i, t, x in rows],
+            "id string, vector array<float>, title string, text string",
+        )
+
+    idx.upsert(updates([("a_0", "formA", "alpha"), ("b_0", "formB", "beta")]))
+    idx.upsert(updates([("a_0", "formA", "alpha v2")]))
+    assert idx.stats()["total_vector_count"] == 2
+    assert idx.fetch_by_ids(["a_0"]).head()["text"] == "alpha v2"
+
+    errors: list[Exception] = []
+
+    def writer(w: int) -> None:
+        try:
+            for i in range(2):
+                idx.upsert(updates([(f"w{w}_{i}", "formW", f"text {w}/{i}")]))
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    got = {
+        r["id"]
+        for r in idx.read(titles=["formW"]).select("id").collect()
+    }
+    assert got == {f"w{w}_{i}" for w in range(3) for i in range(2)}
+
+    idx.delete_by_form(["formA"])
+    assert not idx.form_check("formA") and idx.form_check("formB")
