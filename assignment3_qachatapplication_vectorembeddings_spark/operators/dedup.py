@@ -431,16 +431,26 @@ def simhash_table(
 ) -> DataFrame:
     """(id, simhash): tf-weighted SimHash over whitespace tokens.
 
-    ZERO-shuffle formulation: tf-weighting a token's vote by its
-    in-doc frequency is identical to letting every OCCURRENCE vote ±1,
-    so no (doc, token) frequency aggregation is needed at all — the
-    whole signature is one document-local expression over the token
-    array (hash each occurrence once via ``transform``, fold the
-    ±1 bit votes with an array accumulator, sign-map to the bitmap).
-    Scan → project, no explode, no exchange; at 100 TB the operator
-    is embarrassingly parallel over input splits. (Replaces the
-    explode → tf groupBy → collect_list plan: two wide shuffles of
-    ~100M (doc, token) rows at sf1, measured ~4× slower.)
+    Two plans, dispatched on the hash function's cost profile:
+
+    ``xx`` (production): ZERO-shuffle formulation — tf-weighting a
+    token's vote by its in-doc frequency is identical to letting every
+    OCCURRENCE vote ±1, so no (doc, token) frequency aggregation is
+    needed at all; the whole signature is one document-local
+    expression over the token array (hash each occurrence via
+    ``transform``, fold the ±1 bit votes with an array accumulator,
+    sign-map to the bitmap). Scan → project, no explode, no exchange;
+    at 100 TB the operator is embarrassingly parallel over input
+    splits. xxhash64 is cheap enough that hashing per occurrence
+    costs less than the tf shuffle it avoids.
+
+    ``md5`` (oracle parity — DuckDB has no xxhash64, so the gate
+    demands ``('0x'||substring(md5(s),1,15))::BIGINT``): here the hash
+    itself dominates (md5 + base-16 conv per string), so hashing every
+    occurrence is the wrong trade — the explode → tf groupBy plan
+    hashes each DISTINCT (doc, token) once and folds compact (h, w)
+    structs, one shuffle on the doc key. Measured at sf1: 1.30 s vs
+    1.82 s for the per-occurrence fold (VERDICT r3 regression item).
 
     The per-token hash array is the *input argument* of the fold —
     evaluated once per token — never an aliased projection indexed
@@ -449,9 +459,22 @@ def simhash_table(
     inlined into every lambda evaluation).
     """
     if hash_mode == "md5":
-        h60 = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
-    else:
-        h60 = "xxhash64(t)"
+        toks = _fan_out(docs, id_col).select(
+            id_col, F.explode(normalized_tokens(F.col(text_col))).alias("tok")
+        )
+        tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w"))
+        th = tf.select(id_col, "w", hash60(F.col("tok"), mode="md5").alias("h"))
+        per_doc = th.groupBy(id_col).agg(
+            F.collect_list(F.struct("h", "w")).alias("hw")
+        )
+        simhash_md5 = F.expr(
+            f"aggregate(transform(sequence(0, {bits - 1}),"
+            " b -> CASE WHEN aggregate(hw, 0L,"
+            " (acc, x) -> acc + IF((shiftright(x.h, b) & 1) = 1, x.w, -x.w)) > 0"
+            " THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, v) -> acc + v)"
+        )
+        return per_doc.select(id_col, simhash_md5.alias("simhash"))
+    h60 = "xxhash64(t)"
     b1 = bits - 1
     simhash = F.expr(
         "aggregate("
@@ -611,6 +634,10 @@ def duplicate_span_table(
     """
     from pyspark.sql.window import Window
 
+    from pyspark import StorageLevel
+
+    from ..runtime import register_materialized
+
     grams = hashed_gram_table(
         docs,
         id_col=id_col,
@@ -619,6 +646,13 @@ def duplicate_span_table(
         with_pos=True,
         fan_out=fan_out,
     )
+    # the gram explode + 5-arg xxhash64 is the CPU bound of this
+    # operator (VERDICT r3: 3.0× at sf1), and the plan consumes it
+    # TWICE — the corpus-frequency groupBy and the semi-join probe.
+    # Lazy persist halves the tokenize+hash work; registered for
+    # release_caches() like bm25's per-doc table.
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    register_materialized(grams)
     dup = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -47,6 +47,8 @@ __all__ = [
     "MEDIA_SCHEMA",
     "FakeCodec",
     "RealImageCodec",
+    "PngCodec",
+    "encode_png",
     "load_binary_dir",
     "decode_images",
     "image_features",
@@ -83,6 +85,160 @@ class FakeCodec:
         seed = int.from_bytes(hashlib.sha256(content).digest()[:4], "big")
         rng = np.random.RandomState(seed)
         return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (stdlib zlib only): 8-bit gray / RGB / RGBA,
+    non-interlaced, one selectable filter type for every scanline
+    (0 none / 1 sub / 2 up / 3 average / 4 paeth — all five, so every
+    un-filter path in ``PngCodec`` is round-trip testable; the encoder
+    predicts from ORIGINAL pixels, the decoder from reconstructed
+    ones, so the paths are independent). Output opens in any
+    standards-compliant viewer."""
+    import struct
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    rows = []
+    prev = np.zeros((w, c), dtype=np.uint8)
+    for y in range(h):
+        row = arr[y]
+        left = np.zeros_like(row, dtype=np.int32)
+        left[1:] = row[:-1]
+        up = prev.astype(np.int32)
+        upleft = np.zeros_like(row, dtype=np.int32)
+        upleft[1:] = prev[:-1]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # sub: minus pixel to the left
+            filt = (row.astype(np.int32) - left).astype(np.uint8)
+        elif filter_type == 2:  # up: minus pixel above
+            filt = (row.astype(np.int32) - up).astype(np.uint8)
+        elif filter_type == 3:  # average of left and up
+            filt = (row.astype(np.int32) - (left + up) // 2).astype(np.uint8)
+        elif filter_type == 4:  # paeth predictor
+            p = left + up - upleft
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+            )
+            filt = (row.astype(np.int32) - pred).astype(np.uint8)
+        else:
+            raise ValueError(f"encoder supports filters 0-4, got {filter_type}")
+        rows.append(bytes([filter_type]) + filt.tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+class PngCodec:
+    """REAL PNG decode with zero non-stdlib dependencies (zlib +
+    numpy): signature and per-chunk CRC verification, IDAT
+    reassembly, inflate, and full filter reconstruction (None / Sub /
+    Up / Average / Paeth) per the PNG spec (RFC 2083 §6). Supports
+    8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA),
+    non-interlaced — the layout every synthetic/test payload and most
+    real-world screenshots use. Output is always (h, w, 3) RGB like
+    ``RealImageCodec`` (gray replicated, alpha dropped).
+
+    Exists so the multimodal goldens assert real codec semantics on a
+    bare sandbox (VERDICT r3 #9) — production swaps in PIL via
+    ``RealImageCodec`` for the formats this doesn't cover (JPEG,
+    interlaced/16-bit/palette PNG).
+    """
+
+    def decode(self, content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
+        import struct
+        import zlib
+
+        if content[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG: bad signature")
+        pos, ihdr, idat = 8, None, []
+        while pos + 8 <= len(content):
+            (length,) = struct.unpack(">I", content[pos : pos + 4])
+            ctype = content[pos + 4 : pos + 8]
+            data = content[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack(
+                ">I", content[pos + 8 + length : pos + 12 + length]
+            )
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG chunk {ctype!r}: CRC mismatch")
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None or not idat:
+            raise ValueError("PNG missing IHDR/IDAT")
+        w, h, depth, color_type, _comp, _filt, interlace = ihdr
+        if depth != 8 or interlace != 0:
+            raise ValueError("PngCodec supports 8-bit non-interlaced only")
+        nch = {0: 1, 2: 3, 6: 4}.get(color_type)
+        if nch is None:
+            raise ValueError(f"unsupported color type {color_type}")
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * nch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            ft = raw[y * (stride + 1)]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            ).astype(np.int32)
+            if ft == 0:
+                rec = line
+            elif ft == 2:  # up (vectorized: no intra-row dependency)
+                rec = (line + prev) & 0xFF
+            elif ft in (1, 3, 4):  # sub/average/paeth: sequential in x
+                rec = np.zeros(stride, dtype=np.int32)
+                for x in range(stride):
+                    a = rec[x - nch] if x >= nch else 0
+                    b = prev[x]
+                    if ft == 1:
+                        pred = a
+                    elif ft == 3:
+                        pred = (a + b) // 2
+                    else:
+                        c0 = prev[x - nch] if x >= nch else 0
+                        p = a + b - c0
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c0)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c0)
+                    rec[x] = (line[x] + pred) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter {ft}")
+            out[y] = rec.astype(np.uint8)
+            prev = rec
+        img = out.reshape(h, w, nch)
+        if nch == 1:
+            return np.repeat(img, 3, axis=2)
+        if nch == 4:
+            return np.ascontiguousarray(img[:, :, :3])
+        return img
 
 
 class RealImageCodec:

@@ -80,6 +80,11 @@ def canon_rows(cols, rows):
 
 def main() -> int:
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a] or list(CORPUS)
 
@@ -92,6 +97,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     failures = []
+    report: dict[str, dict] = {}
     for name in names:
         spec = CORPUS[name]
         try:
@@ -102,6 +108,7 @@ def main() -> int:
             spark_s = time.time() - t0
             if spec.oracle is None:
                 qual = ""
+                metrics = None
                 if spec.quality is not None:
                     metrics = spec.quality(spark, sf_dir, srows)
                     qual = "  " + " ".join(
@@ -115,6 +122,17 @@ def main() -> int:
                 print(
                     f"  {name:28s} rows-only: {len(srows):7d} rows  [{spark_s:5.2f}s]{qual}"
                 )
+                report[name] = {
+                    "mode": "rows_only",
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": len(srows),
+                    "oracle_rows": None,
+                    "quality": metrics,
+                    "spark_s": round(spark_s, 3),
+                    "err": None if name not in failures else "quality<0.9",
+                }
                 continue
             t0 = time.time()
             # fetch via Arrow: preserves int64-with-NULLs (pandas would widen
@@ -129,6 +147,15 @@ def main() -> int:
         except Exception as exc:  # one broken query must not mask the rest
             print(f"  {name:28s} ERROR {type(exc).__name__}: {str(exc).splitlines()[0][:120]}")
             failures.append(name)
+            report[name] = {
+                "mode": "error",
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}",
+            }
             continue
         finally:
             # release this query's pinned blocks before the next one —
@@ -152,6 +179,17 @@ def main() -> int:
             f"cols={'=' if ok_cols else f'{sorted(scols)} vs {sorted(ocols)}'} "
             f"vals={'=' if ok_vals else 'DIFF'} [spark {spark_s:.2f}s duck {duck_s:.2f}s]"
         )
+        report[name] = {
+            "mode": "oracled",
+            "rows_match": ok_count,
+            "schema_match": ok_cols,
+            "hash_match": ok_vals,
+            "spark_rows": len(srows),
+            "oracle_rows": len(ores),
+            "spark_s": round(spark_s, 3),
+            "oracle_s": round(duck_s, 3),
+            "err": None,
+        }
         if not (ok_cols and ok_count and ok_vals):
             failures.append(name)
             if ok_cols and ok_count:
@@ -160,6 +198,18 @@ def main() -> int:
                     if x != y:
                         print(f"    first diff row {i}:\n      spark {x}\n      duck  {y}")
                         break
+    if json_out:
+        import json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "n_queries": len(names),
+            "n_failures": len(failures),
+            "failures": failures,
+            "queries": report,
+        }
+        Path(json_out).write_text(json.dumps(payload, indent=1, default=str) + "\n")
+        print(f"wrote {json_out}")
     if failures:
         print("FAILURES:", failures)
         return 1
