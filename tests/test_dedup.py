@@ -449,3 +449,36 @@ def test_semdedup_keep_low_flips_survivor_choice(spark):
                             keep_low=True).collect()}
     assert hi == {1: True, 2: False, 3: False}
     assert lo == {1: False, 2: True, 3: False}
+
+
+def test_simhash_whitespace_edges_match_duckdb_oracle(spark):
+    """The md5-mode Arrow path re-implements Spark's trim/split/lower
+    expression semantics in Python — tabs, trailing newlines, leading
+    separators, and empty text are exactly where Python's strip()/
+    re.split() diverge from the JVM, so pin each against the real
+    DuckDB oracle CTE the correctness gate uses."""
+    import duckdb
+
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.corpus import _SIMHASH_CTE
+
+    rows = [
+        (1, "plain words here"),
+        (2, "\ttab first"),          # Spark trim() keeps the tab → leading "" token
+        (3, "trailing newline\n"),   # Java split drops the trailing empty
+        (4, "  spaces  only  "),
+        (5, ""),                     # single empty token, md5("")
+        (6, "\n"),                   # leading "" token only
+        (7, "a  b\t\tc\r\nd"),
+        (8, None),                   # dropped entirely
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_table(docs, bits=60, hash_mode="md5").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ",".join("(%d, %s)" % (i, "NULL" if t is None else "'" + t.replace("\\", "\\\\").replace("'", "''").replace("\n", "' || chr(10) || '").replace("\t", "' || chr(9) || '").replace("\r", "' || chr(13) || '") + "'") for i, t in rows)
+                + ") AS t(doc_id, text)")
+    want = dict(con.execute(_SIMHASH_CTE + "SELECT doc_id, simhash FROM simh").fetchall())
+    assert got == want

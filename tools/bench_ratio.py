@@ -62,8 +62,20 @@ def best_of(fn, runs: int, spark=None) -> float:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.testdata_sf1"
-    rest = sys.argv[2:]
+    argv = sys.argv[1:]
+    # queries whose result set is itself data-scale (pair listings on
+    # duplicate-heavy corpora reach 10⁸ rows at sf1): materializing
+    # through Arrow into ONE python process measures driver memory, not
+    # the engine. For these, both engines stream to their native
+    # parquet sink instead — full compute + columnar write, no
+    # single-process result transfer. Same-fairness as the Arrow path.
+    parquet_sink: set[str] = set()
+    if "--parquet-sink" in argv:
+        i = argv.index("--parquet-sink")
+        parquet_sink = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/repo/.testdata_sf1"
+    rest = argv[1:]
     runs = 2
     if rest and rest[0].isdigit():  # runs count is optional
         runs, rest = int(rest[0]), rest[1:]
@@ -87,8 +99,30 @@ def main() -> int:
             # charged Spark row-pickle serialization on big outputs
             # while DuckDB paid the (cheaper) tuple path — on 1.5M-row
             # results that measured the Python driver, not the engine.
-            s_sec = best_of(lambda: spec.fn(spark, sf_dir).toArrow(), runs, spark)
-            d_sec = best_of(lambda: con.execute(spec.oracle).arrow(), runs)
+            if name in parquet_sink:
+                import shutil
+                import tempfile
+
+                sink_dir = tempfile.mkdtemp(prefix=f"ratio-{name}-")
+
+                def _spark_sink():
+                    spec.fn(spark, sf_dir).write.mode("overwrite").parquet(
+                        f"{sink_dir}/spark"
+                    )
+
+                def _duck_sink():
+                    con.execute(
+                        f"COPY ({spec.oracle}) TO '{sink_dir}/duck.parquet' (FORMAT PARQUET)"
+                    )
+
+                try:
+                    s_sec = best_of(_spark_sink, runs, spark)
+                    d_sec = best_of(_duck_sink, runs)
+                finally:
+                    shutil.rmtree(sink_dir, ignore_errors=True)
+            else:
+                s_sec = best_of(lambda: spec.fn(spark, sf_dir).toArrow(), runs, spark)
+                d_sec = best_of(lambda: con.execute(spec.oracle).arrow(), runs)
         except Exception as exc:
             print(f"| {name} | ERROR {type(exc).__name__} | | |")
             continue
