@@ -563,6 +563,15 @@ def simhash_pairs(
     on ≥ 1 chunk — so joining on (chunk_index, chunk_value) finds every
     qualifying pair without an O(n²) cross join, and the post-filter
     on true hamming distance makes the result identical to brute force.
+
+    Dedup WITHOUT a distinct(): a pair agreeing on several chunks
+    would surface once per agreeing chunk, and on duplicate-heavy
+    corpora the qualifying-pair set is itself data-scale (10⁸ rows at
+    sf1), making a distinct() exchange the dominant cost. Instead each
+    join row keeps the pair only when its chunk index is the FIRST
+    agreeing chunk (no lower-indexed chunk of sh_a XOR sh_b is zero) —
+    a static bit test per candidate, emitted exactly once, no second
+    shuffle.
     """
     sh = simhash_table(
         docs, id_col=id_col, text_col=text_col, bits=bits, hash_mode=hash_mode
@@ -586,16 +595,26 @@ def simhash_pairs(
     b = chunks.select(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "c", "v"
     )
+    x = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+
+    def _chunk_nonzero(cc: int):
+        return F.shiftright(x, cc * width).bitwiseAND(F.lit(mask)) != 0
+
+    first_agree = F.when(F.col("c") == 0, F.lit(True))
+    for c in range(1, nchunks):
+        cond = _chunk_nonzero(0)
+        for cc in range(1, c):
+            cond = cond & _chunk_nonzero(cc)
+        first_agree = first_agree.when(F.col("c") == c, cond)
     return (
         a.join(b, ["c", "v"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & first_agree)
         .select(
             "doc_a",
             "doc_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+            F.bit_count(x).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)
-        .distinct()
     )
 
 
