@@ -59,6 +59,15 @@ def read_documents_jsonl(
     Rows with no ``text`` key (or unparseable lines under the
     PERMISSIVE default) surface as NULL text rather than being dropped
     — the curation gates decide, not the reader ("no silent caps").
+
+    Known collapse: id-less NULL-text rows hash as ``xxhash64(file,
+    NULL)`` — the NULL arg is skipped, so every such row in one file
+    gets the SAME doc_id. There is no deterministic per-line ordinal
+    available from the JSON reader to disambiguate them (row order
+    within a split is not a stable function of the file across Spark
+    versions), and these rows carry no usable payload anyway — they
+    exist only so the quality gates can count and cull them. Do not
+    treat doc_id as unique until after the NULL-text cull.
     """
     raw = spark.read.schema(DOCS_JSONL_SCHEMA).json(path)
     ext_id = F.coalesce(F.col("doc_id"), F.col("id"))

@@ -117,7 +117,12 @@ def run_one(
                 raise RuntimeError(str(q.exception()))
     finally:
         q.stop()
-    progress = [json.loads(p) for p in (q.recentProgress or [])]
+    # recentProgress entries are JSON strings on older PySpark and
+    # StreamingQueryProgress objects (with a .json) on 4.x
+    progress = [
+        json.loads(p if isinstance(p, str) else p.json)
+        for p in (q.recentProgress or [])
+    ]
     # drop warm-up batches and empty ticks
     kept = [
         p
