@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-TRIGGER_SEC = 1.0
+TRIGGER_SEC = 1.0  # default; override with --trigger
 EVENT_TYPES = ["click", "view", "purchase", "signup", "refund"]
 N_USERS = 20_000
 
@@ -96,7 +96,13 @@ def build_query(name: str, ev: DataFrame, spark: SparkSession, sf_dir: str) -> D
 
 
 def run_one(
-    spark: SparkSession, name: str, rate: int, seconds: float, warmup: float, sf_dir: str
+    spark: SparkSession,
+    name: str,
+    rate: int,
+    seconds: float,
+    warmup: float,
+    sf_dir: str,
+    trigger: float = TRIGGER_SEC,
 ) -> dict:
     partitions = min(8, spark.sparkContext.defaultParallelism)
     ev = rate_events(spark, rate, partitions)
@@ -106,7 +112,7 @@ def run_one(
         out.writeStream.outputMode("update")
         .format("noop")
         .option("checkpointLocation", ckpt)
-        .trigger(processingTime=f"{int(TRIGGER_SEC * 1000)} milliseconds")
+        .trigger(processingTime=f"{int(trigger * 1000)} milliseconds")
         .start()
     )
     t0 = time.monotonic()
@@ -123,24 +129,38 @@ def run_one(
         json.loads(p if isinstance(p, str) else p.json)
         for p in (q.recentProgress or [])
     ]
-    # drop warm-up batches and empty ticks
-    kept = [
-        p
-        for p in progress
-        if p.get("numInputRows", 0) > 0
-        and (p["batchId"] * TRIGGER_SEC) >= warmup
-    ]
-    if not kept:
+    # drop warm-up batches and empty ticks. The cut is wall-clock, not
+    # batchId-based: a stateful query whose batches run slower than the
+    # trigger never reaches batchId ~ warmup/TRIGGER within the run, so
+    # a batchId cut would discard every batch it produced.
+    import datetime as _dt
+
+    def _ts(p: dict) -> float:
+        return _dt.datetime.fromisoformat(
+            p["timestamp"].replace("Z", "+00:00")
+        ).timestamp()
+
+    nonempty = [p for p in progress if p.get("numInputRows", 0) > 0]
+    if not nonempty:
         return {"query": name, "rate": rate, "error": "no steady batches captured"}
+    t_first = _ts(nonempty[0])
+    kept = [p for p in nonempty if _ts(p) - t_first >= warmup]
+    if not kept:  # very slow batches: keep the later half as "warm"
+        kept = nonempty[len(nonempty) // 2 :]
     durs = [p["durationMs"]["triggerExecution"] / 1000.0 for p in kept]
     proc = [p.get("processedRowsPerSecond", 0.0) for p in kept]
     rows = sum(p["numInputRows"] for p in kept)
     med = statistics.median(durs)
     p95 = sorted(durs)[max(0, int(len(durs) * 0.95) - 1)]
-    sustained = med <= TRIGGER_SEC * 1.1 and rows / (len(kept) * TRIGGER_SEC) >= rate * 0.9
+    # keeping up = batches finish inside the trigger AND consumption over
+    # the observed span (not an assumed span of len*trigger, which is
+    # wrong for slow batches) matches the offered rate
+    span = max(_ts(kept[-1]) - _ts(kept[0]) + durs[-1], len(kept) * trigger)
+    sustained = med <= trigger * 1.1 and rows / span >= rate * 0.9
     return {
         "query": name,
         "rate": rate,
+        "trigger_s": trigger,
         "batches": len(kept),
         "rows": rows,
         "median_batch_s": round(med, 3),
@@ -155,6 +175,7 @@ def main() -> None:
     ap.add_argument("--rates", default="25000,100000,400000")
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--warmup", type=float, default=10.0)
+    ap.add_argument("--trigger", type=float, default=TRIGGER_SEC)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument(
         "--queries", default="hourly_counts,dedup_counts,static_join,sessions"
@@ -171,7 +192,10 @@ def main() -> None:
     results = []
     for name in names:
         for rate in rates:
-            r = run_one(spark, name, rate, args.seconds, args.warmup, args.sf_dir)
+            r = run_one(
+                spark, name, rate, args.seconds, args.warmup, args.sf_dir,
+                trigger=args.trigger,
+            )
             results.append(r)
             print(json.dumps(r), flush=True)
             if r.get("error") or not r.get("sustained", False):
