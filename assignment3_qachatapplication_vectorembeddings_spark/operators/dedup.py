@@ -841,22 +841,44 @@ def _pair_out_schema(emb: DataFrame, id_col: str):
     )
 
 
-def _local_topk_pairs(q_ids, q_mat, c_ids, c_mat, k):
-    """Top-k cross pairs (id_a < id_b) between two normalized blocks —
-    one matmul, then a partial-sort over the masked score matrix."""
+def _local_topk_pairs(q_ids, q_mat, c_ids, c_mat, k, block: int = 1024):
+    """Top-k cross pairs (id_a < id_b) between two normalized blocks.
+
+    The matmul is BLOCKED over query rows with a running top-k merge:
+    peak memory is O(block × |c|), never O(|q| × |c|). The unblocked
+    version OOMed the sf10 rehearsal — k-means cells skew on
+    duplicate-heavy corpora (a 30k-row cell's full score matrix is
+    30k² × 8 B ≈ 7 GB, and ``np.where`` + mask tripled it), and
+    32 local workers each holding one such cell killed the box.
+    Results are identical: top-k of blockwise top-ks is the global
+    top-k because every candidate pair lives in exactly one block."""
     import numpy as np
     import pandas as pd
 
-    cos = q_mat @ c_mat.T
-    mask = q_ids[:, None] < c_ids[None, :]
-    cos_m = np.where(mask, cos, -np.inf)
-    flat = cos_m.ravel()
-    take = min(k, int(mask.sum()))
-    if take == 0:
+    best_ids_a, best_ids_b, best_cos = [], [], []
+    for lo in range(0, len(q_ids), block):
+        q_ids_b = q_ids[lo : lo + block]
+        cos = q_mat[lo : lo + block] @ c_mat.T
+        mask = q_ids_b[:, None] < c_ids[None, :]
+        np.copyto(cos, -np.inf, where=~mask)
+        flat = cos.ravel()
+        take = min(k, int(mask.sum()))
+        if take == 0:
+            continue
+        idx = np.argpartition(flat, -take)[-take:]
+        r, c = np.unravel_index(idx, cos.shape)
+        best_ids_a.append(q_ids_b[r])
+        best_ids_b.append(c_ids[c])
+        best_cos.append(flat[idx])
+    if not best_cos:
         return None
-    idx = np.argpartition(flat, -take)[-take:]
-    r, c = np.unravel_index(idx, cos_m.shape)
-    return pd.DataFrame({"id_a": q_ids[r], "id_b": c_ids[c], "cosine": flat[idx]})
+    ids_a = np.concatenate(best_ids_a)
+    ids_b = np.concatenate(best_ids_b)
+    cos_all = np.concatenate(best_cos)
+    if len(cos_all) > k:
+        keep = np.argpartition(cos_all, -k)[-k:]
+        ids_a, ids_b, cos_all = ids_a[keep], ids_b[keep], cos_all[keep]
+    return pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "cosine": cos_all})
 
 
 def _topk_pairs_broadcast(emb, *, id_col, vec_col, k):
@@ -943,7 +965,7 @@ def embedding_topk_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 20,
-    broadcast_threshold: int = 200_000,
+    broadcast_threshold: int = 50_000,
     nlist: int | None = None,
     assign_probes: int = 2,
 ) -> DataFrame:
@@ -953,9 +975,13 @@ def embedding_topk_pairs(
     ``connected_components``):
 
     - ≤ ``broadcast_threshold`` rows: exact block nested-loop — the
-      normalized matrix is broadcast (200k × 1536-d doubles ≈ 2.4 GB
-      upper bound; the default threshold keeps it executor-sized) and
-      each Arrow batch does one matmul, emitting only its local top-k.
+      normalized matrix is broadcast (50k × 1536-d doubles ≈ 600 MB
+      upper bound) and each Arrow batch does one matmul, emitting only
+      its local top-k. The bound must price in that EVERY PYTHON
+      WORKER deserializes its own copy of the broadcast — on a 32-slot
+      executor that is 32×, not 1× (the sf10 rehearsal OOMed a 125 GB
+      box at the old 200k threshold: 2.4 GB × 32 workers before any
+      matmul memory).
     - larger: IVF-bucketed candidates + per-cell matmul rescore — the
       100 TB path. Nothing full-table ever reaches the driver; recall
       is governed by (nlist, assign_probes) multi-assignment.
@@ -973,8 +999,11 @@ def embedding_topk_pairs(
             id_col=id_col,
             vec_col=vec_col,
             k=k,
-            # ~4k-row cells keep each local matmul ≈ 16M multiply-adds
-            nlist=nlist or max(16, n // 4096),
+            # ~4k-row MEAN cells (multi-assignment posts probes × n
+            # rows, so the divisor counts posted rows, not vectors);
+            # skewed cells beyond the mean are handled by the blocked
+            # matmul in _local_topk_pairs, not by this sizing
+            nlist=nlist or max(16, (assign_probes * n) // 4096),
             assign_probes=assign_probes,
         )
     return (
