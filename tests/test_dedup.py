@@ -178,6 +178,38 @@ def test_embedding_topk_pairs_bucketed_path(spark, sf_dir, monkeypatch):
         assert p in exact or got[p] <= max(exact.values())
 
 
+def test_local_topk_pairs_blocking_invariant():
+    """The blocked matmul (sf10 OOM fix) must return the same top-k as
+    an unblocked full-matrix pass, for any block size — including
+    blocks that straddle the best pairs and a block of 1."""
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.dedup import (
+        _local_topk_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim, k = 53, 16, 9
+    ids = rng.choice(10_000, size=n, replace=False).astype(np.int64)
+    mat = rng.standard_normal((n, dim))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    # plant two near-identical pairs so the top of the ranking is real
+    mat[11] = mat[40] + 1e-6
+    mat[11] /= np.linalg.norm(mat[11])
+    cos = mat @ mat.T
+    brute = sorted(
+        ((cos[i, j], min(ids[i], ids[j]), max(ids[i], ids[j]))
+         for i in range(n) for j in range(n) if ids[i] < ids[j]),
+        reverse=True,
+    )[:k]
+    want = {(a, b): round(c, 9) for c, a, b in brute}
+    for block in (1, 7, 64, 1024):
+        out = _local_topk_pairs(ids, mat, ids, mat, k, block=block)
+        got = {
+            (min(a, b), max(a, b)): round(c, 9)
+            for a, b, c in zip(out["id_a"], out["id_b"], out["cosine"])
+        }
+        assert got == want, f"block={block}"
+
+
 # -- SemDeDup (Abbas et al. 2023) ------------------------------------------
 
 
