@@ -153,6 +153,7 @@ def novel_rows(
     k: int | None = None,
     expected_items: int | None = None,
     with_stats: bool = True,
+    bloom_min_corpus_rows: int = 0,
 ) -> tuple[DataFrame, dict | None]:
     """EXACT novelty: rows of ``batch`` whose ``key_col`` does not
     occur in ``corpus`` — semantically identical to
@@ -165,7 +166,31 @@ def novel_rows(
     through the exact join; they cannot change the answer.
     ``with_stats=False`` skips the two count jobs (returns ``None``) —
     use it when only the novel rows matter.
+
+    ``bloom_min_corpus_rows`` is the cost dispatch (the
+    ``connected_components`` / ``embedding_topk_pairs`` idiom): below
+    the bar the bitmap machinery (corpus partials, tree merge,
+    broadcast, probe UDF) costs more than the single narrow-key anti
+    join it would save, so the operator runs the plain ``left_anti``
+    directly — identical rows, ``stats["mode"] == "exact"``. Default 0
+    keeps the bloom path unconditional (callers that know their corpus
+    scale opt in; the pytest contract pins both modes row-identical).
     """
+    if bloom_min_corpus_rows > 0:
+        n_corpus = corpus.count()
+        if n_corpus < bloom_min_corpus_rows:
+            novel = batch.join(corpus.select(key_col), key_col, "left_anti")
+            if not with_stats:
+                return novel, None
+            n_batch = batch.count()
+            return novel, {
+                "mode": "exact",
+                "n_batch": n_batch,
+                "n_maybe": n_batch,  # every row met the corpus join
+                "prune_rate": 0.0,
+                "m_bits": 0,
+                "k": 0,
+            }
     bitmap_bytes, k = corpus_bloom(
         corpus.select(key_col),
         key_col,
@@ -216,6 +241,7 @@ def novel_rows(
     n_batch = flagged.count()
     n_maybe = maybe.count()
     stats = {
+        "mode": "bloom",
         "n_batch": n_batch,
         "n_maybe": n_maybe,
         "prune_rate": round(1.0 - n_maybe / n_batch, 4) if n_batch else 1.0,

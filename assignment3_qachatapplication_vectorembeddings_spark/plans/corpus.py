@@ -3470,8 +3470,15 @@ def q_novelty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = fps.filter(F.col("source") == "src1").select("doc_id", "__fp")
     # m=2^23 bits / k=7: ~2e-6 FP at 200k corpus keys — 7 probes per
     # row beats the "optimal" k=29 (probe CPU scales with k; FP is
-    # already far below anything that would widen the verify stage)
-    novel, _ = novel_rows(corpus, batch, "__fp", k=7, with_stats=False)
+    # already far below anything that would widen the verify stage).
+    # Cost dispatch: under 2M corpus fingerprints the bitmap machinery
+    # costs more than the narrow-key anti join it prunes, so novel_rows
+    # runs the plain left_anti there (identical rows — pytest pins
+    # both modes; the bloom path is the 100 TB shape)
+    novel, _ = novel_rows(
+        corpus, batch, "__fp", k=7, with_stats=False,
+        bloom_min_corpus_rows=2_000_000,
+    )
     return novel.select("doc_id").orderBy("doc_id")
 
 

@@ -470,7 +470,14 @@ def run_streaming_novelty_ingest(
                 exact_fingerprint(F.col("text")).alias("__fp")
             )
             seen = seen.unionByName(ingested)
-        novel, _ = novel_rows(seen, batch, "__fp", with_stats=False)
+        # same cost dispatch as the batch query: while the seen-set is
+        # small (early stream life) the plain anti join beats the
+        # bitmap build that would otherwise run EVERY micro-batch; the
+        # bloom path takes over once the corpus earns it
+        novel, _ = novel_rows(
+            seen, batch, "__fp", with_stats=False,
+            bloom_min_corpus_rows=2_000_000,
+        )
         novel.drop("__fp").write.mode("append").parquet(out_path)
         # novel_rows registers its checkpoint + broadcast with the
         # shared release registry; a long-running stream must drain it

@@ -39,10 +39,25 @@ def test_novel_rows_equals_anti_join(spark, seed):
         for r in batch.join(corpus.select("key"), "key", "left_anti").collect()
     }
     assert got == expected
+    assert stats["mode"] == "bloom"
     assert stats["n_batch"] == 100
     # 1 MiB default filter over 200 keys: FP rate ~0, so the "maybe"
     # subset is exactly the true duplicates
     assert stats["n_maybe"] == 100 - len(expected)
+
+    # cost dispatch: a corpus under the bar takes the plain-anti-join
+    # path — SAME rows, stats flagged exact (the mode the sf0.01 gate
+    # exercises; this assertion is what makes it safe there)
+    small, small_stats = novel_rows(
+        corpus, batch, "key", bloom_min_corpus_rows=1_000_000
+    )
+    assert {r.doc_id for r in small.collect()} == expected
+    assert small_stats["mode"] == "exact"
+    assert small_stats["n_batch"] == 100
+    # and a corpus AT/OVER the bar keeps the bloom path
+    big, big_stats = novel_rows(corpus, batch, "key", bloom_min_corpus_rows=200)
+    assert {r.doc_id for r in big.collect()} == expected
+    assert big_stats["mode"] == "bloom"
 
 
 def test_novel_rows_exact_under_saturated_bloom(spark):
