@@ -25,6 +25,8 @@ triggers with the same code.
 
 from __future__ import annotations
 
+import contextlib
+import os
 from typing import Iterator, Sequence, Tuple
 
 import pandas as pd
@@ -50,7 +52,39 @@ __all__ = [
     "dedup_stream",
     "sessionize_stream",
     "run_streaming_novelty_ingest",
+    "drain_shuffle_partitions",
 ]
+
+#: State-store partitioning for bounded AvailableNow drains. A
+#: stateful operator materializes ONE state-store instance per shuffle
+#: partition, and every micro-batch pays a per-store commit (snapshot
+#: + delta file) regardless of how little data it carries — so a
+#: bounded drain over a small backlog at the batch default of 32
+#: partitions spends most of its wall clock on store bookkeeping
+#: (measured at sf0.1: hourly 1.32→0.67 s, dedup 2.70→1.21 s going
+#: 32→4). Production streams want the opposite trade — steady-state
+#: key cardinality sized across executors — and state partitioning is
+#: FIXED at the first checkpoint of a query's life, so the value is
+#: env-overridable rather than derived from data.
+_DRAIN_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_DRAIN_PARTITIONS", "4")
+)
+
+
+@contextlib.contextmanager
+def drain_shuffle_partitions(spark: SparkSession, n: int | None = None):
+    """Scope ``spark.sql.shuffle.partitions`` down for the duration of
+    a bounded drain (must cover ``.start()`` — a streaming query pins
+    the state partition count at start). Restores the ambient value on
+    exit; batch plans evaluated after exit are unaffected."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(n or _DRAIN_PARTITIONS)
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 #: Incoming document records (one json per line in the landing dir).
 DOC_STREAM_SCHEMA = StructType(
@@ -246,14 +280,15 @@ def run_windowed_counts_available_now(
     deterministic drain-and-stop shape.)
     """
     agg = windowed_event_counts(events_stream, window=window, watermark=watermark)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with drain_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(query_name)
 
 
