@@ -3217,7 +3217,10 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-batch join+GROUP BY. Stream-static is THE enrichment shape
     for streaming ingest at scale (dimension lookup per micro-batch; no
     state, no watermark interplay)."""
-    from ..streaming.ingest import stream_events_table
+    from ..streaming.ingest import (
+        drain_shuffle_partitions,
+        stream_events_table,
+    )
 
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
@@ -3228,14 +3231,17 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(_cents_sum(F.col("value")), 2).alias("sum_value"),
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("corpus_stream_static")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # complete-mode agg is stateful: the drain-scoped partition count
+    # applies here exactly as in the dedup/hourly drains
+    with drain_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("corpus_stream_static")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table("corpus_stream_static")
         .select(
@@ -3789,7 +3795,11 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark-bounded dropDuplicates, drained with AvailableNow into a
     memory sink, then counted per type — must equal the batch GROUP BY
     over the ORIGINAL table (exactly-once contract)."""
-    from ..streaming.ingest import dedup_stream, stream_events_table
+    from ..streaming.ingest import (
+        dedup_stream,
+        drain_shuffle_partitions,
+        stream_events_table,
+    )
 
     stream = stream_events_table(spark, sf_dir)
     redelivered = stream.unionByName(stream)  # every event arrives twice
@@ -3800,14 +3810,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory sink would materialize the whole stream on the driver —
     # fine at sf0.01, a driver-memory wall on an unbounded feed.
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("corpus_stream_dedup")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with drain_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("corpus_stream_dedup")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("corpus_stream_dedup").orderBy("event_type")
 
 
