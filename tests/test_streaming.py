@@ -361,3 +361,31 @@ def test_streaming_novelty_ingest(spark, tmp_path):
     q.awaitTermination()
     texts = sorted(r["text"] for r in spark.read.parquet(out_path).collect())
     assert texts == ["fresh alpha", "fresh beta", "fresh gamma"]
+
+
+def test_drain_shuffle_partitions_scopes_and_restores(spark):
+    """The drain context must (1) apply its value for the scope, (2)
+    restore the ambient value even when the body raises, and (3) honor
+    an explicit override — state partitioning is pinned at query start,
+    so a leak here would silently re-shape every later batch plan."""
+    from assignment3_qachatapplication_vectorembeddings_spark.streaming.ingest import (
+        _DRAIN_PARTITIONS,
+        drain_shuffle_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    ambient = spark.conf.get(key)
+    with drain_shuffle_partitions(spark):
+        assert spark.conf.get(key) == str(_DRAIN_PARTITIONS)
+    assert spark.conf.get(key) == ambient
+
+    with drain_shuffle_partitions(spark, 7):
+        assert spark.conf.get(key) == "7"
+    assert spark.conf.get(key) == ambient
+
+    try:
+        with drain_shuffle_partitions(spark):
+            raise RuntimeError("drain body failed")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == ambient
