@@ -47,6 +47,9 @@ __all__ = [
     "ivf_assign",
     "ivf_assign_multi",
     "ivf_topk",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -182,25 +185,49 @@ def ivf_fit_centroids(
         sampled = sampled.limit(sample_cap)
     pdf = sampled.toPandas()
     mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return _kmeans(mat, nlist, np.random.RandomState(seed), max_iter)
 
-    rng = np.random.RandomState(seed)
-    # k-means++ init
-    cents = np.empty((nlist, mat.shape[1]))
-    cents[0] = mat[rng.randint(len(mat))]
-    d2 = ((mat - cents[0]) ** 2).sum(axis=1)
-    for i in range(1, nlist):
-        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(mat), 1.0 / len(mat))
-        cents[i] = mat[rng.choice(len(mat), p=probs)]
-        d2 = np.minimum(d2, ((mat - cents[i]) ** 2).sum(axis=1))
-    # Lloyd's iterations (argmin via the ||c||² - 2x·c expansion)
+
+def _kmeans(
+    mat: np.ndarray, k: int, rng, max_iter: int, *, init: str = "kmeans++"
+) -> np.ndarray:
+    """Vectorized Lloyd's (shared by the IVF coarse quantizer and the
+    per-subspace PQ codebooks). ``init='kmeans++'`` is the quality
+    default for a coarse quantizer (few, load-bearing centroids);
+    ``'sample'`` (Forgy) skips the k sequential seeding steps — at PQ
+    codebook size (k=256 × m subspaces) the seeding loop costs more
+    than all Lloyd iterations and the iterations converge fine from a
+    random distinct sample."""
+    if init == "sample":
+        cents = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
+        if len(cents) < k:  # ksub capped by sample size upstream
+            cents = np.vstack([cents, cents[: k - len(cents)]])
+        cents = cents.astype(np.float64, copy=True)
+    else:
+        # k-means++ init
+        cents = np.empty((k, mat.shape[1]))
+        cents[0] = mat[rng.randint(len(mat))]
+        d2 = ((mat - cents[0]) ** 2).sum(axis=1)
+        for i in range(1, k):
+            probs = (
+                d2 / d2.sum() if d2.sum() > 0 else np.full(len(mat), 1.0 / len(mat))
+            )
+            cents[i] = mat[rng.choice(len(mat), p=probs)]
+            d2 = np.minimum(d2, ((mat - cents[i]) ** 2).sum(axis=1))
+    # Lloyd's iterations (argmin via the ||c||² - 2x·c expansion). The
+    # per-cluster means are scatter-add + bincount — a k-length python
+    # loop of boolean masks costs more than the distance matmul once k
+    # reaches PQ codebook size (256).
     for _ in range(max_iter):
         d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
         assign = np.argmin(d, axis=1)
-        new = np.array(
-            [
-                mat[assign == j].mean(axis=0) if (assign == j).any() else cents[j]
-                for j in range(nlist)
-            ]
+        sums = np.zeros((k, mat.shape[1]))
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=k)
+        new = np.where(
+            counts[:, None] > 0,
+            sums / np.maximum(counts, 1)[:, None],
+            cents,
         )
         if np.allclose(new, cents):
             break
@@ -329,3 +356,154 @@ def load_ivf_index(spark, path: str):
     )
     centroids = np.array([r["centroid"] for r in cent])
     return assigned, centroids
+
+
+# ----------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011) — the MEMORY-bound ANN layout. LSH and
+# IVF prune which vectors a query touches; PQ shrinks what each touched
+# vector costs: the vector is split into m subvectors, each quantized
+# to one of ksub per-subspace centroids, so a 1536-d float vector
+# (6 KB) becomes m one-byte codes (m=96 → 64× compression). Scoring is
+# asymmetric distance computation (ADC): the query precomputes one
+# (m × ksub) lookup table of partial dot products, and each stored
+# vector's approximate score is m table lookups — no float vector is
+# ever read at scan time. At 100 TB that is the difference between an
+# index that fits in cluster memory and one that lives on disk.
+# ----------------------------------------------------------------------
+
+
+def pq_train(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    max_iter: int = 15,
+    sample_cap: int = 100_000,
+) -> np.ndarray:
+    """Per-subspace codebooks, shape ``(m, ksub, dim // m)`` with
+    ``ksub = min(2**nbits, sample size)``. Same bounded-driver-sample
+    recipe as ``ivf_fit_centroids``: codebooks need a representative
+    sample, not the corpus; encoding stays fully distributed. ``dim``
+    must divide evenly by ``m``."""
+    total = emb.count()
+    sampled = emb.select(vec_col)
+    if total > sample_cap:
+        sampled = sampled.sample(
+            fraction=min(1.0, 1.2 * sample_cap / total), seed=seed
+        )
+        sampled = sampled.limit(sample_cap)
+    pdf = sampled.toPandas()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ksub = min(1 << nbits, len(mat))
+    rng = np.random.RandomState(seed)
+    return np.stack(
+        [
+            _kmeans(
+                mat[:, i * dsub : (i + 1) * dsub],
+                ksub,
+                rng,
+                max_iter,
+                init="sample",
+            )
+            for i in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``codes`` = the m per-subspace nearest-centroid indices
+    (``array<int>``; values < ksub ≤ 256). One matmul per subspace per
+    Arrow batch — encoding is embarrassingly parallel and never
+    shuffles; persist ``(id, codes)`` and drop the float vectors."""
+    cb = codebooks
+    m, _, dsub = cb.shape
+    cb_n2 = (cb * cb).sum(axis=2)  # (m, ksub)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            if not len(vecs):
+                yield pd.Series([], dtype=object)
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for i in range(m):
+                sub = mat[:, i * dsub : (i + 1) * dsub]
+                d = cb_n2[i][None, :] - 2.0 * (sub @ cb[i].T)
+                codes[:, i] = np.argmin(d, axis=1)
+            yield pd.Series(list(codes))
+
+    return emb.withColumn("codes", _encode(F.col(vec_col)))
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    qvec: Sequence[float],
+    k: int,
+    *,
+    emb: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via ADC.
+
+    The query builds two (m × ksub) tables driver-side — partial dot
+    products against each centroid and centroid squared norms — and a
+    pandas UDF scores each stored vector as m lookups:
+    ``cos ≈ Σᵢ dot[i,cᵢ] / (|q| · sqrt(Σᵢ n2[i,cᵢ]))`` (the norm is
+    quantized with the same codebooks, so no float vector is read).
+
+    With ``emb`` given, the ADC pass only SHORTLISTS (default
+    ``max(10k, 100)`` rows via TakeOrdered) and the final ``k`` come
+    from an exact cosine re-rank of the shortlisted originals — the
+    FAISS ``IVFPQ + refine`` shape: ADC errors only cost recall if a
+    true neighbor falls outside the (cheap, generous) shortlist."""
+    cb = codebooks
+    m, _, dsub = cb.shape
+    q = np.asarray(qvec, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError(f"query dim {q.shape[0]} != codebook dim {m * dsub}")
+    qn = float(np.sqrt((q * q).sum()))
+    lut_dot = np.stack(
+        [cb[i] @ q[i * dsub : (i + 1) * dsub] for i in range(m)]
+    )  # (m, ksub)
+    lut_n2 = (cb * cb).sum(axis=2)  # (m, ksub)
+    midx = np.arange(m)
+
+    @F.pandas_udf("double")
+    def _adc(code_col: pd.Series) -> pd.Series:
+        if not len(code_col):
+            return pd.Series([], dtype=float)
+        mat = np.array([np.asarray(c, dtype=np.int64) for c in code_col])
+        dots = lut_dot[midx[None, :], mat].sum(axis=1)
+        n2 = lut_n2[midx[None, :], mat].sum(axis=1)
+        denom = qn * np.sqrt(np.maximum(n2, 1e-300))
+        return pd.Series(np.where(denom > 0, dots / denom, 0.0))
+
+    scored = codes.withColumn("score", _adc(F.col("codes")))
+    if emb is None:
+        return (
+            scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k).drop("codes")
+        )
+    s = shortlist or max(10 * k, 100)
+    short = (
+        scored.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(s)
+        .select(id_col)
+    )
+    rerank = emb.join(short, id_col, "left_semi")
+    return topk_cosine(rerank, qvec, k, vec_col=vec_col)

@@ -150,3 +150,75 @@ def test_persisted_ivf_index_prunes_partitions(spark, emb, qvec, exact_ids, tmp_
         .toString()
     )
     assert "PartitionFilters" in plan and "cluster" in plan
+
+
+def test_pq_encode_shape_and_bounds(spark, emb):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        pq_encode,
+        pq_train,
+    )
+
+    cb = pq_train(emb, m=8, nbits=8)
+    m, ksub, dsub = cb.shape
+    assert m == 8 and dsub == 8 and ksub <= 256
+    rows = pq_encode(emb, cb).select("codes").collect()
+    assert all(len(r["codes"]) == m for r in rows)
+    assert all(0 <= c < ksub for r in rows for c in r["codes"])
+
+
+def test_pq_rerank_matches_exact_topk(spark, emb, qvec):
+    """ADC shortlist + exact re-rank: recall@10 >= 0.9 on the seeded
+    testdata (measured 1.0 — the floor leaves codebook jitter room),
+    and the re-ranked scores are EXACT cosines (the shortlist only
+    gates membership, never the score)."""
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    cb = pq_train(emb, m=8, nbits=8)
+    codes = pq_encode(emb, cb).select("vec_id", "codes")
+    exact = {
+        r["vec_id"]: r["score"]
+        for r in topk_cosine(emb, qvec, K, vec_col="embedding").collect()
+    }
+    got = {
+        r["vec_id"]: r["score"]
+        for r in pq_topk(codes, cb, qvec, K, emb=emb).collect()
+    }
+    assert len(set(got) & set(exact)) / K >= 0.9
+    for vid in set(got) & set(exact):
+        assert abs(got[vid] - exact[vid]) < 1e-9
+
+
+def test_pq_adc_only_is_deterministic_and_close(spark, emb, qvec):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    cb = pq_train(emb, m=8, nbits=8)
+    codes = pq_encode(emb, cb).select("vec_id", "codes")
+    a = [r["vec_id"] for r in pq_topk(codes, cb, qvec, K).collect()]
+    b = [r["vec_id"] for r in pq_topk(codes, cb, qvec, K).collect()]
+    assert a == b  # seeded codebooks + deterministic tie-break
+    exact = {r["vec_id"] for r in topk_cosine(emb, qvec, K, vec_col="embedding").collect()}
+    # ADC alone (no re-rank) may rank a few neighbors out, never most
+    assert len(set(a) & exact) / K >= 0.5
+
+
+def test_pq_dim_mismatch_raises(spark, emb, qvec):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=7)
+    cb = pq_train(emb, m=8, nbits=8)
+    codes = pq_encode(emb, cb).select("vec_id", "codes")
+    with pytest.raises(ValueError, match="codebook dim"):
+        pq_topk(codes, cb, qvec[:-2], K)
