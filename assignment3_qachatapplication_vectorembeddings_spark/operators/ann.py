@@ -32,7 +32,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from .topk import topk_cosine
 
@@ -50,6 +57,9 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "ivfpq_build",
+    "ivfpq_encode",
+    "ivfpq_topk",
 ]
 
 
@@ -178,14 +188,22 @@ def ivf_fit_centroids(
     fully distributed. One Arrow transfer + a few ms of numpy replaces
     a 20-iteration distributed k-means job per build.
     """
+    mat = _sample_matrix(emb, vec_col, sample_cap, seed)
+    return _kmeans(mat, nlist, np.random.RandomState(seed), max_iter)
+
+
+def _sample_matrix(
+    emb: DataFrame, vec_col: str, sample_cap: int, seed: int
+) -> np.ndarray:
+    """Bounded, seeded driver-side sample of the vector column (the one
+    driver-sized piece of every index build here)."""
     total = emb.count()
     sampled = emb.select(vec_col)
     if total > sample_cap:
         sampled = sampled.sample(fraction=min(1.0, 1.2 * sample_cap / total), seed=seed)
         sampled = sampled.limit(sample_cap)
     pdf = sampled.toPandas()
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    return _kmeans(mat, nlist, np.random.RandomState(seed), max_iter)
+    return np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
 
 
 def _kmeans(
@@ -388,21 +406,18 @@ def pq_train(
     recipe as ``ivf_fit_centroids``: codebooks need a representative
     sample, not the corpus; encoding stays fully distributed. ``dim``
     must divide evenly by ``m``."""
-    total = emb.count()
-    sampled = emb.select(vec_col)
-    if total > sample_cap:
-        sampled = sampled.sample(
-            fraction=min(1.0, 1.2 * sample_cap / total), seed=seed
-        )
-        sampled = sampled.limit(sample_cap)
-    pdf = sampled.toPandas()
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    mat = _sample_matrix(emb, vec_col, sample_cap, seed)
+    return _pq_codebooks(mat, m, nbits, np.random.RandomState(seed), max_iter)
+
+
+def _pq_codebooks(
+    mat: np.ndarray, m: int, nbits: int, rng, max_iter: int
+) -> np.ndarray:
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     ksub = min(1 << nbits, len(mat))
-    rng = np.random.RandomState(seed)
     return np.stack(
         [
             _kmeans(
@@ -504,6 +519,190 @@ def pq_topk(
         scored.orderBy(F.desc("score"), F.asc(id_col))
         .limit(s)
         .select(id_col)
+    )
+    rerank = emb.join(short, id_col, "left_semi")
+    return topk_cosine(rerank, qvec, k, vec_col=vec_col)
+
+
+# ----------------------------------------------------------------------
+# IVF+PQ (FAISS ``IVFPQ``): the two layouts composed — IVF cells prune
+# WHICH vectors a query touches (planning-time partition pruning when
+# the encoded table is persisted partitionBy cluster), PQ codes shrink
+# what each touched vector COSTS (m bytes + 1 norm float, never the
+# raw vector). Codes quantize the RESIDUAL x − c(x): residuals cluster
+# tightly around 0, so the same codebook budget spends its resolution
+# where the data actually is (the core IVFADC observation, Jégou et
+# al. 2011 §IV). The exact per-vector norm is stored at encode time —
+# one float — so ADC cosine needs no norm quantization and the only
+# per-cell query state is the scalar q·c.
+# ----------------------------------------------------------------------
+
+
+def ivfpq_build(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    coarse_iter: int = 20,
+    pq_iter: int = 15,
+    sample_cap: int = 100_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(centroids ``(nlist, dim)``, codebooks ``(m, ksub, dim//m)``)
+    fit on ONE bounded driver sample: coarse k-means first, then
+    per-subspace codebooks over the sample's residuals — matching what
+    ``ivfpq_encode`` will quantize. Encoding stays fully distributed."""
+    mat = _sample_matrix(emb, vec_col, sample_cap, seed)
+    rng = np.random.RandomState(seed)
+    centroids = _kmeans(mat, nlist, rng, coarse_iter)
+    d = (centroids * centroids).sum(axis=1)[None, :] - 2.0 * (mat @ centroids.T)
+    resid = mat - centroids[np.argmin(d, axis=1)]
+    return centroids, _pq_codebooks(resid, m, nbits, rng, pq_iter)
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    posts: int = 1,
+) -> DataFrame:
+    """Adds ``cluster`` (coarse cell), ``codes`` (m residual PQ codes
+    vs that cell's centroid), and ``norm`` (exact |x|, the one stored
+    float that makes ADC cosine need no norm quantization).
+
+    ``posts > 1`` posts each vector to its ``posts`` nearest cells with
+    a per-cell residual encoding (``posts``× rows) — the same
+    recall/storage trade as ``ivf_assign_multi``, and cheaper here
+    because the duplicated payload is m bytes of codes, not the vector.
+    One matmul chain per Arrow batch; no shuffle. Persist partitioned
+    by ``cluster`` for planning-time probe pruning."""
+    cb = codebooks
+    m, _, dsub = cb.shape
+    c = centroids
+    if c.shape[1] != m * dsub:
+        raise ValueError(f"centroid dim {c.shape[1]} != codebook dim {m * dsub}")
+    p = min(posts, len(c))
+    c_n2 = (c * c).sum(axis=1)
+    cb_n2 = (cb * cb).sum(axis=2)  # (m, ksub)
+    out_type = StructType(
+        [
+            StructField("clusters", ArrayType(IntegerType())),
+            StructField("codes", ArrayType(ArrayType(IntegerType()))),
+            StructField("norm", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _enc(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for vecs in batches:
+            if not len(vecs):
+                yield pd.DataFrame(
+                    {
+                        "clusters": pd.Series([], dtype=object),
+                        "codes": pd.Series([], dtype=object),
+                        "norm": pd.Series([], dtype=float),
+                    }
+                )
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            d = c_n2[None, :] - 2.0 * (mat @ c.T)
+            near = np.argsort(d, axis=1)[:, :p].astype("int32")  # (n, p)
+            per_post = []
+            for j in range(p):
+                resid = mat - c[near[:, j]]
+                codes_j = np.empty((len(mat), m), dtype=np.int32)
+                for i in range(m):
+                    sub = resid[:, i * dsub : (i + 1) * dsub]
+                    dd = cb_n2[i][None, :] - 2.0 * (sub @ cb[i].T)
+                    codes_j[:, i] = np.argmin(dd, axis=1)
+                per_post.append(codes_j)
+            yield pd.DataFrame(
+                {
+                    "clusters": list(near),
+                    "codes": [
+                        [per_post[j][r] for j in range(p)] for r in range(len(mat))
+                    ],
+                    "norm": np.sqrt((mat * mat).sum(axis=1)),
+                }
+            )
+
+    enc = emb.withColumn("_e", _enc(F.col(vec_col)))
+    zipped = enc.select(
+        "*",
+        F.col("_e.norm").alias("norm"),
+        F.explode(
+            F.arrays_zip(
+                F.col("_e.clusters").alias("cluster"),
+                F.col("_e.codes").alias("codes"),
+            )
+        ).alias("_p"),
+    )
+    return zipped.select(
+        "*", F.col("_p.cluster").alias("cluster"), F.col("_p.codes").alias("codes")
+    ).drop("_e", "_p")
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    qvec: Sequence[float],
+    k: int,
+    *,
+    nprobe: int = 4,
+    emb: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k over an IVFPQ table: scan only the
+    ``nprobe`` nearest cells, score codes by ADC. The residual LUT is
+    shared across cells (codebooks are global); the only per-cell
+    query state is the scalar q·c, so
+    ``cos ≈ (q·c + Σᵢ lut[i, codeᵢ]) / (|q| · norm)`` with the STORED
+    exact norm in the denominator.
+
+    Multi-posted tables (``posts > 1``) are handled deterministically:
+    each id's best ADC score wins (map-side-combinable max, keyed only
+    within the probed cells).
+
+    With ``emb`` given, ADC only shortlists and the final ``k`` come
+    from an exact cosine re-rank — FAISS ``IVFPQ + refine``."""
+    cb = codebooks
+    m, _, dsub = cb.shape
+    q = np.asarray(qvec, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError(f"query dim {q.shape[0]} != codebook dim {m * dsub}")
+    qn = float(np.sqrt((q * q).sum()))
+    dcell = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(cix) for cix in np.argsort(dcell)[:nprobe]]
+    qc = centroids @ q  # (nlist,) per-cell dot offsets
+    lut = np.stack([cb[i] @ q[i * dsub : (i + 1) * dsub] for i in range(m)])
+    midx = np.arange(m)
+
+    @F.pandas_udf("double")
+    def _adc(cl: pd.Series, code_col: pd.Series, norm: pd.Series) -> pd.Series:
+        if not len(cl):
+            return pd.Series([], dtype=float)
+        codes = np.array([np.asarray(cc, dtype=np.int64) for cc in code_col])
+        dots = qc[cl.to_numpy(dtype=np.int64)] + lut[midx[None, :], codes].sum(axis=1)
+        n = norm.to_numpy(dtype=np.float64)
+        denom = qn * np.maximum(n, 1e-300)
+        return pd.Series(np.where(n > 0, dots / denom, 0.0))
+
+    scored = encoded.filter(F.col("cluster").isin(probe)).withColumn(
+        "score", _adc(F.col("cluster"), F.col("codes"), F.col("norm"))
+    )
+    best = scored.groupBy(id_col).agg(F.max("score").alias("score"))
+    if emb is None:
+        return best.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    s = shortlist or max(10 * k, 100)
+    short = (
+        best.orderBy(F.desc("score"), F.asc(id_col)).limit(s).select(id_col)
     )
     rerank = emb.join(short, id_col, "left_semi")
     return topk_cosine(rerank, qvec, k, vec_col=vec_col)

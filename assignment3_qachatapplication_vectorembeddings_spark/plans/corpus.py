@@ -1886,6 +1886,33 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed (FAISS ``IVFPQ``, Jégou et al. 2011 §IV): the
+    coarse quantizer prunes WHICH vectors the query touches (8 of 16
+    cells probed), residual PQ codes shrink what each touched vector
+    COSTS (m=8 one-byte codes + one stored exact norm — the float
+    vectors never enter the scan). Vectors are posted to their 2
+    nearest cells (same recall/storage trade as ``q_ann_ivf``'s
+    multi-assign — cheap here because the duplicated payload is 8
+    bytes, not the vector); ADC shortlists, exact cosine re-ranks.
+    Per-run recall@10 ≥ 0.9 gate, same as the LSH/IVF/PQ entries."""
+    from ..operators.ann import ivfpq_build, ivfpq_encode, ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    cents, cb = ivfpq_build(rest, nlist=16, m=8, nbits=8)
+    enc = ivfpq_encode(rest, cents, cb, posts=2).select(
+        "vec_id", "cluster", "codes", "norm"
+    )
+    hits = ivfpq_topk(
+        enc, cents, cb, qvec, 10, nprobe=8, emb=rest, shortlist=300
+    )
+    return hits.orderBy(F.desc("score"), F.asc("vec_id")).select(
+        "vec_id", "label", F.round("score", 4).alias("score")
+    )
+
+
 # --------------------------------------------------------------------------
 # F6 — paragraph semantic classification (pipeline1.py:151-162): prefix
 # precedence ### > ## > # > ** > *. Pseudo-markdown is derived
@@ -4499,6 +4526,10 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "ann_pq_topk": QuerySpec(
         q_ann_pq, None, "product-quantization ADC top-k + exact re-rank",
+        quality=ann_recall_at_10,
+    ),
+    "ann_ivfpq_topk": QuerySpec(
+        q_ann_ivfpq, None, "IVF cells + residual-PQ ADC top-k + exact re-rank",
         quality=ann_recall_at_10,
     ),
     "pypdf_chunks": QuerySpec(q_pypdf_chunks, None, "F2/F3 two-pass chunk pack"),

@@ -222,3 +222,97 @@ def test_pq_dim_mismatch_raises(spark, emb, qvec):
     codes = pq_encode(emb, cb).select("vec_id", "codes")
     with pytest.raises(ValueError, match="codebook dim"):
         pq_topk(codes, cb, qvec[:-2], K)
+
+
+def test_ivfpq_encode_multipost_shape_and_exact_norm(spark, emb):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        ivfpq_build,
+        ivfpq_encode,
+    )
+
+    cents, cb = ivfpq_build(emb, nlist=8, m=8, nbits=8)
+    nlist = cents.shape[0]
+    m, ksub, _ = cb.shape
+    enc = ivfpq_encode(emb, cents, cb, posts=2)
+    n = emb.count()
+    assert enc.count() == 2 * n  # one row per (vector, posted cell)
+    rows = enc.select("vec_id", "cluster", "codes", "norm", "embedding").collect()
+    for r in rows:
+        assert 0 <= r["cluster"] < nlist
+        assert len(r["codes"]) == m
+        assert all(0 <= c < ksub for c in r["codes"])
+        # the stored norm is the EXACT |x|, not a quantized one
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        assert abs(r["norm"] - float(np.sqrt((v * v).sum()))) < 1e-9
+    # each vector posts to 2 DISTINCT cells
+    per_id = {}
+    for r in rows:
+        per_id.setdefault(r["vec_id"], set()).add(r["cluster"])
+    assert all(len(cells) == 2 for cells in per_id.values())
+
+
+def test_ivfpq_rerank_matches_exact_topk(spark, emb, qvec, exact_ids):
+    """nprobe=8-of-16 + multi-post + generous shortlist: recall@10 >= 0.9
+    on the seeded testdata (measured 1.0), re-ranked scores are exact
+    cosines, and multi-posted ids never produce duplicate result rows."""
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        ivfpq_build,
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    cents, cb = ivfpq_build(emb, nlist=16, m=8, nbits=8)
+    enc = ivfpq_encode(emb, cents, cb, posts=2).select(
+        "vec_id", "cluster", "codes", "norm"
+    )
+    exact = {
+        r["vec_id"]: r["score"]
+        for r in topk_cosine(emb, qvec, K, vec_col="embedding").collect()
+    }
+    got = {}
+    for r in ivfpq_topk(
+        enc, cents, cb, qvec, K, nprobe=8, emb=emb, shortlist=300
+    ).collect():
+        assert r["vec_id"] not in got  # best-per-id dedup held
+        got[r["vec_id"]] = r["score"]
+    assert len(set(got) & set(exact)) / K >= 0.9
+    for vid in set(got) & set(exact):
+        assert abs(got[vid] - exact[vid]) < 1e-9
+
+
+def test_ivfpq_adc_only_deterministic_probes_prune(spark, emb, qvec, exact_ids):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        ivfpq_build,
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    cents, cb = ivfpq_build(emb, nlist=16, m=8, nbits=8)
+    enc = ivfpq_encode(emb, cents, cb).select("vec_id", "cluster", "codes", "norm")
+    a = [r["vec_id"] for r in ivfpq_topk(enc, cents, cb, qvec, K, nprobe=4).collect()]
+    b = [r["vec_id"] for r in ivfpq_topk(enc, cents, cb, qvec, K, nprobe=4).collect()]
+    assert a == b  # seeded quantizers + deterministic tie-break
+    # probing 4/16 cells actually prunes the scan
+    probe_rows = enc.filter(
+        F.col("cluster").isin(
+            [int(c) for c in np.argsort(((cents - np.asarray(qvec)) ** 2).sum(axis=1))[:4]]
+        )
+    ).count()
+    assert probe_rows < emb.count()
+    # residual-ADC within the probed cells stays in the neighborhood
+    assert len(set(a) & exact_ids) / K >= 0.5
+
+
+def test_ivfpq_dim_mismatch_raises(spark, emb, qvec):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        ivfpq_build,
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    cents, cb = ivfpq_build(emb, nlist=8, m=8, nbits=8)
+    with pytest.raises(ValueError, match="centroid dim"):
+        ivfpq_encode(emb, cents[:, :-2], cb)
+    enc = ivfpq_encode(emb, cents, cb).select("vec_id", "cluster", "codes", "norm")
+    with pytest.raises(ValueError, match="codebook dim"):
+        ivfpq_topk(enc, cents, cb, qvec[:-2], K)
