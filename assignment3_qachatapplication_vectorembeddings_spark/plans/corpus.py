@@ -4229,6 +4229,107 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, trained AND applied in one plan —
+    the classifier stage of the published pipeline recipes (GPT-3's
+    WebText-vs-CommonCrawl LR filter, CCNet's wiki-reference classifier,
+    FineWeb-Edu's scorer): a multinomial Naive-Bayes token model where
+    source ``src0`` plays the curated seed class and every document is
+    scored by its mean token log-odds
+    ``ln P(tok|seed) − ln P(tok|rest)`` (Laplace-smoothed, shared
+    vocabulary V).
+
+    Scale shape: ONE token explode feeds both training and inference —
+    the per-class token counts are a map-side-combining groupBy on
+    ``xxhash64(token)`` longs (the weight table is vocabulary-sized,
+    NOT corpus-sized, so at 100 TB it still fits a broadcast); the
+    class totals are a 1-row broadcast; scoring joins the weight table
+    back on the same 8-byte key and sums integer micro-nats per doc —
+    the unigram_logprob idiom, order-independent, bit-equal to the
+    oracle's decimal sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("source") == "src0").cast("int").alias("is_seed"),
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    toksh = toks.select("doc_id", "is_seed", F.xxhash64("token").alias("t"))
+    vocab = toksh.groupBy("t").agg(
+        F.sum("is_seed").alias("pos"),
+        F.sum(1 - F.col("is_seed")).alias("neg"),
+    )
+    totals = vocab.agg(
+        F.sum("pos").cast("double").alias("n_pos"),
+        F.sum("neg").cast("double").alias("n_neg"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    w_micro = F.round(
+        F.round(
+            F.log((F.col("pos") + 1.0) / (F.col("n_pos") + F.col("v")))
+            - F.log((F.col("neg") + 1.0) / (F.col("n_neg") + F.col("v"))),
+            6,
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+    weights = vocab.crossJoin(F.broadcast(totals)).select(
+        "t", w_micro.alias("w_c")
+    )
+    # round(mean, 4) in EXACT integer arithmetic: the mean of integer
+    # micro-nats is the rational sum/(100·n) in tenth-milli units, and
+    # a doc can land exactly on a rounding tie (measured: −0.00145 at
+    # sf0.1) where Spark's HALF_UP on the shortest double string and
+    # DuckDB's round-of-the-inexact-double disagree. Half-away-from-zero
+    # over positive integers — sgn·((2|p| + q) div 2q) — is the same
+    # truncating division on both engines, no double in sight until the
+    # final exact /1e4.
+    scored = toksh.join(weights, "t").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("w_c").alias("p"),
+    )
+    r = F.when(F.col("p") < 0, -1).otherwise(1) * F.expr(
+        "(2 * abs(p) + n_tokens * 100) div (2 * n_tokens * 100)"
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (r / 1e4).alias("mean_logodds"),
+        (r > 0).alias("pred_seedlike"),
+    ).orderBy("doc_id")
+
+
+_SQL_NB_QUALITY = r"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_seed,
+         t.token
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(token)
+  WHERE t.token <> ''),
+vocab AS (
+  SELECT token, sum(is_seed) AS pos, sum(1 - is_seed) AS neg
+  FROM toks GROUP BY token),
+totals AS (
+  SELECT sum(pos)::DOUBLE AS n_pos, sum(neg)::DOUBLE AS n_neg,
+         count(*)::DOUBLE AS v
+  FROM vocab),
+weights AS (
+  SELECT token,
+         CAST(round(ln((pos + 1.0) / (n_pos + v))
+                    - ln((neg + 1.0) / (n_neg + v)), 6)::DECIMAL(18,6)
+              * 1000000 AS BIGINT) AS w_c
+  FROM vocab CROSS JOIN totals),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(w_c) AS p
+  FROM toks JOIN weights USING (token) GROUP BY doc_id),
+rounded AS (
+  SELECT doc_id, n_tokens,
+         (CASE WHEN p < 0 THEN -1 ELSE 1 END)
+         * ((2 * abs(p) + n_tokens * 100) // (2 * n_tokens * 100)) AS r
+  FROM scored)
+SELECT doc_id, n_tokens, r / 1e4 AS mean_logodds, r > 0 AS pred_seedlike
+FROM rounded ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Gopher-style repetition/quality gate — the published heuristic family
 # (Rae et al. 2021 "Scaling Language Models", §A1.1; reused by RefinedWeb
@@ -4717,6 +4818,10 @@ CORPUS: dict[str, QuerySpec] = {
     "gopher_quality": QuerySpec(
         q_gopher_quality, _SQL_GOPHER_QUALITY,
         "Gopher-style repetition/quality gate per source",
+    ),
+    "nb_quality_score": QuerySpec(
+        q_nb_quality, _SQL_NB_QUALITY,
+        "Naive-Bayes seed-vs-rest quality classifier, trained in-plan",
     ),
 }
 

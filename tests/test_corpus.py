@@ -139,3 +139,24 @@ def test_domain_mix_zero_token_source(spark, tmp_path):
     assert out["srcB"]["toks"] == 0
     assert out["srcB"]["weight"] == 5.0
     assert out["srcB"]["sampled_tokens"] == 0
+
+
+def test_nb_quality_separates_seed_class(spark, sf_dir):
+    """The in-plan Naive-Bayes classifier must actually separate the
+    classes it trained on: src0 (the seed class) docs average a higher
+    mean token log-odds than the rest, and positive on its own
+    training class."""
+    from pyspark.sql import functions as F
+
+    from assignment3_qachatapplication_vectorembeddings_spark.sources.tables import load_table
+
+    scored = CORPUS["nb_quality_score"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    by_class = (
+        scored.join(docs, "doc_id")
+        .groupBy((F.col("source") == "src0").alias("is_seed"))
+        .agg(F.avg("mean_logodds").alias("m"))
+        .collect()
+    )
+    means = {r["is_seed"]: r["m"] for r in by_class}
+    assert means[True] > 0 > means[False]
