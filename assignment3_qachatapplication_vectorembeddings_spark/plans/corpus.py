@@ -1913,6 +1913,29 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (FAISS ``SQ8``): each dimension as one
+    byte over per-dim [min, max] ranges fit on a bounded sample — the
+    NEAR-EXACT compressed layout (4× smaller than float32, no
+    codebook). The decode is affine, so scoring is one numpy dot of
+    the integer codes against q·step plus a scalar — floats are never
+    reconstructed per element. Exact re-rank of the byte-scored
+    shortlist; same per-run recall@10 ≥ 0.9 gate as the rest of the
+    ANN family (SQ8 measures 1.0 with the default shortlist — byte
+    resolution barely perturbs the ranking)."""
+    from ..operators.ann import sq8_encode, sq8_topk, sq8_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    vmin, vmax = sq8_train(rest)
+    enc = sq8_encode(rest, vmin, vmax).select("vec_id", "codes", "norm")
+    hits = sq8_topk(enc, vmin, vmax, qvec, 10, emb=rest)
+    return hits.orderBy(F.desc("score"), F.asc("vec_id")).select(
+        "vec_id", "label", F.round("score", 4).alias("score")
+    )
+
+
 # --------------------------------------------------------------------------
 # F6 — paragraph semantic classification (pipeline1.py:151-162): prefix
 # precedence ### > ## > # > ** > *. Pseudo-markdown is derived
@@ -4631,6 +4654,10 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "ann_ivfpq_topk": QuerySpec(
         q_ann_ivfpq, None, "IVF cells + residual-PQ ADC top-k + exact re-rank",
+        quality=ann_recall_at_10,
+    ),
+    "ann_sq8_topk": QuerySpec(
+        q_ann_sq8, None, "scalar-quantization byte-code top-k + exact re-rank",
         quality=ann_recall_at_10,
     ),
     "pypdf_chunks": QuerySpec(q_pypdf_chunks, None, "F2/F3 two-pass chunk pack"),

@@ -316,3 +316,62 @@ def test_ivfpq_dim_mismatch_raises(spark, emb, qvec):
     enc = ivfpq_encode(emb, cents, cb).select("vec_id", "cluster", "codes", "norm")
     with pytest.raises(ValueError, match="codebook dim"):
         ivfpq_topk(enc, cents, cb, qvec[:-2], K)
+
+
+def test_sq8_encode_bounds_and_exact_norm(spark, emb):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        sq8_encode,
+        sq8_train,
+    )
+
+    vmin, vmax = sq8_train(emb)
+    assert vmin.shape == vmax.shape and (vmin <= vmax).all()
+    rows = sq8_encode(emb, vmin, vmax).select("codes", "norm", "embedding").collect()
+    for r in rows:
+        assert len(r["codes"]) == len(vmin)
+        assert all(0 <= c <= 255 for c in r["codes"])
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        assert abs(r["norm"] - float(np.sqrt((v * v).sum()))) < 1e-9
+
+
+def test_sq8_scores_near_exact_and_rerank_recall(spark, emb, qvec, exact_ids):
+    """SQ8 is the near-exact layout: even WITHOUT re-rank the top-10 is
+    most of the exact top-10 (floor 0.8; per-dim byte resolution), and
+    with re-rank scores are exact cosines at recall >= 0.9."""
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    vmin, vmax = sq8_train(emb)
+    enc = sq8_encode(emb, vmin, vmax).select("vec_id", "codes", "norm")
+    adc = [r["vec_id"] for r in sq8_topk(enc, vmin, vmax, qvec, K).collect()]
+    assert len(set(adc) & exact_ids) / K >= 0.8
+    exact = {
+        r["vec_id"]: r["score"]
+        for r in topk_cosine(emb, qvec, K, vec_col="embedding").collect()
+    }
+    got = {
+        r["vec_id"]: r["score"]
+        for r in sq8_topk(enc, vmin, vmax, qvec, K, emb=emb).collect()
+    }
+    assert len(set(got) & set(exact)) / K >= 0.9
+    for vid in set(got) & set(exact):
+        assert abs(got[vid] - exact[vid]) < 1e-9
+
+
+def test_sq8_deterministic_and_dim_mismatch(spark, emb, qvec):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    vmin, vmax = sq8_train(emb)
+    enc = sq8_encode(emb, vmin, vmax).select("vec_id", "codes", "norm")
+    a = [r["vec_id"] for r in sq8_topk(enc, vmin, vmax, qvec, K).collect()]
+    b = [r["vec_id"] for r in sq8_topk(enc, vmin, vmax, qvec, K).collect()]
+    assert a == b
+    with pytest.raises(ValueError, match="range dim"):
+        sq8_topk(enc, vmin, vmax, qvec[:-2], K)
