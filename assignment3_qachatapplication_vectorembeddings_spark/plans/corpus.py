@@ -3864,6 +3864,60 @@ FROM walk GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector-index ingest through the correctness gate: the
+    embeddings table as a file stream, drained via ``foreachBatch``
+    into a ``VectorIndex`` — every micro-batch is ONE read-merge-publish
+    manifest commit under the writer lock, so readers are
+    snapshot-isolated through the whole drain (the streaming face of
+    the reference's poll-then-upsert loop, pipeline2.py:163-187). The
+    FINAL index content must equal the batch GROUP BY over the same
+    table — upsert merges by id, so the drained state is exactly the
+    input row-set regardless of batch boundaries or replays."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import (
+        run_streaming_index_ingest,
+        stream_embeddings_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_stream_idx_")
+    try:
+        idx = run_streaming_index_ingest(
+            spark,
+            stream_embeddings_table(spark, sf_dir),
+            f"{tmp}/index",
+            f"{tmp}/ckpt",
+            query_name="corpus_stream_index_ingest",
+        )
+        summary = (
+            idx.read()
+            .groupBy("title")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.sum(F.col("id").cast("bigint")).alias("sum_ids"),
+                F.max(F.size("vector")).cast("bigint").alias("dim"),
+            )
+            .orderBy("title")
+        )
+        # materialize before the temp index dir disappears — the caller
+        # collects lazily, and the aggregate is a handful of rows
+        rows = summary.collect()
+        return spark.createDataFrame(rows, summary.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_STREAM_INDEX_INGEST = """
+SELECT CAST(label AS VARCHAR) AS title,
+       count(*) AS n_vectors,
+       CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+       max(len(embedding)) AS dim
+FROM embeddings GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second streaming gate entry: the events stream unioned with
     itself (simulated at-least-once redelivery), deduped by
@@ -4781,6 +4835,10 @@ CORPUS: dict[str, QuerySpec] = {
     "stream_static_join": QuerySpec(
         q_stream_static_join, _SQL_STREAM_STATIC,
         "streaming enrichment: stream-static dim join == batch join",
+    ),
+    "stream_index_ingest": QuerySpec(
+        q_stream_index_ingest, _SQL_STREAM_INDEX_INGEST,
+        "streaming upserts into the snapshot-isolated vector index",
     ),
     "dataset_split": QuerySpec(
         q_dataset_split, _SQL_DATASET_SPLIT,

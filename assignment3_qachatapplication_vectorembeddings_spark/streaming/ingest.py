@@ -52,6 +52,8 @@ __all__ = [
     "dedup_stream",
     "sessionize_stream",
     "run_streaming_novelty_ingest",
+    "stream_embeddings_table",
+    "run_streaming_index_ingest",
     "drain_shuffle_partitions",
 ]
 
@@ -527,4 +529,117 @@ def run_streaming_novelty_ingest(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    return writer.start()
+def stream_embeddings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata embeddings table as a file STREAM (same
+    directory-vs-single-file handling as ``stream_events_table``)."""
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def run_streaming_index_ingest(
+    spark: SparkSession,
+    emb_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    title_col: str = "label",
+    text_fmt: str = "vec %s",
+    seq_col: str | None = None,
+    available_now: bool = True,
+    query_name: str = "stream_index_ingest",
+):
+    """Streaming RAW-VECTOR index ingest: each micro-batch of landed
+    embeddings becomes ONE ``VectorIndex.upsert`` — a read-merge-publish
+    manifest commit under the writer lock, so concurrent READERS keep
+    their snapshot through every batch and never see a partial batch
+    (the streaming face of the reference's poll-then-upsert loop,
+    pipeline2.py:163-187, re-expressed as Structured Streaming +
+    the versioned-manifest commit protocol).
+
+    The document-feed sibling is ``run_streaming_index_upsert`` (JSON
+    docs → chunk → embed → index); this one takes vectors already
+    computed — the contract of a feature-store/embedding-service feed —
+    which is what makes its final state expressible as plain SQL over
+    the input table (the ``stream_index_ingest`` gate oracle).
+
+    Exactly-once effect without sink-side dedup bookkeeping: upsert
+    MERGES by id, so a replayed micro-batch (crash between commit and
+    checkpoint advance) re-merges the same rows into the same logical
+    state — the manifest version moves, the row-set does not.
+
+    ``VectorIndex.upsert`` expects UNIQUE ids per call, but one
+    micro-batch can carry several versions of an id (a restarted
+    stream coalesces multiple landed files into one batch). Each batch
+    therefore resolves to one row per id before the upsert: the row
+    with the max ``seq_col`` wins when the feed carries a sequence /
+    version column (the CDC contract), else the lexicographically
+    latest source FILE wins (deterministic for ordered landing names;
+    an id must not repeat within one file).
+
+    Returns the ``VectorIndex`` handle once the drain finishes
+    (``available_now=True``) or the running query otherwise.
+    """
+    from ..operators.index_maintenance import VectorIndex
+
+    idx = VectorIndex(spark, index_path)
+
+    from pyspark import StorageLevel
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seq = F.col(seq_col) if seq_col else F.input_file_name()
+        rows = (
+            batch_df.select(
+                F.col(id_col).cast("string").alias("id"),
+                F.col(vec_col).alias("vector"),
+                F.col(title_col).cast("string").alias("title"),
+                F.format_string(
+                    text_fmt, F.col(id_col).cast("string")
+                ).alias("text"),
+                seq.alias("__seq"),
+            )
+            .groupBy("id")
+            .agg(
+                F.max_by(
+                    F.struct("vector", "title", "text"), F.col("__seq")
+                ).alias("__s")
+            )
+            .select("id", "__s.vector", "__s.title", "__s.text")
+        )
+        # upsert runs several actions over the batch (touched-title
+        # collect, dimension guard, merge write); without a persist
+        # each one re-reads the source files of the micro-batch
+        rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            idx.upsert(rows)
+        finally:
+            rows.unpersist()
+
+    writer = (
+        emb_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        # bounded drain: scope the shuffle/state partitioning down so
+        # the per-batch merge repartition doesn't pay 32 near-empty
+        # tasks (see drain_shuffle_partitions; production streams keep
+        # the session default)
+        with drain_shuffle_partitions(spark):
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        return idx
     return writer.start()

@@ -389,3 +389,69 @@ def test_drain_shuffle_partitions_scopes_and_restores(spark):
     except RuntimeError:
         pass
     assert spark.conf.get(key) == ambient
+
+
+def test_streaming_vector_ingest_multibatch_and_replay(spark, tmp_path):
+    """Raw-vector streaming ingest: two arrival waves drain as separate
+    upsert commits; an id landing again in a later wave REPLACES its
+    vector (merge-by-id); and a fresh checkpoint over the same landing
+    dir converges to the same logical row-set (replay idempotency)."""
+    from assignment3_qachatapplication_vectorembeddings_spark.streaming.ingest import (
+        run_streaming_index_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    schema = "vec_id bigint, embedding array<double>, label string"
+
+    def _land(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage"))
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / "stage" / "*.parquet"))[0]
+        shutil.copy(src, str(landing / name))
+
+    _land("w1.parquet", [(1, [1.0, 0.0], "a"), (2, [0.0, 1.0], "b")])
+    stream = spark.readStream.schema(schema).parquet(str(landing))
+    idx = run_streaming_index_ingest(
+        spark, stream, str(tmp_path / "idx"), str(tmp_path / "ckpt"),
+        query_name="t_vec_ingest_1",
+    )
+    v1, _ = idx._load_manifest() or (0, {})
+    got = {r["id"]: (r["title"], r["vector"]) for r in idx.read().collect()}
+    assert got == {"1": ("a", [1.0, 0.0]), "2": ("b", [0.0, 1.0])}
+
+    # wave 2: id 2 updated in place, id 3 new — SAME checkpoint, so only
+    # the new file is processed; the commit advances the manifest
+    _land("w2.parquet", [(2, [0.5, 0.5], "b"), (3, [1.0, 1.0], "a")])
+    stream = spark.readStream.schema(schema).parquet(str(landing))
+    idx = run_streaming_index_ingest(
+        spark, stream, str(tmp_path / "idx"), str(tmp_path / "ckpt"),
+        query_name="t_vec_ingest_2",
+    )
+    v2, _ = idx._load_manifest()
+    assert v2 > v1
+    got = {r["id"]: (r["title"], r["vector"]) for r in idx.read().collect()}
+    assert got == {
+        "1": ("a", [1.0, 0.0]),
+        "2": ("b", [0.5, 0.5]),
+        "3": ("a", [1.0, 1.0]),
+    }
+
+    # replay: a FRESH checkpoint re-delivers both waves into the same
+    # index — possibly COALESCED into one micro-batch, so id 2 arrives
+    # twice in one upsert. Within-batch resolution (latest landing file
+    # wins) must still converge to the identical logical state, with
+    # exactly one row per id.
+    stream = spark.readStream.schema(schema).parquet(str(landing))
+    idx = run_streaming_index_ingest(
+        spark, stream, str(tmp_path / "idx"), str(tmp_path / "ckpt2"),
+        query_name="t_vec_ingest_3",
+    )
+    rows2 = idx.read().collect()
+    assert len(rows2) == 3
+    got2 = {r["id"]: (r["title"], r["vector"]) for r in rows2}
+    assert got2 == got
