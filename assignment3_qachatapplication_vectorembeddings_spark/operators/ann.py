@@ -59,6 +59,8 @@ __all__ = [
     "pq_topk",
     "ivfpq_build",
     "ivfpq_encode",
+    "build_ivfpq_index",
+    "load_ivfpq_index",
     "sq8_train",
     "sq8_encode",
     "sq8_topk",
@@ -819,3 +821,73 @@ def sq8_topk(
     short = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(s).select(id_col)
     rerank = emb.join(short, id_col, "left_semi")
     return topk_cosine(rerank, qvec, k, vec_col=vec_col)
+
+
+# ----------------------------------------------------------------------
+# Persisted IVFPQ index: the CODES table partitioned by cluster (probe
+# pruning at planning time, like the IVF index) with centroids and
+# codebooks in a sidecar — so the float vectors can be dropped from the
+# serving path entirely: a probe reads m bytes + 1 norm per touched
+# row from nprobe directories. The raw-vector table is only needed for
+# the optional exact re-rank.
+# ----------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    posts: int = 1,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train, encode, and write the cluster-partitioned codes table +
+    quantizer sidecar. Returns (centroids, codebooks)."""
+    centroids, codebooks = ivfpq_build(
+        emb, vec_col=vec_col, nlist=nlist, m=m, nbits=nbits, seed=seed
+    )
+    enc = ivfpq_encode(
+        emb, centroids, codebooks, vec_col=vec_col, posts=posts
+    ).select(id_col, "cluster", "codes", "norm")
+    (
+        enc.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+    spark = emb.sparkSession
+    m_, ksub, dsub = codebooks.shape
+    cent_rows = [
+        (int(i), [float(v) for v in c]) for i, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        cent_rows, "cluster int, centroid array<double>"
+    ).write.mode("overwrite").parquet(path + "__centroids")
+    cb_rows = [
+        (int(i), int(j), [float(v) for v in codebooks[i, j]])
+        for i in range(m_)
+        for j in range(ksub)
+    ]
+    spark.createDataFrame(
+        cb_rows, "subspace int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(path + "__codebooks")
+    return centroids, codebooks
+
+
+def load_ivfpq_index(spark, path: str):
+    """(codes DataFrame, centroids, codebooks) from a persisted index."""
+    enc = spark.read.parquet(path)
+    cent = spark.read.parquet(path + "__centroids").orderBy("cluster").collect()
+    centroids = np.array([r["centroid"] for r in cent])
+    cb = spark.read.parquet(path + "__codebooks").orderBy("subspace", "code").collect()
+    m = 1 + max(r["subspace"] for r in cb)
+    ksub = 1 + max(r["code"] for r in cb)
+    dsub = len(cb[0]["centroid"])
+    codebooks = np.empty((m, ksub, dsub))
+    for r in cb:
+        codebooks[r["subspace"], r["code"]] = r["centroid"]
+    return enc, centroids, codebooks

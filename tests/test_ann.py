@@ -375,3 +375,48 @@ def test_sq8_deterministic_and_dim_mismatch(spark, emb, qvec):
     assert a == b
     with pytest.raises(ValueError, match="range dim"):
         sq8_topk(enc, vmin, vmax, qvec[:-2], K)
+
+
+def test_persisted_ivfpq_index_round_trips_and_prunes(spark, emb, qvec, tmp_path):
+    """Persisted codes table + quantizer sidecar: loaded quantizers are
+    bit-identical, the persisted index answers like the in-memory one,
+    and the probe filter reaches the scan as a PARTITION filter — the
+    serving path reads m bytes + 1 norm per touched row from nprobe
+    directories, never a float vector."""
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        build_ivfpq_index,
+        ivfpq_build,
+        ivfpq_encode,
+        ivfpq_topk,
+        load_ivfpq_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    cents, cb = build_ivfpq_index(emb, path, nlist=16, m=8, nbits=8, posts=2)
+    enc, lcents, lcb = load_ivfpq_index(spark, path)
+    assert np.allclose(cents, lcents) and np.allclose(cb, lcb)
+
+    got = [
+        r["vec_id"]
+        for r in ivfpq_topk(enc, lcents, lcb, qvec, K, nprobe=8).collect()
+    ]
+    mem_enc = ivfpq_encode(emb, cents, cb, posts=2).select(
+        "vec_id", "cluster", "codes", "norm"
+    )
+    mem = [
+        r["vec_id"]
+        for r in ivfpq_topk(mem_enc, cents, cb, qvec, K, nprobe=8).collect()
+    ]
+    assert got == mem
+
+    probe = [
+        int(c)
+        for c in np.argsort(((lcents - np.asarray(qvec)) ** 2).sum(1))[:8]
+    ]
+    plan = (
+        enc.filter(F.col("cluster").isin(probe))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cluster" in plan
