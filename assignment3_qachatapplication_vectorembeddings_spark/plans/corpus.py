@@ -4581,6 +4581,267 @@ FROM per_doc GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# Collocation mining, exact rolling medians, and an integer-exact
+# iterative PageRank — round-4 breadth additions.
+# --------------------------------------------------------------------------
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information.
+
+    Classic corpus-statistics op for training-data analysis (salient
+    multi-word expressions, tokenizer-merge candidates). Plan shape:
+
+    - one explode for unigram counts, one array-transform explode for
+      adjacent bigrams — both aggregate with map-side partial combine,
+      so the Zipf head collapses per task before the shuffle;
+    - the two corpus totals (N words, M bigrams) are a single-row
+      aggregate collected to the driver (O(1) egress) and folded in as
+      literals, keeping the scoring stage join-free;
+    - unigram counts re-join the bigram table twice; the vocab side is
+      small after aggregation, so AQE broadcasts it.
+
+    Parity: PMI is computed on an expression tree written identically
+    in both engines (IEEE division/multiplication are exactly rounded,
+    so identical trees give identical doubles) and then collapsed to
+    micro-units via ``round(round(ln x, 6) * 1e6)`` → BIGINT, the same
+    sub-ulp-proofing used by dsir_weights/unigram_logprob."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws")
+    )
+    uni = words.select(F.explode("ws").alias("word"))
+    totals = uni.agg(
+        F.count(F.lit(1)).alias("n"),
+    ).crossJoin(
+        words.where(F.size("ws") > 1)
+        .agg(F.sum(F.size("ws") - 1).alias("m"))
+    ).collect()[0]
+    n, m = int(totals["n"]), int(totals["m"])
+    uc = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    bigrams = words.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1),"
+                " (x, i) -> struct(x AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 10)
+    )
+    u1 = uc.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    ratio = (F.col("c").cast("double") / F.lit(float(m))) / (
+        (F.col("c1").cast("double") / F.lit(float(n)))
+        * (F.col("c2").cast("double") / F.lit(float(n)))
+    )
+    return (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(F.round(F.log(ratio), 6) * 1e6, 0)
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+_SQL_PMI_COLLOCATIONS = r"""
+WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+uni AS (SELECT unnest(ws) AS word FROM w),
+uc AS (SELECT word, count(*) AS c FROM uni GROUP BY word),
+tot AS (SELECT (SELECT count(*) FROM uni) AS n,
+               (SELECT sum(len(ws) - 1) FROM w WHERE len(ws) > 1) AS m),
+bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+       FROM w, unnest(range(1, len(ws))) AS r(i)),
+bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2 HAVING count(*) >= 10)
+SELECT bc.w1, bc.w2, bc.c,
+       CAST(round(round(ln((bc.c::DOUBLE / tot.m)
+                           / ((u1.c::DOUBLE / tot.n) * (u2.c::DOUBLE / tot.n))),
+                        6) * 1e6, 0) AS BIGINT) AS pmi_micro
+FROM bc, tot
+JOIN uc u1 ON bc.w1 = u1.word
+JOIN uc u2 ON bc.w2 = u2.word
+ORDER BY pmi_micro DESC, w1, w2
+LIMIT 20
+"""
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-5-row median of order totals per customer.
+
+    DuckDB has ``median(...) OVER``; Spark has no exact median window
+    function, so the engine composes one: ``collect_list`` over the
+    trailing frame, ``sort_array``, and middle-element selection. The
+    frame is a constant 5 rows, so the per-row state is O(frame), not
+    O(partition) — this survives arbitrarily long customer histories.
+
+    Parity trap avoided: DuckDB's median interpolates even frames as
+    ``lo + (hi - lo) * 0.5`` while the naive ``(lo + hi) / 2`` differs
+    in the last ulp. Both sides therefore work on exact integer cents
+    and output ``2 × median`` cents as a BIGINT (sum of the two middle
+    values, or twice the middle one), which both engines compute
+    exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.sort_array(F.collect_list(cents).over(w))
+    k = F.size(arr)
+    mid = ((k + 1) / 2).cast("int")
+    half = (k / 2).cast("int")
+    med2 = F.when(k % 2 == 1, F.element_at(arr, mid) * 2).otherwise(
+        F.element_at(arr, half) + F.element_at(arr, half + 1)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            med2.alias("med2_cents"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(200)
+    )
+
+
+_SQL_ROLLING_MEDIAN = """
+WITH c AS (SELECT o_custkey, o_orderdate, o_orderkey,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_custkey, o_orderkey,
+       CAST(median(cents) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 2
+            AS BIGINT) AS med2_cents
+FROM c ORDER BY o_custkey, o_orderkey LIMIT 200
+"""
+
+
+#: PageRank constants: rank mass is tracked in integer nano-units so
+#: every iteration is order-independent and bit-identical across
+#: engines (no float accumulation anywhere); edge weights are reduced
+#: to per-source micro-shares first so the per-edge product
+#: 85 * rank * share stays < 2^63 (85 * 1e9 * 1e6 = 8.5e16).
+_PR_SCALE = 1_000_000_000  # rank nano-units
+_PR_SHARE = 1_000_000  # out-weight micro-share
+_PR_ITERS = 5
+
+
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration PageRank over the nation-level trade graph.
+
+    Edges: customer-nation → supplier-nation, weighted by lineitem
+    count (the heavy, fully distributed part: a 4-table join over the
+    fact table with map-side-combined edge aggregation). The iteration
+    itself runs on the aggregated edge table — at most |nations|² rows
+    — as five chained broadcast joins; Catalyst folds the tiny graph,
+    while the same plan shape distributes if the vertex set grows.
+
+    Exactness: ranks live in integer nano-units and per-edge
+    contributions use truncating integer division (identical semantics
+    for non-negative operands in Spark ``div`` and DuckDB ``//``), so
+    the result is a deterministic BIGINT — no float sums to diverge
+    between engines. Mass lost to truncation/dangling nodes leaks
+    identically on both sides (documented, standard non-redistributing
+    variant)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    shares = (
+        edges.join(out, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(f"CAST(w * {_PR_SHARE} AS BIGINT) div out_w").alias("share"),
+        )
+    )
+    n_nodes = nation.count()
+    base = (15 * _PR_SCALE) // (100 * n_nodes)
+    rank = nation.select(
+        F.col("n_nationkey").alias("node"),
+        F.lit(_PR_SCALE // n_nodes).cast("long").alias("r"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            shares.join(rank, shares.src == rank.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(85 * r * share) div (100 * {_PR_SHARE})").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_c"))
+        )
+        rank = (
+            nation.select(F.col("n_nationkey").alias("node"))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("in_c"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return (
+        rank.join(F.broadcast(nation), rank.node == nation.n_nationkey)
+        .select(F.col("n_name"), F.col("r").alias("rank_nano"))
+        .orderBy(F.desc("rank_nano"), F.asc("n_name"))
+    )
+
+
+_SQL_PAGERANK_TRADE = f"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+shares AS (
+  SELECT src, dst, (w * {_PR_SHARE}) // sum(w) OVER (PARTITION BY src) AS share
+  FROM edges),
+nn AS (SELECT count(*) AS n FROM nation),
+r0 AS (SELECT n_nationkey AS node, {_PR_SCALE} // nn.n AS r FROM nation, nn),
+{chr(10).join(
+    f'''r{i + 1} AS (
+  SELECT n.n_nationkey AS node,
+         (15::BIGINT * {_PR_SCALE}) // (100 * nn.n)
+         + COALESCE((SELECT sum((85 * p.r * s.share) // (100 * {_PR_SHARE}))
+                     FROM shares s JOIN r{i} p ON s.src = p.node
+                     WHERE s.dst = n.n_nationkey), 0) AS r
+  FROM nation n, nn),'''
+    for i in range(_PR_ITERS)
+).rstrip(',')}
+SELECT n_name, CAST(r AS BIGINT) AS rank_nano
+FROM r{_PR_ITERS} JOIN nation ON node = n_nationkey
+ORDER BY rank_nano DESC, n_name
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4922,6 +5183,18 @@ CORPUS: dict[str, QuerySpec] = {
     "nb_quality_score": QuerySpec(
         q_nb_quality, _SQL_NB_QUALITY,
         "Naive-Bayes seed-vs-rest quality classifier, trained in-plan",
+    ),
+    "pmi_collocations": QuerySpec(
+        q_pmi_collocations, _SQL_PMI_COLLOCATIONS,
+        "top bigram collocations by PMI (micro-unit-exact scoring)",
+    ),
+    "rolling_median": QuerySpec(
+        q_rolling_median, _SQL_ROLLING_MEDIAN,
+        "exact trailing-window median composed from collect_list",
+    ),
+    "pagerank_trade": QuerySpec(
+        q_pagerank_trade, _SQL_PAGERANK_TRADE,
+        "5-iteration integer-exact PageRank over the nation trade graph",
     ),
 }
 
