@@ -4736,6 +4736,9 @@ FROM c ORDER BY o_custkey, o_orderkey LIMIT 200
 _PR_SCALE = 1_000_000_000  # rank nano-units
 _PR_SHARE = 1_000_000  # out-weight micro-share
 _PR_ITERS = 5
+#: edge-count gate below which the iteration runs on the driver
+#: (tests pin both paths identical by forcing this to 0)
+_PR_DRIVER_EDGE_GATE = 1_000_000
 
 
 def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4779,34 +4782,58 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(w * {_PR_SHARE} AS BIGINT) div out_w").alias("share"),
         )
     )
-    n_nodes = nation.count()
+    nodes = [r["n_nationkey"] for r in nation.select("n_nationkey").collect()]
+    n_nodes = len(nodes)
     base = (15 * _PR_SCALE) // (100 * n_nodes)
-    rank = nation.select(
-        F.col("n_nationkey").alias("node"),
-        F.lit(_PR_SCALE // n_nodes).cast("long").alias("r"),
-    )
-    for _ in range(_PR_ITERS):
-        contrib = (
-            shares.join(rank, shares.src == rank.node)
-            .select(
-                F.col("dst").alias("node"),
-                F.expr(f"(85 * r * share) div (100 * {_PR_SHARE})").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_c"))
+
+    # Two physical paths, identical integer results (Python // equals
+    # BIGINT div for the non-negative operands here), mirroring
+    # dedup_components: the aggregated graph of a vertex-partitioned
+    # rollup is broadcast-scale even at 100 TB (|nations|² rows), so
+    # iterating Spark jobs over it wastes whole seconds of fixed
+    # overhead per round; a graph over the gate iterates distributed.
+    shares = shares.localCheckpoint(eager=True)
+    if shares.count() <= _PR_DRIVER_EDGE_GATE:
+        edge_list = [(r["src"], r["dst"], r["share"]) for r in shares.collect()]
+        rank = {v: _PR_SCALE // n_nodes for v in nodes}
+        for _ in range(_PR_ITERS):
+            incoming = dict.fromkeys(nodes, 0)
+            for src, dst, share in edge_list:
+                incoming[dst] += (85 * rank[src] * share) // (100 * _PR_SHARE)
+            rank = {v: base + incoming[v] for v in nodes}
+        rank_df = spark.createDataFrame(
+            sorted(rank.items()), "node long, r long"
         )
-        rank = (
-            nation.select(F.col("n_nationkey").alias("node"))
-            .join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.coalesce(F.col("in_c"), F.lit(0)))
-                .cast("long")
-                .alias("r"),
-            )
+    else:
+        rank_df = nation.select(
+            F.col("n_nationkey").alias("node"),
+            F.lit(_PR_SCALE // n_nodes).cast("long").alias("r"),
         )
+        for _ in range(_PR_ITERS):
+            contrib = (
+                shares.join(rank_df, shares.src == rank_df.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr(f"(85 * r * share) div (100 * {_PR_SHARE})").alias(
+                        "c"
+                    ),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("in_c"))
+            )
+            rank_df = (
+                nation.select(F.col("n_nationkey").alias("node"))
+                .join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (F.lit(base) + F.coalesce(F.col("in_c"), F.lit(0)))
+                    .cast("long")
+                    .alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
     return (
-        rank.join(F.broadcast(nation), rank.node == nation.n_nationkey)
+        rank_df.join(F.broadcast(nation), rank_df.node == nation.n_nationkey)
         .select(F.col("n_name"), F.col("r").alias("rank_nano"))
         .orderBy(F.desc("rank_nano"), F.asc("n_name"))
     )

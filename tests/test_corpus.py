@@ -160,3 +160,18 @@ def test_nb_quality_separates_seed_class(spark, sf_dir):
     )
     means = {r["is_seed"]: r["m"] for r in by_class}
     assert means[True] > 0 > means[False]
+
+
+def test_pagerank_distributed_path_matches_driver(spark, sf_dir, monkeypatch):
+    """The distributed iteration fallback must produce bit-identical
+    ranks to the size-gated driver path (both are pure integer
+    arithmetic, so equality is exact, not approximate)."""
+    from assignment3_qachatapplication_vectorembeddings_spark.plans import corpus
+
+    fast = [tuple(r) for r in corpus.q_pagerank_trade(spark, sf_dir).collect()]
+    monkeypatch.setattr(corpus, "_PR_DRIVER_EDGE_GATE", 0)
+    slow = [tuple(r) for r in corpus.q_pagerank_trade(spark, sf_dir).collect()]
+    assert fast == slow
+    # rank mass is conserved up to truncation leak: total <= SCALE
+    total = sum(r for _, r in fast)
+    assert 0 < total <= corpus._PR_SCALE
