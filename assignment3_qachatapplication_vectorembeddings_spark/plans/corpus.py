@@ -3336,6 +3336,77 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join — the attribution shape: each
+    'view' event joins every 'purchase' by the same user within the
+    following hour. Both sides are file streams with 2-hour watermarks;
+    the time-range join condition lets Spark bound per-side state (a
+    row is dropped once the opposite watermark passes its join window),
+    so state is O(active window), not O(stream). Inner-join matches
+    emit as they occur, so the append-mode AvailableNow drain equals
+    the batch interval join — the same batch-parity contract as the
+    other streaming gate entries.
+
+    Parity: the gap is exact integer microseconds (``unix_micros`` vs
+    DuckDB ``epoch_us``) — no seconds-truncation semantics to diverge.
+    """
+    from ..streaming.ingest import drain_shuffle_partitions, stream_events_table
+
+    views = (
+        stream_events_table(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        stream_events_table(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    pairs = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND purchase_ts >= view_ts"
+            " AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+    with drain_shuffle_partitions(spark):
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("corpus_stream_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("corpus_stream_stream").orderBy("view_id", "purchase_id")
+
+
+_SQL_STREAM_STREAM = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY view_id, purchase_id
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (80/10/10) by content-free id
     hash — the canonical training-data partitioner: stable under
@@ -5222,6 +5293,10 @@ CORPUS: dict[str, QuerySpec] = {
     "pagerank_trade": QuerySpec(
         q_pagerank_trade, _SQL_PAGERANK_TRADE,
         "5-iteration integer-exact PageRank over the nation trade graph",
+    ),
+    "stream_stream_join": QuerySpec(
+        q_stream_stream_join, _SQL_STREAM_STREAM,
+        "watermarked stream-stream interval join (view→purchase attribution)",
     ),
 }
 
