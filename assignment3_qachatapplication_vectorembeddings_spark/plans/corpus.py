@@ -3336,6 +3336,28 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (8 merges) over documents.
+
+    Iterative (argmax-dependent rounds), so no SQL oracle — the driver
+    records a rows-only check and the pytest golden pins the merges
+    against an independent pure-Python reference implementation of the
+    same published algorithm. See operators/bpe_train.py for the scale
+    shape (corpus collapses to a vocab table before any iteration)."""
+    from ..operators.bpe_train import render_symbol, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=8)
+    rows = [
+        (rank, render_symbol(a, merges), render_symbol(b, merges),
+         render_symbol(new_id, merges), n)
+        for rank, a, b, new_id, n in merges
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, n long"
+    )
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM interval join — the attribution shape: each
     'view' event joins every 'purchase' by the same user within the
@@ -5297,6 +5319,10 @@ CORPUS: dict[str, QuerySpec] = {
     "stream_stream_join": QuerySpec(
         q_stream_stream_join, _SQL_STREAM_STREAM,
         "watermarked stream-stream interval join (view→purchase attribution)",
+    ),
+    "bpe_train_merges": QuerySpec(
+        q_bpe_train_merges, None,
+        "distributed byte-level BPE training (golden-pinned, iterative)",
     ),
 }
 
