@@ -3336,6 +3336,69 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each doc gets key = ln(u)/w with
+    u ∈ (0, 1] derived from its md5 hash and w = n_chars; the top-k
+    keys ARE a weighted sample without replacement. Replacing the RNG
+    with the cross-engine-stable md5 derivation (same trick as
+    ``_md5_bucket``) makes the sample reproducible across engines,
+    re-runs, and partitionings — the property a training-data pipeline
+    needs for auditable subsampling. Plan: one scan, no shuffle,
+    TakeOrderedAndProject top-k. Keys are micro-rounded to nano-units
+    (house ln-parity discipline) and tie-broken by doc_id."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    # u = (first-8-md5-hex + 1) / 2^32  ∈ (0, 1]
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    key_nano = (
+        F.round(F.round(F.log(u) / F.col("n_chars"), 9) * 1e9, 0)
+        .cast("long")
+        .alias("key_nano")
+    )
+    return (
+        docs.select("doc_id", "n_chars", key_nano)
+        .orderBy(F.desc("key_nano"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars,
+       CAST(round(round(ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                          / 4294967296.0) / n_chars, 9) * 1e9, 0) AS BIGINT) AS key_nano
+FROM documents WHERE n_chars > 0
+ORDER BY key_nano DESC, doc_id LIMIT 50
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1/50-frequent tokens via the Misra-Gries sketch-then-
+    verify operator (operators/sketches.py) — candidates from O(1/φ)
+    per-partition state, exact counts shuffled only for candidates,
+    integer threshold comparison."""
+    from ..operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    )
+    return heavy_hitters(words, phi=1 / 50)
+
+
+_SQL_HEAVY_HITTERS = r"""
+WITH u AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+           FROM documents),
+c AS (SELECT word, count(*) AS n FROM u GROUP BY word),
+t AS (SELECT count(*) AS total FROM u)
+SELECT word, n FROM c, t WHERE n * 50 > total
+ORDER BY n DESC, word
+"""
+
+
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (8 merges) over documents.
 
@@ -5323,6 +5386,14 @@ CORPUS: dict[str, QuerySpec] = {
     "bpe_train_merges": QuerySpec(
         q_bpe_train_merges, None,
         "distributed byte-level BPE training (golden-pinned, iterative)",
+    ),
+    "weighted_sample": QuerySpec(
+        q_weighted_sample, _SQL_WEIGHTED_SAMPLE,
+        "Efraimidis–Spirakis weighted sample, md5-derandomized",
+    ),
+    "heavy_hitters": QuerySpec(
+        q_heavy_hitters, _SQL_HEAVY_HITTERS,
+        "exact φ-frequent tokens via Misra-Gries sketch-then-verify",
     ),
 }
 

@@ -1,0 +1,53 @@
+"""Misra-Gries heavy hitters: exactness under adversarial layouts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from assignment3_qachatapplication_vectorembeddings_spark.operators.sketches import (
+    heavy_hitters,
+)
+
+
+def _naive(df, phi):
+    k = int(round(1 / phi))
+    total = df.count()
+    return {
+        (r["word"], r["n"])
+        for r in df.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") * k > F.lit(total))
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("parts", [1, 7, 32])
+def test_exact_vs_naive_across_partitionings(spark, parts):
+    # zipf-ish: 'hot' 40%, 'warm' 12%, long cold tail just under phi
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 120
+        + [(f"cold{i}",) for i in range(480)]
+    )
+    df = spark.createDataFrame(rows, "word string").repartition(parts)
+    got = {
+        (r["word"], r["n"])
+        for r in heavy_hitters(df, phi=1 / 10).collect()
+    }
+    assert got == _naive(df, 1 / 10) == {("hot", 400), ("warm", 120)}
+
+
+def test_hitter_split_across_partitions_survives(spark):
+    # the heavy item is spread thin over every partition — the
+    # pigeonhole argument (some partition keeps it) must still hold
+    rows = [("hh",)] * 100 + [(f"c{i}",) for i in range(150)]
+    df = spark.createDataFrame(rows, "word string").repartition(32)
+    got = {(r["word"], r["n"]) for r in heavy_hitters(df, phi=1 / 5).collect()}
+    assert got == {("hh", 100)}  # 40% > 1/5; every c_i is 1/250
+
+
+def test_phi_must_be_reciprocal_integer(spark):
+    df = spark.createDataFrame([("x",)], "word string")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, phi=0.03)
