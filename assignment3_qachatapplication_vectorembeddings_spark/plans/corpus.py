@@ -3399,6 +3399,89 @@ ORDER BY n DESC, word
 """
 
 
+def q_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-depth (ntile) decile binning of document lengths — the
+    quantile-bucket complement of quality_bins' equal-width bins.
+    Deterministic because the ntile ordering carries a unique tiebreak
+    (doc_id). Scale posture: ntile needs a total order — Spark range-
+    partitions the sort, so the shuffle is by sampled ranges, not a
+    single-reducer sort; at 100 TB you'd swap in approx quantile cuts,
+    which q_percentiles already demonstrates."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.select("n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+_SQL_EQUIDEPTH_DECILES = """
+SELECT decile, count(*) AS n_docs, min(n_chars) AS lo, max(n_chars) AS hi
+FROM (SELECT n_chars, ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents)
+GROUP BY decile ORDER BY decile
+"""
+
+
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over unigram distributions per source —
+    the language-drift / domain-shift monitor for a multi-source
+    training corpus. Per-term logs snap to exact integer micro-nats
+    before the count-weighted sum (the unigram_logprob discipline), so
+    aggregation order cannot move the result; the only doubles are the
+    identically-shaped ratio trees and the final presentation divide."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    )
+    sc = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    st = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    gc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("gc"))
+    gt = toks.agg(F.count(F.lit(1)).cast("double").alias("gt"))
+    ratio = (F.col("c").cast("double") / F.col("n")) / (
+        F.col("gc").cast("double") / F.col("gt")
+    )
+    term_micro = F.col("c") * F.round(F.round(F.log(ratio), 6) * 1e6, 0).cast(
+        "long"
+    )
+    return (
+        sc.join(st, "source")
+        .join(gc, "word")
+        .crossJoin(F.broadcast(gt))
+        .select("source", "n", term_micro.alias("tm"))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum("tm") / 1e6 / F.first("n"), 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_SOURCE_KL = r"""
+WITH toks AS (SELECT source,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+              FROM documents),
+sc AS (SELECT source, word, count(*) AS c FROM toks GROUP BY 1, 2),
+st AS (SELECT source, count(*) AS n FROM toks GROUP BY 1),
+gc AS (SELECT word, count(*) AS gc FROM toks GROUP BY 1),
+gt AS (SELECT count(*)::DOUBLE AS gt FROM toks)
+SELECT source,
+       round(sum(sc.c * CAST(round(round(ln((sc.c::DOUBLE / st.n)
+                                            / (gc.gc::DOUBLE / gt.gt)), 6)
+                                   * 1e6, 0) AS BIGINT)) / 1e6 / st.n, 6)
+         AS kl_nats
+FROM sc JOIN st USING (source) JOIN gc USING (word), gt
+GROUP BY source, st.n ORDER BY source
+"""
+
+
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (8 merges) over documents.
 
@@ -5394,6 +5477,14 @@ CORPUS: dict[str, QuerySpec] = {
     "heavy_hitters": QuerySpec(
         q_heavy_hitters, _SQL_HEAVY_HITTERS,
         "exact φ-frequent tokens via Misra-Gries sketch-then-verify",
+    ),
+    "equidepth_deciles": QuerySpec(
+        q_equidepth_deciles, _SQL_EQUIDEPTH_DECILES,
+        "equal-depth ntile binning with unique-tiebreak ordering",
+    ),
+    "source_kl_divergence": QuerySpec(
+        q_source_kl_divergence, _SQL_SOURCE_KL,
+        "per-source unigram KL drift vs corpus (micro-nat-exact sums)",
     ),
 }
 
