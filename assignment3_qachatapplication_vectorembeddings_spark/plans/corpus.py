@@ -3441,10 +3441,17 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
     )
-    sc = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
-    st = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    gc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("gc"))
-    gt = toks.agg(F.count(F.lit(1)).cast("double").alias("gt"))
+    # one corpus-scale explode+aggregate; every total derives from the
+    # (source, word) grain, so the corpus is scanned once, not four
+    # times (sc is vocab-sized: the three rollups below are cheap)
+    sc = (
+        toks.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    gc = sc.groupBy("word").agg(F.sum("c").alias("gc"))
+    gt = sc.agg(F.sum("c").cast("double").alias("gt"))
     ratio = (F.col("c").cast("double") / F.col("n")) / (
         F.col("gc").cast("double") / F.col("gt")
     )
