@@ -3383,10 +3383,10 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import heavy_hitters
 
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    arrays = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws")
     )
-    return heavy_hitters(words, phi=1 / 50)
+    return heavy_hitters(arrays, phi=1 / 50)
 
 
 _SQL_HEAVY_HITTERS = r"""

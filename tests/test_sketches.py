@@ -12,42 +12,48 @@ from assignment3_qachatapplication_vectorembeddings_spark.operators.sketches imp
 
 def _naive(df, phi):
     k = int(round(1 / phi))
-    total = df.count()
+    words = df.select(F.explode("ws").alias("word"))
+    total = words.count()
     return {
         (r["word"], r["n"])
-        for r in df.groupBy("word")
+        for r in words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") * k > F.lit(total))
         .collect()
     }
 
 
+@pytest.mark.parametrize("gate", [None, 10**9])  # sketch path / exact path
 @pytest.mark.parametrize("parts", [1, 7, 32])
-def test_exact_vs_naive_across_partitionings(spark, parts):
+def test_exact_vs_naive_across_partitionings(spark, parts, gate):
     # zipf-ish: 'hot' 40%, 'warm' 12%, long cold tail just under phi
     rows = (
-        [("hot",)] * 400
-        + [("warm",)] * 120
-        + [(f"cold{i}",) for i in range(480)]
+        [(["hot"],)] * 400
+        + [(["warm"],)] * 120
+        + [([f"cold{i}"],) for i in range(480)]
     )
-    df = spark.createDataFrame(rows, "word string").repartition(parts)
+    df = spark.createDataFrame(rows, "ws array<string>").repartition(parts)
     got = {
         (r["word"], r["n"])
-        for r in heavy_hitters(df, phi=1 / 10).collect()
+        for r in heavy_hitters(df, phi=1 / 10, sketch_min_rows=gate).collect()
     }
     assert got == _naive(df, 1 / 10) == {("hot", 400), ("warm", 120)}
 
 
 def test_hitter_split_across_partitions_survives(spark):
     # the heavy item is spread thin over every partition — the
-    # pigeonhole argument (some partition keeps it) must still hold
-    rows = [("hh",)] * 100 + [(f"c{i}",) for i in range(150)]
-    df = spark.createDataFrame(rows, "word string").repartition(32)
-    got = {(r["word"], r["n"]) for r in heavy_hitters(df, phi=1 / 5).collect()}
+    # pigeonhole argument (some partition keeps it) must still hold;
+    # gate off so the SKETCH path is what's exercised
+    rows = [(["hh"],)] * 100 + [([f"c{i}"],) for i in range(150)]
+    df = spark.createDataFrame(rows, "ws array<string>").repartition(32)
+    got = {
+        (r["word"], r["n"])
+        for r in heavy_hitters(df, phi=1 / 5, sketch_min_rows=None).collect()
+    }
     assert got == {("hh", 100)}  # 40% > 1/5; every c_i is 1/250
 
 
 def test_phi_must_be_reciprocal_integer(spark):
-    df = spark.createDataFrame([("x",)], "word string")
+    df = spark.createDataFrame([(["x"],)], "ws array<string>")
     with pytest.raises(ValueError):
         heavy_hitters(df, phi=0.03)
