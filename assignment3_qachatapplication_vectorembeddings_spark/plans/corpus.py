@@ -4863,7 +4863,11 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.where(F.size("ws") > 1)
         .agg(F.sum(F.size("ws") - 1).alias("m"))
     ).collect()[0]
-    n, m = int(totals["n"]), int(totals["m"])
+    n, m = int(totals["n"] or 0), int(totals["m"] or 0)
+    if m == 0:  # empty/degenerate corpus: no bigrams, empty result
+        return spark.createDataFrame(
+            [], "w1 string, w2 string, c long, pmi_micro long"
+        )
     uc = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     bigrams = words.select(
         F.explode(

@@ -100,3 +100,20 @@ def test_auth_unknown_user_and_bad_token(spark, tmp_path):
     assert auth.login("nobody@x.com", "pw") is None
     assert auth.current_user("not-a-jwt") is None
     assert auth.chat_history("nobody@x.com").count() == 0
+
+
+def test_round4_close_ops_on_empty_documents(spark, tmp_path):
+    """pmi/heavy-hitters/weighted-sample/kl/bpe degrade to empty
+    results (never throw) when the documents table is empty."""
+    from assignment3_qachatapplication_vectorembeddings_spark.plans import corpus
+
+    sf = str(tmp_path / "empty_sf")
+    (tmp_path / "empty_sf").mkdir()
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    assert corpus.q_pmi_collocations(spark, sf).count() == 0
+    assert corpus.q_heavy_hitters(spark, sf).count() == 0
+    assert corpus.q_weighted_sample(spark, sf).count() == 0
+    assert corpus.q_source_kl_divergence(spark, sf).count() == 0
+    assert corpus.q_bpe_train_merges(spark, sf).count() == 0
