@@ -3489,6 +3489,62 @@ GROUP BY source, st.n ORDER BY source
 """
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension build from a changelog: collapse each
+    user's event stream into validity intervals [valid_from, valid_to)
+    per consecutive event_type run — the CDC→warehouse-dimension
+    operator. Change detection (null-safe lag compare) + running-sum
+    island ids + per-island rollup + lead() for the closing edge; one
+    shuffle on user_id serves all four window/group stages (same
+    partitioning reused — Spark plans a single Exchange)."""
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.col("event_type").eqNullSafe(F.lag("event_type").over(by_user)), 1
+    ).otherwise(0)
+    isl = events.select(
+        "user_id", "ts", "event_id", "event_type", chg.alias("chg")
+    ).withColumn(
+        "island",
+        F.sum("chg").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = isl.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    by_from = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        iv.select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(by_from).alias("valid_to"),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from")
+        .limit(300)
+    )
+
+
+_SQL_SCD2_INTERVALS = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type IS DISTINCT FROM
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM events),
+isl AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM ordered),
+iv AS (SELECT user_id, event_type, island,
+              min(ts) AS valid_from, count(*) AS n_events
+       FROM isl GROUP BY user_id, event_type, island)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+       n_events
+FROM iv ORDER BY user_id, valid_from LIMIT 300
+"""
+
+
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (8 merges) over documents.
 
@@ -5496,6 +5552,10 @@ CORPUS: dict[str, QuerySpec] = {
     "source_kl_divergence": QuerySpec(
         q_source_kl_divergence, _SQL_SOURCE_KL,
         "per-source unigram KL drift vs corpus (micro-nat-exact sums)",
+    ),
+    "scd2_intervals": QuerySpec(
+        q_scd2_intervals, _SQL_SCD2_INTERVALS,
+        "SCD-type-2 validity intervals from a changelog (CDC→dimension)",
     ),
 }
 
