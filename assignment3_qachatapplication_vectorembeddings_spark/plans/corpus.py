@@ -3489,6 +3489,42 @@ GROUP BY source, st.n ORDER BY source
 """
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-family window functions — percent_rank, cume_dist,
+    nth_value over a full frame — completing the windowed SQL surface
+    (ranks/lead/lag/ntile/rolling frames are covered elsewhere). Both
+    engines compute the same small rationals ((rank-1)/(n-1), n_le/n),
+    rounded at 6 for presentation only."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        supp.select(
+            "s_nationkey",
+            "s_suppkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.nth_value("s_suppkey", 2).over(wfull).alias("second_poorest"),
+        )
+        .orderBy("s_nationkey", "s_suppkey")
+        .limit(200)
+    )
+
+
+_SQL_WINDOW_DISTRIBUTION = """
+SELECT s_nationkey, s_suppkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       nth_value(s_suppkey, 2) OVER (PARTITION BY s_nationkey
+          ORDER BY s_acctbal, s_suppkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_poorest
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+ORDER BY s_nationkey, s_suppkey LIMIT 200
+"""
+
+
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-type-2 dimension build from a changelog: collapse each
     user's event stream into validity intervals [valid_from, valid_to)
@@ -5556,6 +5592,10 @@ CORPUS: dict[str, QuerySpec] = {
     "scd2_intervals": QuerySpec(
         q_scd2_intervals, _SQL_SCD2_INTERVALS,
         "SCD-type-2 validity intervals from a changelog (CDC→dimension)",
+    ),
+    "window_distribution": QuerySpec(
+        q_window_distribution, _SQL_WINDOW_DISTRIBUTION,
+        "percent_rank / cume_dist / nth_value window surface",
     ),
 }
 

@@ -121,3 +121,58 @@ def test_cents_sum_equals_decimal_sum(spark, values):
         F.sum(_dec2(F.col("v"))).cast("double").alias("dec"),
     ).head()
     assert row["cents"] == row["dec"], (values, row)
+
+
+@given(
+    prices=st.lists(
+        st.floats(min_value=0.01, max_value=9999.99).map(lambda x: round(x, 2)),
+        min_size=1,
+        max_size=40,
+    ),
+    n_cust=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=20, deadline=None)
+def test_rolling_median_matches_python_reference(spark, prices, n_cust):
+    """The collect_list+sort_array median composition equals a direct
+    Python computation of the trailing-5 median (as 2x cents) for any
+    price sequence and any customer interleaving."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    rows = [
+        (i % n_cust, f"2024-01-{(i % 28) + 1:02d}", i, p)
+        for i, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate string, o_orderkey long, o_totalprice double"
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.sort_array(F.collect_list(cents).over(w))
+    k = F.size(arr)
+    mid = ((k + 1) / 2).cast("int")
+    half = (k / 2).cast("int")
+    med2 = F.when(k % 2 == 1, F.element_at(arr, mid) * 2).otherwise(
+        F.element_at(arr, half) + F.element_at(arr, half + 1)
+    )
+    got = {
+        r["o_orderkey"]: r["m"]
+        for r in df.select("o_orderkey", med2.alias("m")).collect()
+    }
+
+    # python reference
+    hist: dict = {}
+    expect = {}
+    for cust, date, key, p in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        h = hist.setdefault(cust, [])
+        h.append(round(p * 100))
+        frame = sorted(h[-5:])
+        n = len(frame)
+        expect[key] = (
+            frame[n // 2] * 2 if n % 2 == 1 else frame[n // 2 - 1] + frame[n // 2]
+        )
+    assert got == expect
