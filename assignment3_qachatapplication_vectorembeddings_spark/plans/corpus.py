@@ -3489,6 +3489,54 @@ GROUP BY source, st.n ORDER BY source
 """
 
 
+def q_sliding_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride overlapping passage windows (32 tokens, stride 16)
+    — the standard RAG passage generator (half-overlap so no answer
+    span straddles a boundary unseen). Pure array algebra on the split
+    column: a generated start-index sequence transforms into slices,
+    so the whole op is one explode with zero shuffle and documents
+    stay row-independent (mapInPandas-free; whole-stage codegen).
+
+    The start set is ``{k·16 : k·16 < max(len−16, 1)}`` — written as
+    an explicit ceil-div sequence because Spark's ``sequence(a, b)``
+    is stop-INCLUSIVE while the oracle's ``range(a, b, s)`` is
+    stop-exclusive."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    starts = F.expr(
+        "transform(sequence(0,"
+        " ((greatest(size(ws) - 16, 1) + 15) div 16) - 1), x -> x * 16)"
+    )
+    return (
+        docs.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") > 0)
+        .select("doc_id", F.explode(starts).alias("start_tok"), "ws")
+        .select(
+            "doc_id",
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.array_join(
+                F.slice("ws", F.col("start_tok") + 1, 32), " "
+            ).alias("passage"),
+        )
+        .withColumn("n_chars", F.length("passage").cast("long"))
+        .select("doc_id", "start_tok", "n_chars", "passage")
+        .orderBy("doc_id", "start_tok")
+        .limit(200)
+    )
+
+
+_SQL_SLIDING_PASSAGES = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+p AS (SELECT doc_id, i AS start_tok,
+             array_to_string(ws[i + 1 : i + 32], ' ') AS passage
+      FROM w, unnest(range(0, greatest(len(ws) - 16, 1), 16)) AS r(i)
+      WHERE len(ws) > 0)
+SELECT doc_id, start_tok, length(passage) AS n_chars, passage
+FROM p ORDER BY doc_id, start_tok LIMIT 200
+"""
+
+
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-family window functions — percent_rank, cume_dist,
     nth_value over a full frame — completing the windowed SQL surface
@@ -5596,6 +5644,10 @@ CORPUS: dict[str, QuerySpec] = {
     "window_distribution": QuerySpec(
         q_window_distribution, _SQL_WINDOW_DISTRIBUTION,
         "percent_rank / cume_dist / nth_value window surface",
+    ),
+    "sliding_passages": QuerySpec(
+        q_sliding_passages, _SQL_SLIDING_PASSAGES,
+        "RAG passage windows: 32-token slices at stride 16, zero shuffle",
     ),
 }
 
