@@ -101,12 +101,59 @@ def _apply_merge(a: int, b: int, new_id: int):
     return fn
 
 
+#: vocab-size gate under which merge rounds run on the driver (the
+#: corpus-scale work — collapsing the corpus to the vocab table — is
+#: always distributed; rounds over a bounded vocab are dict ops, and
+#: 2×num_merges Spark jobs of fixed overhead dwarf them). Tests pin
+#: both paths identical by forcing this to 0.
+_DRIVER_VOCAB_GATE = 1_000_000
+
+
+def _train_rounds_driver(
+    rows, num_merges: int, min_pair_count: int
+) -> List[Tuple[int, int, int, int, int]]:
+    """The same deterministic merge loop, on a collected vocab."""
+    from collections import Counter
+
+    words: Counter = Counter()
+    for r in rows:
+        words[tuple(r["syms"])] += r["cnt"]
+    merges: List[Tuple[int, int, int, int, int]] = []
+    for rank in range(num_merges):
+        pairs: Counter = Counter()
+        for w, c in words.items():
+            for i in range(len(w) - 1):
+                pairs[(w[i], w[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        if pairs[best] < min_pair_count:
+            break
+        new_id = 256 + rank
+        merges.append((rank, best[0], best[1], new_id, pairs[best]))
+        nxt: Counter = Counter()
+        for w, c in words.items():
+            out: List[int] = []
+            i = 0
+            while i < len(w):
+                if i < len(w) - 1 and (w[i], w[i + 1]) == best:
+                    out.append(new_id)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            nxt[tuple(out)] += c
+        words = nxt
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     *,
     text_col: str = "text",
     num_merges: int = 8,
     min_pair_count: int = 2,
+    driver_vocab_gate: int | None = _DRIVER_VOCAB_GATE,
 ) -> List[Tuple[int, int, int, int, int]]:
     """Learn up to ``num_merges`` BPE merges from ``docs[text_col]``.
 
@@ -121,6 +168,10 @@ def train_bpe(
         .agg(F.sum("cnt").alias("cnt"))
         .localCheckpoint(eager=True)
     )
+    if driver_vocab_gate is not None and words.count() <= driver_vocab_gate:
+        rows = words.collect()
+        words.unpersist()
+        return _train_rounds_driver(rows, num_merges, min_pair_count)
     merges: List[Tuple[int, int, int, int, int]] = []
     for rank in range(num_merges):
         pair = F.expr(

@@ -94,3 +94,11 @@ def test_render_symbol_expands_minted_ids():
     assert render_symbol(256, merges) == "hi"
     assert render_symbol(257, merges) == "hi!"
     assert render_symbol(104, merges) == "h"
+
+
+def test_distributed_rounds_match_driver_path(spark, docs):
+    """The distributed merge-round fallback must produce exactly the
+    merges of the size-gated driver path (same deterministic rules)."""
+    fast = train_bpe(docs, num_merges=4)  # driver path at this scale
+    slow = train_bpe(docs, num_merges=4, driver_vocab_gate=None)
+    assert fast == slow
