@@ -152,3 +152,35 @@ def test_pack_sequences_single_walk_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pack_sequences")
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sliding_passages_zero_exchange(spark, sf_dir):
+    """Passage generation is pure per-row array algebra — any Exchange
+    in this plan is a regression."""
+    plan = _plan(spark, sf_dir, "sliding_passages")
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+
+
+def test_weighted_sample_take_ordered_and_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThan(n_chars,0)" in plan  # filter reached the scan
+    assert "Exchange" not in plan  # one scan, no shuffle
+
+
+def test_scd2_single_user_exchange(spark, sf_dir):
+    """All four window/group stages key on user_id — exactly one
+    hash exchange (plus the final TakeOrdered), never re-shuffles."""
+    plan = _plan(spark, sf_dir, "scd2_intervals")
+    # formatted output prints the tree node bare; count the numbered
+    # detail entries instead
+    assert sum(1 for ln in plan.splitlines()
+               if ln.strip().startswith("(") and ln.rstrip().endswith("Exchange")) == 1
+
+
+def test_pmi_vocab_joins_broadcast(spark, sf_dir):
+    """The unigram-count table re-joins the bigram table twice — both
+    joins must be broadcasts, not shuffle joins on bigram keys."""
+    plan = _plan(spark, sf_dir, "pmi_collocations")
+    assert plan.count("BroadcastHashJoin") >= 2
