@@ -105,7 +105,8 @@ def _apply_merge(a: int, b: int, new_id: int):
 #: corpus-scale work — collapsing the corpus to the vocab table — is
 #: always distributed; rounds over a bounded vocab are dict ops, and
 #: 2×num_merges Spark jobs of fixed overhead dwarf them). Tests pin
-#: both paths identical by forcing this to 0.
+#: both paths identical by passing driver_vocab_gate=None (the
+#: sentinel that always selects the distributed rounds).
 _DRIVER_VOCAB_GATE = 1_000_000
 
 

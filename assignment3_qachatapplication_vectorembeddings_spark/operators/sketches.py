@@ -40,8 +40,9 @@ _CAND_SCHEMA = StructType(
 
 
 def _mg_partition(capacity: int, col: str):
-    """mapInPandas fn: one Misra-Gries summary per partition,
-    maintained across Arrow batches, emitted once at partition end.
+    """mapInArrow fn: one Misra-Gries summary per partition,
+    maintained across pa.RecordBatch chunks, emitted once at
+    partition end (``col`` names the token-array column to read).
 
     Vectorized via the MG MERGE operation (Agarwal et al., "Mergeable
     Summaries"): each Arrow batch reduces to an exact ``value_counts``
@@ -65,7 +66,8 @@ def _mg_partition(capacity: int, col: str):
             # the token stream (mapInArrow, not mapInPandas — the
             # arrow→pandas conversion of millions of small string
             # arrays was 3× the whole job).
-            flat = pa.chunked_array([rb.column(0)]).combine_chunks().flatten()
+            arr = rb.column(rb.schema.names.index(col))
+            flat = pa.chunked_array([arr]).combine_chunks().flatten()
             if not len(flat):
                 continue
             n_p += len(flat)

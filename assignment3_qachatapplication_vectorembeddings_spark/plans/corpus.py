@@ -3403,10 +3403,13 @@ def q_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-depth (ntile) decile binning of document lengths — the
     quantile-bucket complement of quality_bins' equal-width bins.
     Deterministic because the ntile ordering carries a unique tiebreak
-    (doc_id). Scale posture: ntile needs a total order — Spark range-
-    partitions the sort, so the shuffle is by sampled ranges, not a
-    single-reducer sort; at 100 TB you'd swap in approx quantile cuts,
-    which q_percentiles already demonstrates."""
+    (doc_id). Scale posture, honestly: an UNPARTITIONED window funnels
+    every row through ONE task (Spark warns 'Moving all data to a
+    single partition') — exact global ntile is inherently a
+    total-order op. Correct here and at any driver-testable sf; at
+    100 TB you would compute decile CUTS via approxQuantile (or a
+    distributed sort + partition-offset ranks) and bucket by range —
+    q_percentiles demonstrates the exact-percentile building block."""
     docs = load_table(spark, sf_dir, "documents")
     w = Window.orderBy("n_chars", "doc_id")
     return (
@@ -3595,16 +3598,24 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = isl.groupBy("user_id", "event_type", "island").agg(
         F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
     )
-    by_from = Window.partitionBy("user_id").orderBy("valid_from")
+    # island is the per-user interval ordinal (1-based: the first row's
+    # null-safe compare against lag NULL counts as a change) — unique
+    # within user and monotone with event order, so it is the
+    # deterministic ordering key: two intervals CAN share valid_from
+    # when consecutive different-type events carry one timestamp, and
+    # ordering/lead on valid_from alone would let the engines disagree
+    iv = iv.withColumnRenamed("island", "interval_seq")
+    by_seq = Window.partitionBy("user_id").orderBy("interval_seq")
     return (
         iv.select(
             "user_id",
+            F.col("interval_seq").cast("long").alias("interval_seq"),
             "event_type",
             "valid_from",
-            F.lead("valid_from").over(by_from).alias("valid_to"),
+            F.lead("valid_from").over(by_seq).alias("valid_to"),
             "n_events",
         )
-        .orderBy("user_id", "valid_from")
+        .orderBy("user_id", "interval_seq")
         .limit(300)
     )
 
@@ -3619,13 +3630,15 @@ WITH ordered AS (
 isl AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS island
         FROM ordered),
-iv AS (SELECT user_id, event_type, island,
+iv AS (SELECT user_id, event_type, island AS interval_seq,
               min(ts) AS valid_from, count(*) AS n_events
        FROM isl GROUP BY user_id, event_type, island)
-SELECT user_id, event_type, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+SELECT user_id, CAST(interval_seq AS BIGINT) AS interval_seq, event_type,
+       valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY interval_seq)
+         AS valid_to,
        n_events
-FROM iv ORDER BY user_id, valid_from LIMIT 300
+FROM iv ORDER BY user_id, interval_seq LIMIT 300
 """
 
 
@@ -4981,9 +4994,10 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     - one explode for unigram counts, one array-transform explode for
       adjacent bigrams — both aggregate with map-side partial combine,
       so the Zipf head collapses per task before the shuffle;
-    - the two corpus totals (N words, M bigrams) are a single-row
-      aggregate collected to the driver (O(1) egress) and folded in as
-      literals, keeping the scoring stage join-free;
+    - the two corpus totals (N words, M bigrams) derive from those
+      vocab-sized aggregates (checkpointed — the corpus is scanned
+      exactly twice, the minimum for two different groupings) and fold
+      in as literals, keeping the scoring stage join-free;
     - unigram counts re-join the bigram table twice; the vocab side is
       small after aggregation, so AQE broadcasts it.
 
@@ -4996,19 +5010,16 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws")
     )
-    uni = words.select(F.explode("ws").alias("word"))
-    totals = uni.agg(
-        F.count(F.lit(1)).alias("n"),
-    ).crossJoin(
-        words.where(F.size("ws") > 1)
-        .agg(F.sum(F.size("ws") - 1).alias("m"))
-    ).collect()[0]
-    n, m = int(totals["n"] or 0), int(totals["m"] or 0)
-    if m == 0:  # empty/degenerate corpus: no bigrams, empty result
-        return spark.createDataFrame(
-            [], "w1 string, w2 string, c long, pmi_micro long"
-        )
-    uc = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # two corpus-scale aggregates (unigram, bigram), checkpointed at
+    # vocab grain; BOTH totals derive from those aggregates, so the
+    # corpus is scanned twice (the minimum — the two groupings differ),
+    # not four times (the q_source_kl_divergence grain discipline)
+    uc = (
+        words.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     bigrams = words.select(
         F.explode(
             F.expr(
@@ -5017,11 +5028,18 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
-    bc = (
+    bc_all = (
         bigrams.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 10)
+        .localCheckpoint(eager=True)
     )
+    n = uc.agg(F.sum("c")).collect()[0][0] or 0
+    m = bc_all.agg(F.sum("c")).collect()[0][0] or 0
+    if m == 0:  # empty/degenerate corpus: no bigrams, empty result
+        return spark.createDataFrame(
+            [], "w1 string, w2 string, c long, pmi_micro long"
+        )
+    bc = bc_all.where(F.col("c") >= 10)
     u1 = uc.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
     u2 = uc.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
     ratio = (F.col("c").cast("double") / F.lit(float(m))) / (

@@ -117,3 +117,43 @@ def test_round4_close_ops_on_empty_documents(spark, tmp_path):
     assert corpus.q_weighted_sample(spark, sf).count() == 0
     assert corpus.q_source_kl_divergence(spark, sf).count() == 0
     assert corpus.q_bpe_train_merges(spark, sf).count() == 0
+
+
+def test_scd2_same_timestamp_intervals_deterministic(spark, tmp_path):
+    """Two consecutive different-type events sharing one timestamp
+    produce two intervals with EQUAL valid_from; interval_seq (the
+    island ordinal) must disambiguate ordering and lead() so the
+    result is engine-independent."""
+    import duckdb
+
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.corpus import (
+        CORPUS,
+    )
+    from tools.check_corpus import canon_rows
+
+    sf = str(tmp_path / "tie_sf")
+    (tmp_path / "tie_sf").mkdir()
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "view", 0.0, None),
+        (2, "2024-01-01 00:00:00", 10, "purchase", 0.0, None),  # same ts!
+        (3, "2024-01-02 00:00:00", 10, "view", 0.0, None),
+        (4, "2024-01-01 05:00:00", 11, "click", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["col"]).col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    spec = CORPUS["scd2_intervals"]
+    sdf = spec.fn(spark, sf)
+    srows, scols = sdf.collect(), sdf.columns
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    ores = con.execute(spec.oracle).fetchall()
+    ocols = [d[0] for d in con.description]
+    assert len(srows) == 4  # 3 intervals for user 10, 1 for user 11
+    assert canon_rows(scols, srows) == canon_rows(ocols, ores)
