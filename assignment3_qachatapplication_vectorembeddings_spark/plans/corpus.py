@@ -3576,6 +3576,61 @@ ORDER BY s_nationkey, s_suppkey LIMIT 200
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per source by tf-idf (source-level
+    documents) — the keyword complement of source_kl_divergence's
+    distribution-level drift. One corpus-scale explode; document
+    frequency and scoring run on the (source, word) grain. The score
+    is tf × idf_micro — an INTEGER product of the count and the
+    micro-nat-snapped idf, so ranking is bit-stable across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    )
+    sc = (
+        toks.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    n_sources = docs.select("source").distinct().count()
+    dfs = sc.groupBy("word").agg(F.count(F.lit(1)).alias("dfs"))
+    idf_micro = F.round(
+        F.round(F.log(F.lit(float(n_sources)) / F.col("dfs")), 6) * 1e6, 0
+    ).cast("long")
+    scored = sc.join(dfs, "word").select(
+        "source", "word", "tf", (F.col("tf") * idf_micro).alias("tfidf_micro")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("tfidf_micro"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("source", "word", "tf", "tfidf_micro")
+        .orderBy("source", F.desc("tfidf_micro"), "word")
+        .limit(1000)
+    )
+
+
+_SQL_TFIDF_TOP_TERMS = r"""
+WITH toks AS (SELECT source,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+              FROM documents),
+sc AS (SELECT source, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+ns AS (SELECT count(DISTINCT source) AS n FROM documents),
+df AS (SELECT word, count(*) AS dfs FROM sc GROUP BY word),
+scored AS (SELECT sc.source, sc.word, sc.tf,
+                  sc.tf * CAST(round(round(ln(ns.n::DOUBLE / df.dfs), 6)
+                                     * 1e6, 0) AS BIGINT) AS tfidf_micro
+           FROM sc JOIN df USING (word), ns),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+                     ORDER BY tfidf_micro DESC, word) AS rk FROM scored)
+SELECT source, word, tf, tfidf_micro FROM ranked WHERE rk <= 5
+ORDER BY source, tfidf_micro DESC, word LIMIT 1000
+"""
+
+
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-type-2 dimension build from a changelog: collapse each
     user's event stream into validity intervals [valid_from, valid_to)
@@ -5666,6 +5721,10 @@ CORPUS: dict[str, QuerySpec] = {
     "sliding_passages": QuerySpec(
         q_sliding_passages, _SQL_SLIDING_PASSAGES,
         "RAG passage windows: 32-token slices at stride 16, zero shuffle",
+    ),
+    "tfidf_top_terms": QuerySpec(
+        q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS,
+        "top-5 distinctive terms per source (integer tf×idf_micro)",
     ),
 }
 
