@@ -63,6 +63,9 @@ def replicate(df, keys, r_count):
 
 def main() -> int:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.testdata_sf1"
+    if out_dir.startswith("-"):  # catch `--help` etc. before it
+        print(__doc__ or "usage: make_scaled_testdata.py [OUT_DIR] [X] [SRC]")
+        return 2  # ...becomes a directory named "--help"
     r_count = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
 
