@@ -92,6 +92,35 @@ def build_query(name: str, ev: DataFrame, spark: SparkSession, sf_dir: str) -> D
         )
     if name == "sessions":
         return sessionize_stream(ev)
+    if name == "stream_join":
+        # the stream-stream interval join (q_stream_stream_join shape):
+        # views joined to same-user purchases within the next minute,
+        # 30 s watermarks bounding both state stores
+        views = (
+            ev.where(F.col("event_type") == "view")
+            .select(
+                "user_id",
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "30 seconds")
+        )
+        purchases = (
+            ev.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "30 seconds")
+        )
+        return views.join(
+            purchases,
+            F.expr(
+                "user_id = p_user AND purchase_ts >= view_ts"
+                " AND purchase_ts <= view_ts + INTERVAL 1 MINUTE"
+            ),
+        )
     raise SystemExit(f"unknown query {name}")
 
 
@@ -108,8 +137,10 @@ def run_one(
     ev = rate_events(spark, rate, partitions)
     out = build_query(name, ev, spark, sf_dir)
     ckpt = tempfile.mkdtemp(prefix=f"steady-{name}-")
+    # stream-stream joins support only append; stateful aggs run update
+    mode = "append" if name == "stream_join" else "update"
     q = (
-        out.writeStream.outputMode("update")
+        out.writeStream.outputMode(mode)
         .format("noop")
         .option("checkpointLocation", ckpt)
         .trigger(processingTime=f"{int(trigger * 1000)} milliseconds")
