@@ -3576,6 +3576,32 @@ ORDER BY s_nationkey, s_suppkey LIMIT 200
 """
 
 
+def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitened embeddings (k=16) — the FAISS PCAMatrix / OPQ-
+    rotation preprocessing stage: fit on a bounded seeded sample at
+    the driver, apply as one shuffle-free Arrow matmul stage. No SQL
+    analog (eigendecomposition); the gate runs rows-only plus a
+    quality metric asserting the whitening contract (unit variance,
+    orthonormal axes) on the actual output, and pytest pins
+    determinism/orthonormality/variance ordering."""
+    from ..operators.pca import pca_apply, pca_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=16, whiten=True)
+    return pca_apply(emb, model).orderBy("vec_id")
+
+
+def _pca_quality(spark: SparkSession, sf_dir: str, rows: list) -> dict:
+    """Whitening contract on the real output: per-dim variance ≈ 1."""
+    import numpy as np
+
+    mat = np.array([list(r["proj"]) for r in rows], dtype=np.float64)
+    if len(mat) < 2:
+        return {"var_unit": 0.0}
+    var = mat.var(axis=0, ddof=1)
+    return {"var_unit": float(max(0.0, 1.0 - np.abs(var - 1.0).mean()))}
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 distinctive terms per source by tf-idf (source-level
     documents) — the keyword complement of source_kl_divergence's
@@ -5725,6 +5751,11 @@ CORPUS: dict[str, QuerySpec] = {
     "tfidf_top_terms": QuerySpec(
         q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS,
         "top-5 distinctive terms per source (integer tf×idf_micro)",
+    ),
+    "pca_embeddings": QuerySpec(
+        q_pca_embeddings, None,
+        "PCA whitening (FAISS PCAMatrix stage): sample fit, Arrow apply",
+        quality=_pca_quality,
     ),
 }
 
