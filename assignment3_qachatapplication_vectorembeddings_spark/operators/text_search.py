@@ -175,3 +175,109 @@ def rank_by(df: DataFrame, order: Sequence[Column], *, out: str = "rank") -> Dat
     """Dense 1-based ranking by the given ordering. Unpartitioned
     window — feed it bounded candidate lists (see module docstring)."""
     return df.withColumn(out, F.row_number().over(Window.orderBy(*order)))
+
+
+# --------------------------------------------------------------------------
+# Persisted inverted index — the text-side sibling of the persisted
+# IVFPQ layout in operators/ann.py: postings land partitioned by a
+# stable hash bucket of the term, so a query prunes to its terms'
+# bucket directories at PLANNING time and reads only their postings
+# (plus the doc-length sidecar rows it matches), never the corpus.
+# --------------------------------------------------------------------------
+
+
+def _term_bucket(c: Column, n: int) -> Column:
+    """Stable term bucket (xxhash64 — engine-internal layout, nothing
+    cross-engine reads it; pmod keeps negatives in range)."""
+    return F.pmod(F.xxhash64(c), F.lit(n))
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+) -> None:
+    """Materialize an inverted index at ``path``:
+
+    - ``postings/`` — (word, doc_id, tf) parquet partitioned by
+      ``bucket = hash(word) % buckets`` (one explode + one
+      map-side-combined aggregation over the corpus);
+    - ``doclens/`` — (doc_id, dl) sidecar for BM25 length norms;
+    - ``stats/`` — a 1-row (n_docs, avgdl) table.
+
+    Tokenization is ``tokens_expr`` — the exact expression
+    ``bm25_scores`` counts with, so index-served scores reproduce the
+    in-plan scorer's.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("ws")
+    )
+    doclens = toks.select("doc_id", F.size("ws").cast("double").alias("dl"))
+    doclens.write.mode("overwrite").parquet(f"{path}/doclens")
+    postings = (
+        toks.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .withColumn("bucket", _term_bucket(F.col("word"), buckets))
+    )
+    (
+        postings.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def text_index_bm25(
+    spark,
+    path: str,
+    terms: Sequence[str],
+    *,
+    buckets: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over the persisted index: reads ONLY the query terms'
+    bucket partitions (PartitionFilters prune the rest), aggregates df
+    from those postings, joins the doc-length sidecar on the matched
+    docs, and scores with the same Okapi form as ``bm25_scores``.
+    Returns (doc_id, score) for documents matching ≥1 term."""
+    terms = list(dict.fromkeys(t for t in terms if t))
+    if not terms:
+        raise ValueError("text_index_bm25 requires at least one term")
+    postings = spark.read.parquet(f"{path}/postings")
+    want_buckets = {
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "word string")
+        .select(_term_bucket(F.col("word"), buckets).alias("b"))
+        .collect()
+    }
+    hits = postings.where(
+        F.col("bucket").isin(list(want_buckets)) & F.col("word").isin(terms)
+    )
+    dfs = hits.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    stats = spark.read.parquet(f"{path}/stats")
+    doclens = spark.read.parquet(f"{path}/doclens")
+    scored = (
+        hits.join(F.broadcast(dfs), "word")
+        .crossJoin(F.broadcast(stats))
+        .join(doclens, "doc_id")
+    )
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        scored.select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
