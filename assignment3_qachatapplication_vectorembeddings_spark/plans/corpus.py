@@ -3576,6 +3576,55 @@ ORDER BY s_nationkey, s_suppkey LIMIT 200
 """
 
 
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of distinct word-5-grams they share — the between-subset
+    leakage report (train/benchmark, source/source) that complements
+    contamination_check's per-doc flags. Grain discipline: one explode
+    to the DISTINCT (source, gram) table, then a gram-keyed self-join
+    of that vocab-sized table; the join keys here are full md5 strings
+    for cross-engine parity — the engine-internal path would use
+    xxhash64 longs (operators/dedup.py's hashed-gram idiom)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = (
+        docs.select("source", ws.alias("ws"))
+        .where(F.size("ws") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 4),"
+                    " i -> md5(array_join(slice(ws, i, 5), ' ')))"
+                )
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    a = grams.select(F.col("source").alias("src_a"), "gh")
+    b = grams.select(F.col("source").alias("src_b"), "gh")
+    return (
+        a.join(b, "gh")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .orderBy(F.desc("shared"), "src_a", "src_b")
+        .limit(50)
+    )
+
+
+_SQL_CROSS_SOURCE_OVERLAP = r"""
+WITH w AS (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+g AS (SELECT DISTINCT source, md5(array_to_string(ws[i : i + 4], ' ')) AS gh
+      FROM w, unnest(range(1, len(ws) - 3)) AS r(i)
+      WHERE len(ws) >= 5)
+SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+GROUP BY 1, 2 ORDER BY shared DESC, src_a, src_b LIMIT 50
+"""
+
+
 def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA-whitened embeddings (k=16) — the FAISS PCAMatrix / OPQ-
     rotation preprocessing stage: fit on a bounded seeded sample at
@@ -5756,6 +5805,10 @@ CORPUS: dict[str, QuerySpec] = {
         q_pca_embeddings, None,
         "PCA whitening (FAISS PCAMatrix stage): sample fit, Arrow apply",
         quality=_pca_quality,
+    ),
+    "cross_source_overlap": QuerySpec(
+        q_cross_source_overlap, _SQL_CROSS_SOURCE_OVERLAP,
+        "cross-source 5-gram contamination matrix (distinct-gram grain)",
     ),
 }
 
