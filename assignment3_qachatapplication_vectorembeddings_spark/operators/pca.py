@@ -72,6 +72,11 @@ def pca_fit(
     mat = _sample_matrix(emb, vec_col, sample_cap, seed)
     if len(mat) < 2:
         raise ValueError("PCA needs at least 2 sample vectors")
+    if k > mat.shape[1]:
+        raise ValueError(
+            f"pca_fit: k={k} exceeds embedding dimension d={mat.shape[1]}; "
+            "a covariance of d-dim vectors has at most d components"
+        )
     mean = mat.mean(axis=0)
     cov = np.cov(mat - mean, rowvar=False, bias=False)
     eigvals, eigvecs = np.linalg.eigh(cov)  # ascending

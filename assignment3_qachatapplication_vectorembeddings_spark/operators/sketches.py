@@ -123,6 +123,17 @@ def heavy_hitters(
     k = int(round(1.0 / phi))
     if not math.isclose(1.0 / k, phi, rel_tol=1e-9):
         raise ValueError(f"phi must be 1/int, got {phi}")
+    # NULL tokens are dropped up front so BOTH dispatch paths agree:
+    # without this the exact explode path could report a NULL heavy
+    # hitter while the sketch path (which reserves a NULL word as the
+    # partition-total marker) silently excluded it from candidates.
+    token_arrays = token_arrays.withColumn(
+        col,
+        F.coalesce(
+            F.filter(F.col(col), lambda x: x.isNotNull()),
+            F.array().cast("array<string>"),
+        ),
+    )
     # Cost dispatch (the novelty-filter idiom — both paths pinned
     # row-identical in tests): below the gate, one exact
     # explode+groupBy pass is the best plan — map-side combine already

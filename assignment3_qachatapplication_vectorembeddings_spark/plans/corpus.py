@@ -3668,7 +3668,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=True)
     )
-    n_sources = docs.select("source").distinct().count()
+    # countDistinct is null-EXCLUDING, matching the oracle's
+    # count(DISTINCT source); a .distinct().count() would count a NULL
+    # source as its own value and skew the idf denominator
+    n_sources = docs.agg(F.countDistinct("source")).first()[0]
     dfs = sc.groupBy("word").agg(F.count(F.lit(1)).alias("dfs"))
     idf_micro = F.round(
         F.round(F.log(F.lit(float(n_sources)) / F.col("dfs")), 6) * 1e6, 0

@@ -77,3 +77,12 @@ def test_fit_rejects_degenerate_sample(spark):
     )
     with pytest.raises(ValueError):
         pca_fit(df, k=2)
+
+
+def test_fit_rejects_k_above_dimension(spark):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.pca import pca_fit
+
+    rows = [(i, [float(i), float(i % 3), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="exceeds embedding dimension"):
+        pca_fit(df, k=16)

@@ -57,3 +57,20 @@ def test_phi_must_be_reciprocal_integer(spark):
     df = spark.createDataFrame([(["x"],)], "ws array<string>")
     with pytest.raises(ValueError):
         heavy_hitters(df, phi=0.03)
+
+
+def test_null_tokens_dropped_in_both_paths(spark):
+    # NULL array elements must never surface as heavy hitters, and the
+    # exact and sketch dispatch paths must agree on a NULL-heavy input
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    rows = [(["a", None, None, "a"],)] * 20 + [(["b"],)] * 3 + [([None],)] * 9
+    df = spark.createDataFrame(rows, "ws array<string>")
+    exact = heavy_hitters(df, phi=0.25, sketch_min_rows=10**9).collect()
+    sketch = heavy_hitters(df, phi=0.25, sketch_min_rows=0).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in sketch]
+    assert all(r["word"] is not None for r in exact)
+    # n = 43 non-null tokens; only 'a' (40) exceeds 43/4
+    assert [r["word"] for r in exact] == ["a"]

@@ -58,3 +58,44 @@ def test_query_prunes_to_term_buckets(spark, index_path):
 def test_empty_terms_rejected(spark, index_path):
     with pytest.raises(ValueError):
         text_index_bm25(spark, index_path, ["", ""])
+
+
+def test_bucket_mismatch_raises_not_silent_empty(spark, index_path):
+    # built with 16 buckets; a wrong caller value used to silently
+    # prune to the wrong partition dirs — now it's a hard error
+    with pytest.raises(ValueError, match="buckets=32"):
+        text_index_bm25(spark, index_path, ["spark"], buckets=32)
+
+
+def test_buckets_read_from_sidecar_when_omitted(spark, sf_dir, index_path):
+    docs = load_table(spark, sf_dir, "documents")
+    expect = {r["doc_id"] for r in bm25_scores(docs, TERMS).collect()}
+    got = {
+        r["doc_id"]
+        for r in text_index_bm25(spark, index_path, TERMS).collect()
+    }
+    assert got == expect
+
+
+def test_stale_index_detected_by_data_version(
+    spark, sf_dir, tmp_path_factory
+):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.text_search import (
+        StaleIndexError,
+        text_index_stats,
+    )
+
+    path = str(tmp_path_factory.mktemp("tix_ver") / "idx")
+    docs = load_table(spark, sf_dir, "documents")
+    build_text_index(docs, path, buckets=8, data_version=3)
+    assert text_index_stats(spark, path)["data_version"] == 3
+    # matching snapshot: serves
+    assert (
+        text_index_bm25(
+            spark, path, ["spark"], expect_data_version=3
+        ).count()
+        >= 0
+    )
+    # newer snapshot committed since the build: fails fast
+    with pytest.raises(StaleIndexError):
+        text_index_bm25(spark, path, ["spark"], expect_data_version=4)
