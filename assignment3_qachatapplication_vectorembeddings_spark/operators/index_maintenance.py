@@ -464,6 +464,14 @@ class VectorIndex:
         # with the winner's next attempt at the same version
         return f"data/g{version:020d}-{uuid.uuid4().hex[:8]}"
 
+    def snapshot_info(self) -> tuple[int, dict[str, str]]:
+        """(manifest version, title→generation map) of the current
+        snapshot — the identity a derived index (``index_sync``) stamps
+        itself with and later diffs against: a title's rows changed
+        since a snapshot iff its generation entry differs."""
+        version, parts, _catalog = self._state()
+        return version, parts
+
     # -- reads (snapshot-isolated) ----------------------------------------
 
     def exists(self) -> bool:

