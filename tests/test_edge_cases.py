@@ -157,3 +157,61 @@ def test_scd2_same_timestamp_intervals_deterministic(spark, tmp_path):
     ocols = [d[0] for d in con.description]
     assert len(srows) == 4  # 3 intervals for user 10, 1 for user 11
     assert canon_rows(scols, srows) == canon_rows(ocols, ores)
+
+
+# -- distributed exact ntile (equidepth_tiles) ------------------------------
+
+
+def _equidepth_window_reference(spark, rows, k):
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(rows, "n_chars int, doc_id long")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        df.select("n_chars", F.ntile(k).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+        .orderBy("decile")
+        .collect()
+    )
+
+
+@pytest.mark.parametrize("n,k", [(0, 10), (1, 10), (7, 10), (10, 10), (101, 10), (1000, 7)])
+def test_equidepth_tiles_matches_window_ntile(spark, n, k):
+    """The distributed partition-offset-rank construction must equal
+    ntile() exactly — including tie-heavy values (rank tiebreak by
+    doc_id), n < k, and uneven tiles (first n%k get the extra row)."""
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.corpus import (
+        equidepth_tiles,
+    )
+
+    # tie-heavy: values drawn from a tiny domain so many rows share
+    # n_chars and the unique tiebreak decides every boundary
+    rows = [((i * 37) % 5, i) for i in range(n)]
+    df = spark.createDataFrame(rows, "n_chars int, doc_id long")
+    got = equidepth_tiles(df, "n_chars", "doc_id", k=k).collect()
+    expect = _equidepth_window_reference(spark, rows, k)
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+
+
+def test_equidepth_tiles_no_single_partition_window(spark):
+    """The production plan must not contain a WindowExec at all."""
+    import io
+    import contextlib
+
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.corpus import (
+        equidepth_tiles,
+    )
+
+    df = spark.createDataFrame(
+        [((i * 13) % 100, i) for i in range(500)], "n_chars int, doc_id long"
+    )
+    out = equidepth_tiles(df, "n_chars", "doc_id", k=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Window" not in buf.getvalue()
