@@ -662,6 +662,38 @@ def hashed_gram_table(
     ``with_pos=True`` keeps the 0-based gram position (span/run
     semantics). Documents with fewer than ``n`` tokens yield no rows.
     """
+    arr = gram_hash_array_table(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        extra_cols=extra_cols,
+        distinct=distinct,
+        fan_out=fan_out,
+    )
+    if with_pos:
+        return arr.select(
+            id_col, *extra_cols, F.posexplode("_harr").alias("pos", "h")
+        )
+    return arr.select(id_col, *extra_cols, F.explode("_harr").alias("h"))
+
+
+def gram_hash_array_table(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    extra_cols: tuple[str, ...] = (),
+    distinct: bool = False,
+    fan_out: bool = True,
+) -> DataFrame:
+    """Per-document xxhash64 gram ARRAY — ``(id_col, *extra_cols,
+    _harr array<bigint>)``, element i the hash of the gram at token
+    offset i. The un-exploded form of :func:`hashed_gram_table`
+    (which posexplodes this): span detection consumes it directly so
+    the per-doc gram sequence never round-trips through an explode +
+    re-group-by-document shuffle."""
     if fan_out:
         docs = _fan_out(docs, id_col)
     toks = docs.select(
@@ -678,11 +710,7 @@ def hashed_gram_table(
     hashes = F.expr(
         f"CASE WHEN size(_toks) >= {n} THEN {body} ELSE array() END"
     )
-    if with_pos:
-        return toks.select(
-            id_col, *extra_cols, F.posexplode(hashes).alias("pos", "h")
-        )
-    return toks.select(id_col, *extra_cols, F.explode(hashes).alias("h"))
+    return toks.select(id_col, *extra_cols, hashes.alias("_harr"))
 
 
 def duplicate_span_table(
@@ -693,6 +721,7 @@ def duplicate_span_table(
     n: int = 5,
     min_count: int = 2,
     fan_out: bool = True,
+    broadcast_max_dup_grams: int = 2_000_000,
 ) -> DataFrame:
     """Token-span-level exact duplication: per-document maximal runs of
     corpus-duplicated ``n``-grams (the distributed analogue of
@@ -711,40 +740,44 @@ def duplicate_span_table(
 
     Scale shape: gram positions stay 8-byte xxhash64 longs (never gram
     strings — a false span needs a 64-bit collision, the documented
-    `_pair_jaccard` odds); the frequency count is a map-side-combining
-    groupBy on the hash; the duplicated-gram set is the small side of
-    the semi join (AQE broadcasts it); the run detection is one
-    shuffle keyed on the document id plus an in-partition window —
-    nothing quadratic, no driver materialization.
+    `_pair_jaccard` odds); per-doc gram HASH ARRAYS are materialized
+    once (localCheckpoint) and feed both passes. The frequency count
+    is the one corpus-scale shuffle (map-side-combining groupBy on the
+    hash). Run detection then dispatches on the duplicated-gram-set
+    size (the ``embedding_near_dup`` broadcast-gate idiom, both paths
+    pytest-pinned row-identical):
+
+    - set ≤ ``broadcast_max_dup_grams`` (2 M longs = 16 MB — the
+      common case: the DUPLICATED-gram vocabulary is tiny next to the
+      corpus): the sorted hash array is broadcast and an Arrow
+      ``mapInPandas`` pass scans each doc's array with
+      ``np.searchsorted``, emitting maximal runs directly — ZERO
+      further shuffles (round-4: the per-gram semi join + per-doc
+      window were 2 of the plan's 5 exchanges);
+    - larger: the window path — posexplode, hash semi join against the
+      dup set, ``pos - row_number`` islands keyed on the doc id.
     """
     from pyspark.sql.window import Window
 
-    from pyspark import StorageLevel
-
     from ..runtime import register_materialized
 
-    grams = hashed_gram_table(
-        docs,
-        id_col=id_col,
-        text_col=text_col,
-        n=n,
-        with_pos=True,
-        fan_out=fan_out,
-    )
-    # the gram explode + 5-arg xxhash64 is the CPU bound of this
-    # operator (VERDICT r3: 3.0× at sf1), and the plan consumes it
-    # TWICE — the corpus-frequency groupBy and the semi-join probe.
-    # Lazy persist halves the tokenize+hash work; registered for
-    # release_caches() like bm25's per-doc table.
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-    register_materialized(grams)
+    arr_tbl = gram_hash_array_table(
+        docs, id_col=id_col, text_col=text_col, n=n, fan_out=fan_out
+    ).localCheckpoint(eager=False)
+    register_materialized(arr_tbl)
     dup = (
-        grams.groupBy("h")
+        arr_tbl.select(F.explode("_harr").alias("h"))
+        .groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
         .select("h")
     )
-    hits = grams.join(dup, "h", "left_semi")
+    n_dup = dup.count()
+    if n_dup <= broadcast_max_dup_grams:
+        return _spans_broadcast(arr_tbl, dup, id_col=id_col, n=n)
+    hits = arr_tbl.select(
+        id_col, F.posexplode("_harr").alias("pos", "h")
+    ).join(dup, "h", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = hits.withColumn("rid", F.col("pos") - F.row_number().over(w))
     return (
@@ -756,6 +789,76 @@ def duplicate_span_table(
         .withColumn("n_tokens", F.col("n_grams") + F.lit(n - 1))
         .drop("rid")
     )
+
+
+def _spans_broadcast(
+    arr_tbl: DataFrame, dup: DataFrame, *, id_col: str, n: int
+) -> DataFrame:
+    """Maximal-run emission with the duplicated-gram set broadcast as
+    one sorted int64 array: membership is ``np.searchsorted`` per doc
+    (log m per gram, Arrow-batched), run boundaries are a diff on the
+    boolean mask — no explode, no join, no window, no shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = arr_tbl.sparkSession
+    # Arrow egress, not Row objects: the dup set is 10^5-10^6 longs and
+    # py4j row conversion alone costs >1 s at sf1 (profiled); toPandas
+    # under spark.sql.execution.arrow moves it as one Arrow batch
+    dup_sorted = np.sort(dup.toPandas()["h"].to_numpy(dtype=np.int64))
+    bc = spark.sparkContext.broadcast(dup_sorted)
+    id_field = arr_tbl.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("span_start", IntegerType(), False),
+            StructField("n_grams", LongType(), False),
+            StructField("n_tokens", LongType(), False),
+        ]
+    )
+
+    def emit(batches):
+        ds = bc.value
+        for pdf in batches:
+            ids, starts, lens = [], [], []
+            for did, arr in zip(pdf[id_col], pdf["_harr"]):
+                if arr is None or len(arr) == 0:
+                    continue
+                h = np.asarray(arr, dtype=np.int64)
+                if len(ds):
+                    idx = np.searchsorted(ds, h)
+                    idx[idx == len(ds)] = 0
+                    mask = ds[idx] == h
+                else:
+                    continue
+                if not mask.any():
+                    continue
+                edges = np.diff(
+                    np.concatenate(([0], mask.view(np.int8), [0]))
+                )
+                s = np.flatnonzero(edges == 1)
+                e = np.flatnonzero(edges == -1)
+                ids.extend([did] * len(s))
+                starts.extend(s.tolist())
+                lens.extend((e - s).tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids),
+                    "span_start": pd.Series(starts, dtype="int32"),
+                    "n_grams": pd.Series(lens, dtype="int64"),
+                    "n_tokens": pd.Series(
+                        [x + n - 1 for x in lens], dtype="int64"
+                    ),
+                }
+            )
+
+    return arr_tbl.select(id_col, "_harr").mapInPandas(emit, schema=schema)
 
 
 def connected_components(

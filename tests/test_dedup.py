@@ -514,3 +514,28 @@ def test_simhash_whitespace_edges_match_duckdb_oracle(spark):
                 + ") AS t(doc_id, text)")
     want = dict(con.execute(_SIMHASH_CTE + "SELECT doc_id, simhash FROM simh").fetchall())
     assert got == want
+
+
+def test_dup_spans_broadcast_and_window_paths_identical(spark):
+    """Cost-dispatch pin: the broadcast searchsorted path and the
+    explode+window path must emit the same span rows."""
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.dedup import (
+        duplicate_span_table,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " unique1 tail one"),
+        (2, base + " unique2 tail two"),  # shares the 10-token prefix
+        (3, "totally different words with no shared five gram at all"),
+        (4, base + " " + base),  # internal repetition too
+        (5, "short text"),  # < n tokens -> no grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = duplicate_span_table(docs, n=5, min_count=2).collect()
+    slow = duplicate_span_table(
+        docs, n=5, min_count=2, broadcast_max_dup_grams=0
+    ).collect()
+    key = lambda r: (r["doc_id"], r["span_start"], r["n_grams"], r["n_tokens"])
+    assert sorted(map(key, fast)) == sorted(map(key, slow))
+    assert len(fast) > 0
