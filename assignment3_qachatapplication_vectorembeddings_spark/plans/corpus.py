@@ -1777,6 +1777,28 @@ FROM sess GROUP BY user_id
 """
 
 
+def q_stream_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native gap sessionization through the correctness gate: the
+    same file stream drained through ``session_window`` (all state in
+    the JVM state store, no Python per group) must reproduce the
+    window-function batch sessionization — same oracle as
+    ``stream_sessions``, proving the two streaming implementations and
+    the batch form are one semantics — including the gap boundary:
+    ``session_window`` merges an event landing exactly on the window
+    end, which IS the engine's strict-> split rule (q.v.
+    ``sessionize_stream_native``; pytest pins the 1 µs boundary)."""
+    from ..streaming.ingest import (
+        run_sessionize_native_available_now,
+        stream_events_table,
+    )
+
+    return run_sessionize_native_available_now(
+        spark,
+        stream_events_table(spark, sf_dir),
+        query_name="corpus_stream_sessions_native",
+    )
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
@@ -5805,6 +5827,11 @@ CORPUS: dict[str, QuerySpec] = {
         q_stream_sessions,
         _SQL_STREAM_SESSIONS,
         "applyInPandasWithState gap sessions == batch oracle",
+    ),
+    "stream_sessions_native": QuerySpec(
+        q_stream_sessions_native,
+        _SQL_STREAM_SESSIONS,
+        "JVM session_window gap sessions == same batch oracle",
     ),
     "stream_static_join": QuerySpec(
         q_stream_static_join, _SQL_STREAM_STATIC,

@@ -51,6 +51,8 @@ __all__ = [
     "run_windowed_counts_available_now",
     "dedup_stream",
     "sessionize_stream",
+    "sessionize_stream_native",
+    "run_sessionize_native_available_now",
     "run_streaming_novelty_ingest",
     "stream_embeddings_table",
     "run_streaming_index_ingest",
@@ -440,6 +442,77 @@ def _session_fn(
     out.iat[0, 1] = n_sessions
     out.iat[0, 2] = n_events
     yield out
+
+
+def sessionize_stream_native(
+    events: DataFrame,
+    *,
+    gap_us: int = _GAP_US,
+    watermark: str | None = None,
+) -> DataFrame:
+    """JVM-native fixed-gap sessionization: ``groupBy(user_id,
+    session_window(ts, gap))`` — one row per (user, session) with its
+    event count, all session state merged in the JVM state store.
+
+    The ``applyInPandasWithState`` sessionizer exists for logic the
+    built-in can't express (custom carry-over counters, cross-session
+    features); for the plain fixed-gap case it pays one Python call +
+    state round-trip per ACTIVE USER per micro-batch (~270 µs/group —
+    the round-4 steady-state knee at ~2k rows/s on 1 s triggers). This
+    variant keeps everything in whole-stage-codegen + the state store:
+    same shuffle key, zero Python, so throughput tracks the JVM
+    stateful ops (≥100k rows/s at 1 s triggers, BASELINE.md).
+
+    Boundary parity: the engine's gap rule is STRICTLY-greater (a gap
+    of exactly 30 min stays in-session — `_session_fn` and the SQL
+    oracle both use ``>``), and ``session_window`` MERGES an event
+    landing exactly on the window end (verified empirically: gap
+    1800 s keeps a 1800.000000 s-apart pair in one session and splits
+    1800.000001 s — pytest ``test_native_session_window_gap_boundary``
+    pins it), so the plain gap duration reproduces the rule exactly.
+
+    ``watermark`` bounds state for continuous serving (append mode —
+    session-window aggs don't support update); leave None for
+    complete-mode bounded drains."""
+    ev = events.select("user_id", "ts")
+    if watermark is not None:
+        ev = ev.withWatermark("ts", watermark)
+    return ev.groupBy(
+        "user_id",
+        F.session_window("ts", f"{gap_us} microseconds").alias("sw"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def run_sessionize_native_available_now(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    *,
+    query_name: str = "stream_sessions_native",
+) -> DataFrame:
+    """Drain the stream through the native ``session_window``
+    sessionizer (complete mode — the bounded-drain shape: all session
+    state retained and re-merged each micro-batch, so out-of-order
+    events across batch boundaries coalesce exactly like batch) and
+    roll up to per-user (n_sessions, n_events) — the same contract as
+    ``run_sessionize_available_now``, so the same SQL oracle gates
+    both implementations."""
+    sess = sessionize_stream_native(events_stream)
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(query_name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+    )
 
 
 def sessionize_stream(events: DataFrame) -> DataFrame:

@@ -455,3 +455,65 @@ def test_streaming_vector_ingest_multibatch_and_replay(spark, tmp_path):
     assert len(rows2) == 3
     got2 = {r["id"]: (r["title"], r["vector"]) for r in rows2}
     assert got2 == got
+
+
+def test_native_session_window_matches_python_and_batch(
+    spark, sf_dir, event_stream_dir
+):
+    """The JVM session_window sessionizer, the applyInPandasWithState
+    one, and the batch window-function sessionization are ONE
+    semantics (including the strict-> gap boundary via the 1 µs
+    widening)."""
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.corpus import (
+        q_sessionization,
+    )
+    from assignment3_qachatapplication_vectorembeddings_spark.streaming.ingest import (
+        run_sessionize_native_available_now,
+    )
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA).parquet(event_stream_dir)
+    )
+    got_df = run_sessionize_native_available_now(
+        spark, stream, query_name="t_sessions_native"
+    )
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in got_df.collect()
+    }
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q_sessionization(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_native_session_window_gap_boundary(spark, tmp_path):
+    """An exactly-30-minute gap must NOT split the session (strict->
+    rule, matching _session_fn and the SQL oracle); 30 min + 1 µs
+    must."""
+    import datetime as dt
+
+    from assignment3_qachatapplication_vectorembeddings_spark.streaming.ingest import (
+        run_sessionize_native_available_now,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: gap exactly 1800 s -> one session of 2 events
+        (1, t0),
+        (1, t0 + dt.timedelta(seconds=1800)),
+        # user 2: gap 1800 s + 1 µs -> two sessions
+        (2, t0),
+        (2, t0 + dt.timedelta(seconds=1800, microseconds=1)),
+    ]
+    src = str(tmp_path / "gap_events")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in run_sessionize_native_available_now(
+            spark, stream, query_name="t_gap_boundary"
+        ).collect()
+    }
+    assert got == {1: (1, 2), 2: (2, 2)}

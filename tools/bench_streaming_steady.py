@@ -92,6 +92,14 @@ def build_query(name: str, ev: DataFrame, spark: SparkSession, sf_dir: str) -> D
         )
     if name == "sessions":
         return sessionize_stream(ev)
+    if name == "sessions_native":
+        from assignment3_qachatapplication_vectorembeddings_spark.streaming.ingest import (
+            sessionize_stream_native,
+        )
+
+        # watermark bounds session state for continuous serving; the
+        # rate source's wall-clock timestamps make 30 s plenty
+        return sessionize_stream_native(ev, watermark="30 seconds")
     if name == "stream_join":
         # the stream-stream interval join (q_stream_stream_join shape):
         # views joined to same-user purchases within the next minute,
@@ -137,8 +145,10 @@ def run_one(
     ev = rate_events(spark, rate, partitions)
     out = build_query(name, ev, spark, sf_dir)
     ckpt = tempfile.mkdtemp(prefix=f"steady-{name}-")
-    # stream-stream joins support only append; stateful aggs run update
-    mode = "append" if name == "stream_join" else "update"
+    # stream-stream joins support only append; session-window aggs
+    # support append/complete only (sessions emit when the watermark
+    # closes them); other stateful aggs run update
+    mode = "append" if name in ("stream_join", "sessions_native") else "update"
     q = (
         out.writeStream.outputMode(mode)
         .format("noop")
