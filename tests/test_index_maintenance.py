@@ -288,7 +288,9 @@ def test_compact_folds_generations_and_multifile_titles(index, spark):
     assert len(set(parts2.values())) <= 2  # bounded generation spread
 
     # vacuum with keep_versions=1 drops every unreferenced generation
-    out = index.vacuum(keep_versions=1)
+    # (min_age_sec=0: this test wants immediate reclaim; the default
+    # 600 s minimum age is covered by the lease/retention tests)
+    out = index.vacuum(keep_versions=1, min_age_sec=0)
     assert out["data_dirs_removed"] and out["manifests_removed"] >= 1
     live = set(parts2.values())
     assert {f"data/{d}" for d in _data_dirs(index)} == live
@@ -414,3 +416,52 @@ def test_manifest_version_fence_detects_concurrent_commit(index, spark):
     del index._state  # restore the class method
     # the index remains readable and shows only committed versions
     assert {r["id"] for r in index.read().collect()} == {"a_0"}
+
+
+# -- reader leases vs vacuum (round-4 verdict gap #2) -----------------------
+
+
+def test_leased_reader_survives_aggressive_vacuum(index, spark):
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.index_maintenance import (
+        SnapshotExpiredError,
+    )
+
+    index.upsert(make_updates(spark, [("a_0", "formA", "alpha v1")]))
+    with index.reader_lease(ttl_sec=3600) as snap:
+        v_pinned = snap.version
+        # three superseding commits, then the most aggressive vacuum
+        index.upsert(make_updates(spark, [("a_0", "formA", "alpha v2")]))
+        index.upsert(make_updates(spark, [("a_0", "formA", "alpha v3")]))
+        index.upsert(make_updates(spark, [("a_0", "formA", "alpha v4")]))
+        out = index.vacuum(keep_versions=1, min_age_sec=0)
+        assert v_pinned in out["retained_versions"]
+        # the leased snapshot still scans COMPLETELY, at its version
+        rows = snap.read().collect()
+        assert [(r["id"], r["text"]) for r in rows] == [("a_0", "alpha v1")]
+    # lease released: the next vacuum reclaims the old snapshot, and a
+    # stale PinnedSnapshot gets the clear error, never a partial scan
+    out2 = index.vacuum(keep_versions=1, min_age_sec=0)
+    assert v_pinned not in out2["retained_versions"]
+    with pytest.raises(SnapshotExpiredError):
+        snap.read()
+
+
+def test_min_age_blocks_reclaim_of_fresh_supersession(index, spark):
+    index.upsert(make_updates(spark, [("a_0", "formA", "v1")]))
+    index.upsert(make_updates(spark, [("a_0", "formA", "v2")]))
+    index.upsert(make_updates(spark, [("a_0", "formA", "v3")]))
+    # all supersessions happened milliseconds ago: with the default
+    # minimum age nothing may be reclaimed even at keep_versions=1
+    out = index.vacuum(keep_versions=1)
+    assert out["data_dirs_removed"] == [] and out["manifests_removed"] == 0
+    # with the age guard waived, reclaim proceeds
+    out2 = index.vacuum(keep_versions=1, min_age_sec=0)
+    assert out2["manifests_removed"] >= 1
+
+
+def test_expired_lease_does_not_block_vacuum(index, spark):
+    index.upsert(make_updates(spark, [("a_0", "formA", "v1")]))
+    with index.reader_lease(ttl_sec=-1) as snap:  # born expired
+        index.upsert(make_updates(spark, [("a_0", "formA", "v2")]))
+        out = index.vacuum(keep_versions=1, min_age_sec=0)
+        assert snap.version not in out["retained_versions"]
