@@ -8,17 +8,27 @@ shape: ``doc_id`` (synthesized deterministically when absent),
 per line via Spark's native json sink (text stays JVM-side; gzip via
 the standard codec option — no driver-side serialization).
 
-Determinism of synthesized ids: ``xxhash64(input_file_name, text)``.
-File-content addressing survives re-runs and re-ordering of the scan
-(the same line in the same file always gets the same id) — unlike
-``monotonically_increasing_id``, which depends on partition layout. A
-collision needs two identical texts in one file, which are true
-duplicates anyway (downstream exact dedup keys on content). Caveat:
-rows with NEITHER an id NOR a text field collapse to one doc_id per
-file (Spark's multi-arg xxhash64 skips NULL args, so every such row
-hashes to ``xxhash64(file)``) — there is no deterministic per-line
-disambiguator for them; curation gates drop NULL-text rows anyway, so
-the collapse never reaches a kept corpus.
+Id derivation (round-5: numeric ids round-trip, NULL-text rows no
+longer collapse):
+
+- a numeric-like external id (``doc_id`` or ``id`` field) is used
+  DIRECTLY as the 64-bit doc_id — so a corpus written by
+  ``write_documents_jsonl`` (which stringifies doc_id) reads back with
+  id EQUALITY, not merely id stability;
+- a non-numeric external id hashes (``xxhash64(id)``);
+- id-less rows with text: ``xxhash64(input_file_name, text)`` —
+  file-content addressing that survives re-runs and scan re-ordering
+  (a collision needs two identical texts in one file: true duplicates,
+  downstream exact dedup keys on content anyway);
+- id-less NULL-text rows: ``xxhash64(file_path, file_block_start,
+  in-block ordinal)`` — the per-line disambiguator the multi-arg
+  xxhash64 NULL-skip used to collapse (every such row in a file
+  previously hashed to ``xxhash64(file)``). The ordinal comes from
+  ``monotonically_increasing_id``'s per-partition counter, which for a
+  file source is the line ordinal within the (file, block) split —
+  unique always, and deterministic for a given split configuration
+  (these rows carry no payload, so cross-config stability is neither
+  needed nor claimed; the other three id classes are split-invariant).
 """
 
 from __future__ import annotations
@@ -49,9 +59,11 @@ def read_documents_jsonl(
 ) -> DataFrame:
     """Read ``*.jsonl[.gz]`` into the documents shape.
 
-    - ``doc_id``: taken from ``doc_id`` or ``id`` when present (cast
-      to long when numeric-like via xxhash64 of the string id — ids in
-      the wild are strings), else synthesized from (file, text);
+    - ``doc_id``: a numeric-like ``doc_id``/``id`` field is used
+      directly (write→read round-trips preserve ids); a non-numeric id
+      hashes; id-less rows synthesize from (file, text), or from
+      (file, block, line ordinal) when even the text is NULL — four
+      classes, no collapse (module docstring has the full ladder);
     - ``source``: the json ``source`` field, else ``default_source``;
     - ``n_chars``: recomputed from the text (never trusted from the
       file).
@@ -59,21 +71,31 @@ def read_documents_jsonl(
     Rows with no ``text`` key (or unparseable lines under the
     PERMISSIVE default) surface as NULL text rather than being dropped
     — the curation gates decide, not the reader ("no silent caps").
-
-    Known collapse: id-less NULL-text rows hash as ``xxhash64(file,
-    NULL)`` — the NULL arg is skipped, so every such row in one file
-    gets the SAME doc_id. There is no deterministic per-line ordinal
-    available from the JSON reader to disambiguate them (row order
-    within a split is not a stable function of the file across Spark
-    versions), and these rows carry no usable payload anyway — they
-    exist only so the quality gates can count and cull them. Do not
-    treat doc_id as unique until after the NULL-text cull.
     """
-    raw = spark.read.schema(DOCS_JSONL_SCHEMA).json(path)
+    raw = spark.read.schema(DOCS_JSONL_SCHEMA).json(path).select(
+        "*", "_metadata"
+    )
     ext_id = F.coalesce(F.col("doc_id"), F.col("id"))
+    num_id = ext_id.try_cast("long")
+    # per-partition counter == line ordinal within this (file, block)
+    # split for a file-source scan; combined with the block identity it
+    # is unique per row even when every payload field is NULL
+    ordinal = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1)
+    )
+    line_id = F.xxhash64(
+        F.col("_metadata.file_path"),
+        F.col("_metadata.file_block_start"),
+        ordinal,
+    )
     return raw.select(
-        F.when(ext_id.isNotNull(), F.xxhash64(ext_id))
-        .otherwise(F.xxhash64(F.input_file_name(), F.col("text")))
+        F.when(num_id.isNotNull(), num_id)
+        .when(ext_id.isNotNull(), F.xxhash64(ext_id))
+        .when(
+            F.col("text").isNotNull(),
+            F.xxhash64(F.input_file_name(), F.col("text")),
+        )
+        .otherwise(line_id)
         .alias("doc_id"),
         F.coalesce(F.col("source"), F.lit(default_source)).alias("source"),
         F.col("text"),
@@ -92,12 +114,10 @@ def write_documents_jsonl(
     optionally gzip-compressed part files — the layout every LLM data
     tool ingests).
 
-    Note on round-trips: ``read_documents_jsonl`` re-derives doc_id as
-    ``xxhash64(stringified id)``, so numeric ids written here come back
-    as a DIFFERENT (but deterministic) 64-bit value. Id STABILITY holds
-    across repeated reads of the same files; id EQUALITY does not hold
-    across a write→read round-trip — join on content fingerprints when
-    correlating a corpus with its jsonl export."""
+    Round-trips: doc_id is stringified here and
+    ``read_documents_jsonl`` parses numeric-like ids back verbatim, so
+    a write→read round-trip preserves doc_id EQUALITY (pytest-pinned),
+    not merely stability."""
     writer = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
     ).write.mode(mode)
