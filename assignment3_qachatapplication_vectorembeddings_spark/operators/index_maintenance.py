@@ -493,6 +493,59 @@ class VectorIndex:
         # with the winner's next attempt at the same version
         return f"data/g{version:020d}-{uuid.uuid4().hex[:8]}"
 
+    #: a title whose row count exceeds this is salt-split across
+    #: ceil(n / SKEW_SPLIT_ROWS) write tasks (and files) instead of
+    #: funneling through one task — the operators/skew.py idiom applied
+    #: to the generation write (round-4 verdict ask #7)
+    SKEW_SPLIT_ROWS = 1_000_000
+
+    def _write_generation(self, rows: DataFrame, gen: str) -> None:
+        """Write ``rows`` as the generation directory, partitioned by
+        title. Partitioning key is (title, salt): salt is 0 for normal
+        titles (one reduce partition, one file — the compact layout),
+        and ``pmod(xxhash64(id), ceil(n/SKEW_SPLIT_ROWS))`` for hot
+        titles, so one pathological million-chunk form parallelizes
+        across tasks and produces multiple files. The salt map comes
+        from ONE narrow count pass (title column only — column pruning
+        makes it cheap next to the full-row write); per-commit titles
+        are bounded, so the collected map is O(titles)."""
+        counts = {
+            r["title"]: r["n"]
+            for r in rows.groupBy("title")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        hot = {
+            t: -(-n // self.SKEW_SPLIT_ROWS)
+            for t, n in counts.items()
+            if t is not None and n > self.SKEW_SPLIT_ROWS
+        }
+        if hot:
+            buckets = F.element_at(
+                F.create_map(*[F.lit(x) for kv in hot.items() for x in kv]),
+                F.col("title"),
+            )
+            salt = F.when(
+                buckets.isNotNull(), F.pmod(F.xxhash64("id"), buckets)
+            ).otherwise(F.lit(0))
+            # EXPLICIT partition count: an un-numbered repartition is
+            # AQE-coalescable, and AQE happily merges the salt buckets
+            # back into one task — defeating the split. A user-given
+            # count is respected; size it so distinct (title, salt)
+            # keys rarely collide.
+            total = sum(hot.values()) + (len(counts) - len(hot))
+            n_parts = max(
+                2 * total, self.spark.sparkContext.defaultParallelism
+            )
+            part = rows.repartition(n_parts, F.col("title"), salt)
+        else:
+            part = rows.repartition("title")
+        (
+            part.write.mode("overwrite")  # fresh nonce dir; inert
+            .partitionBy("title")
+            .parquet(f"{self.path}/{gen}")
+        )
+
     def snapshot_info(self) -> tuple[int, dict[str, str]]:
         """(manifest version, title→generation map) of the current
         snapshot — the identity a derived index (``index_sync``) stamps
@@ -586,12 +639,7 @@ class VectorIndex:
         )
         merged = survivors.unionByName(updates)
         gen = self._new_generation(version + 1)
-        (
-            merged.repartition("title")
-            .write.mode("overwrite")  # fresh nonce dir; overwrite is inert
-            .partitionBy("title")
-            .parquet(f"{self.path}/{gen}")
-        )
+        self._write_generation(merged, gen)
         now = datetime.now(timezone.utc).isoformat()
         for t in merge_titles:
             parts[t] = gen
@@ -644,12 +692,7 @@ class VectorIndex:
         }
         if surviving:
             gen = self._new_generation(version + 1)
-            (
-                remaining.repartition("title")
-                .write.mode("overwrite")
-                .partitionBy("title")
-                .parquet(f"{self.path}/{gen}")
-            )
+            self._write_generation(remaining, gen)
             for t in surviving:
                 parts[t] = gen
         for t in affected:
@@ -761,12 +804,11 @@ class VectorIndex:
                 "id", "vector", "title", "text"
             )
             gen = self._new_generation(version + 1)
-            (
-                rows.repartition("title")  # one reduce partition per title
-                .write.mode("overwrite")
-                .partitionBy("title")
-                .parquet(f"{self.path}/{gen}")
-            )
+            # one reduce partition per title — except hot titles, which
+            # _write_generation salt-splits (compaction TARGET is one
+            # file per title, but never at the price of one task
+            # holding a million-chunk form)
+            self._write_generation(rows, gen)
             for t in victims:
                 parts[t] = gen
             self._publish_manifest(version + 1, parts, catalog)

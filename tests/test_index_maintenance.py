@@ -465,3 +465,29 @@ def test_expired_lease_does_not_block_vacuum(index, spark):
         index.upsert(make_updates(spark, [("a_0", "formA", "v2")]))
         out = index.vacuum(keep_versions=1, min_age_sec=0)
         assert snap.version not in out["retained_versions"]
+
+
+def test_hot_title_salt_split_produces_multiple_files(index, spark):
+    """A skewed upsert (one title far above SKEW_SPLIT_ROWS) must fan
+    its generation write across several tasks/files while preserving
+    the row set exactly; normal titles keep one file."""
+    import os
+
+    index.SKEW_SPLIT_ROWS = 50  # test-scale threshold
+    rows = [(f"hot_{i}", "formHot", f"chunk {i}") for i in range(200)]
+    rows += [(f"cold_{i}", "formCold", f"c {i}") for i in range(5)]
+    index.upsert(make_updates(spark, rows))
+
+    _v, parts, _c = index._state()
+    hot_dir = f"{index.path}/{parts['formHot']}/title=formHot"
+    cold_dir = f"{index.path}/{parts['formCold']}/title=formCold"
+    n_hot = sum(1 for f in os.listdir(hot_dir) if f.endswith(".parquet"))
+    n_cold = sum(1 for f in os.listdir(cold_dir) if f.endswith(".parquet"))
+    assert n_hot > 1  # 200 rows / 50 -> 4 salt buckets
+    assert n_cold == 1
+    got = {(r["id"], r["title"]) for r in index.read().collect()}
+    assert got == {(i, t) for i, t, _ in rows}
+    # replace-by-id still works through the salted layout
+    index.upsert(make_updates(spark, [("hot_3", "formHot", "REVISED")]))
+    assert index.fetch_by_ids(["hot_3"]).head()["text"] == "REVISED"
+    assert index.stats()["total_vector_count"] == 205
