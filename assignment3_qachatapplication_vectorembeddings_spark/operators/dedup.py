@@ -772,9 +772,15 @@ def duplicate_span_table(
         .filter(F.col("c") >= min_count)
         .select("h")
     )
-    n_dup = dup.count()
-    if n_dup <= broadcast_max_dup_grams:
-        return _spans_broadcast(arr_tbl, dup, id_col=id_col, n=n)
+    # gate probe and egress in ONE job: pull at most max+1 hashes via
+    # Arrow — under the gate that IS the broadcast set (a separate
+    # count() would re-run the reduce stage for ~0.4 s at sf1); the
+    # limit bounds driver memory on the over-gate (fallback) path
+    probe = dup.limit(broadcast_max_dup_grams + 1).toPandas()["h"]
+    if len(probe) <= broadcast_max_dup_grams:
+        return _spans_broadcast(
+            arr_tbl, probe.to_numpy(dtype="int64"), id_col=id_col, n=n
+        )
     hits = arr_tbl.select(
         id_col, F.posexplode("_harr").alias("pos", "h")
     ).join(dup, "h", "left_semi")
@@ -792,12 +798,14 @@ def duplicate_span_table(
 
 
 def _spans_broadcast(
-    arr_tbl: DataFrame, dup: DataFrame, *, id_col: str, n: int
+    arr_tbl: DataFrame, dup_hashes, *, id_col: str, n: int
 ) -> DataFrame:
-    """Maximal-run emission with the duplicated-gram set broadcast as
-    one sorted int64 array: membership is ``np.searchsorted`` per doc
-    (log m per gram, Arrow-batched), run boundaries are a diff on the
-    boolean mask — no explode, no join, no window, no shuffle."""
+    """Maximal-run emission with the duplicated-gram set (an int64
+    ndarray, already driver-side via Arrow — py4j Row collect alone
+    cost >1 s at sf1) broadcast as one sorted array: membership is
+    ``np.searchsorted`` per doc (log m per gram, Arrow-batched), run
+    boundaries are a diff on the boolean mask — no explode, no join,
+    no window, no shuffle."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -808,10 +816,7 @@ def _spans_broadcast(
     )
 
     spark = arr_tbl.sparkSession
-    # Arrow egress, not Row objects: the dup set is 10^5-10^6 longs and
-    # py4j row conversion alone costs >1 s at sf1 (profiled); toPandas
-    # under spark.sql.execution.arrow moves it as one Arrow batch
-    dup_sorted = np.sort(dup.toPandas()["h"].to_numpy(dtype=np.int64))
+    dup_sorted = np.sort(np.asarray(dup_hashes, dtype=np.int64))
     bc = spark.sparkContext.broadcast(dup_sorted)
     id_field = arr_tbl.schema[id_col]
     schema = StructType(
@@ -823,38 +828,62 @@ def _spans_broadcast(
         ]
     )
 
+    def _empty_out():
+        return pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype=object),
+                "span_start": pd.Series([], dtype="int32"),
+                "n_grams": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+
     def emit(batches):
+        # whole-batch vectorization: one flat concatenate + ONE
+        # searchsorted over every gram in the Arrow batch, run
+        # boundaries forced at document edges via the offset vector —
+        # no per-document Python loop (50k tiny-numpy iterations cost
+        # ~1 core-second at sf1)
         ds = bc.value
         for pdf in batches:
-            ids, starts, lens = [], [], []
-            for did, arr in zip(pdf[id_col], pdf["_harr"]):
-                if arr is None or len(arr) == 0:
-                    continue
-                h = np.asarray(arr, dtype=np.int64)
-                if len(ds):
-                    idx = np.searchsorted(ds, h)
-                    idx[idx == len(ds)] = 0
-                    mask = ds[idx] == h
-                else:
-                    continue
-                if not mask.any():
-                    continue
-                edges = np.diff(
-                    np.concatenate(([0], mask.view(np.int8), [0]))
-                )
-                s = np.flatnonzero(edges == 1)
-                e = np.flatnonzero(edges == -1)
-                ids.extend([did] * len(s))
-                starts.extend(s.tolist())
-                lens.extend((e - s).tolist())
+            if not len(pdf) or not len(ds):
+                yield _empty_out()
+                continue
+            pairs = [
+                (did, np.asarray(a, dtype=np.int64))
+                for did, a in zip(pdf[id_col], pdf["_harr"])
+                if a is not None and len(a)
+            ]
+            if not pairs:
+                yield _empty_out()
+                continue
+            doc_ids = np.array([p[0] for p in pairs])
+            lens = np.array([len(p[1]) for p in pairs])
+            flat = np.concatenate([p[1] for p in pairs])
+            idx = np.searchsorted(ds, flat)
+            idx[idx == len(ds)] = 0
+            mask = ds[idx] == flat
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            prev = np.empty_like(mask)
+            prev[0] = False
+            prev[1:] = mask[:-1]
+            prev[offsets[:-1]] = False  # a run never crosses a doc edge
+            nxt = np.empty_like(mask)
+            nxt[-1] = False
+            nxt[:-1] = mask[1:]
+            nxt[offsets[1:] - 1] = False
+            run_starts = np.flatnonzero(mask & ~prev)
+            run_ends = np.flatnonzero(mask & ~nxt)  # inclusive
+            doc_idx = np.searchsorted(offsets, run_starts, side="right") - 1
+            n_grams = run_ends - run_starts + 1
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids),
-                    "span_start": pd.Series(starts, dtype="int32"),
-                    "n_grams": pd.Series(lens, dtype="int64"),
-                    "n_tokens": pd.Series(
-                        [x + n - 1 for x in lens], dtype="int64"
+                    id_col: pd.Series(doc_ids[doc_idx]),
+                    "span_start": pd.Series(
+                        run_starts - offsets[doc_idx], dtype="int32"
                     ),
+                    "n_grams": pd.Series(n_grams, dtype="int64"),
+                    "n_tokens": pd.Series(n_grams + (n - 1), dtype="int64"),
                 }
             )
 

@@ -3243,12 +3243,15 @@ def q_text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     and index in one upsert (pipeline2.py:117-150); this is that
     contract on the manifest-versioned store.
 
-    Cost profile: ~11 s wall at BOTH sf0.01 and sf0.1 — the time is
-    ~10 sequential commit/build Spark actions (two manifest commits,
-    two segment builds, stats), each job-floor-bound, FLAT in data
-    size (the streaming-drain cost character, not a plan cost); the
-    scan/score stages themselves are the pruned-postings plan pinned
-    in PLANS.md."""
+    Cost profile: ~11 s wall at BOTH sf0.01 and sf0.1 — at gate scales
+    the time is ~10 sequential commit/build Spark actions (two
+    manifest commits, two segment builds, stats), each
+    job-floor-bound (the streaming-drain cost character). At sf10+
+    the postings/doclens WRITES dominate instead, as index
+    construction should — note the oracle only runs the query side,
+    so this row's ratio compares build+refresh+query against
+    query-only by design; the serve-only plan is the pruned-postings
+    shape pinned in PLANS.md."""
     import shutil
     import tempfile
 
