@@ -123,12 +123,18 @@ def test_line_dedup_is_single_codegen_projection(spark, sf_dir):
 
 def test_dup_spans_no_cartesian_and_hashed_grams(spark, sf_dir):
     """Substring dedup must stay banded: no cartesian/nested-loop pair
-    generation, grams move as xxhash64 longs (no gram-string concat in
-    the exchange), and the run-group agg reuses the window's doc
-    partitioning (no extra exchange between window and groupBy)."""
+    generation, and on the (default) broadcast path the span emission
+    is the Arrow mapInPandas stage over the CHECKPOINTED gram-array
+    table — the xxhash64 gram hashing ran once upstream of the
+    checkpoint (lineage truncation hides it from this plan by design),
+    and no per-gram join or per-doc window remains downstream. The
+    gram-string-free exchange property is pinned where the hashing
+    lives: test_dedup's broadcast/window path-identity test plus the
+    hashed_gram_table schema (h is bigint, never a gram string)."""
     plan = _plan(spark, sf_dir, "dup_spans")
     assert "CartesianProduct" not in plan
-    assert "xxhash64" in plan
+    assert "MapInPandas" in plan or "xxhash64" in plan
+    assert "Window" not in plan  # the old per-doc window path is gone
 
 
 def test_dsir_ratio_table_broadcasts(spark, sf_dir):
