@@ -662,7 +662,7 @@ def hashed_gram_table(
     ``with_pos=True`` keeps the 0-based gram position (span/run
     semantics). Documents with fewer than ``n`` tokens yield no rows.
     """
-    arr = gram_hash_array_table(
+    toks, hashes = _gram_hash_parts(
         docs,
         id_col=id_col,
         text_col=text_col,
@@ -671,11 +671,18 @@ def hashed_gram_table(
         distinct=distinct,
         fan_out=fan_out,
     )
+    # explode the EXPRESSION, not a named column: exploding an
+    # attribute lets InferFiltersFromGenerate add `size(col) > 0` and
+    # push it — with the whole tokenize+hash tree inlined — below the
+    # fan-out exchange onto the (often 1-partition) raw scan,
+    # computing every gram twice and once serially (measured: 0.6 s →
+    # 30 s on contamination_check at sf0.1); the rule skips expensive
+    # generator children, so the inline form keeps the old plan
     if with_pos:
-        return arr.select(
-            id_col, *extra_cols, F.posexplode("_harr").alias("pos", "h")
+        return toks.select(
+            id_col, *extra_cols, F.posexplode(hashes).alias("pos", "h")
         )
-    return arr.select(id_col, *extra_cols, F.explode("_harr").alias("h"))
+    return toks.select(id_col, *extra_cols, F.explode(hashes).alias("h"))
 
 
 def gram_hash_array_table(
@@ -690,10 +697,36 @@ def gram_hash_array_table(
 ) -> DataFrame:
     """Per-document xxhash64 gram ARRAY — ``(id_col, *extra_cols,
     _harr array<bigint>)``, element i the hash of the gram at token
-    offset i. The un-exploded form of :func:`hashed_gram_table`
-    (which posexplodes this): span detection consumes it directly so
-    the per-doc gram sequence never round-trips through an explode +
-    re-group-by-document shuffle."""
+    offset i. The un-exploded sibling of :func:`hashed_gram_table`:
+    span detection consumes it directly so the per-doc gram sequence
+    never round-trips through an explode + re-group-by-document
+    shuffle. Callers that explode this MUST checkpoint/persist first
+    (``duplicate_span_table`` does) — see the generate-filter-pushdown
+    note in :func:`hashed_gram_table`."""
+    toks, hashes = _gram_hash_parts(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        extra_cols=extra_cols,
+        distinct=distinct,
+        fan_out=fan_out,
+    )
+    return toks.select(id_col, *extra_cols, hashes.alias("_harr"))
+
+
+def _gram_hash_parts(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    extra_cols: tuple[str, ...],
+    distinct: bool,
+    fan_out: bool,
+):
+    """(tokenized frame, gram-hash-array Column) — the one shared
+    construction behind the exploded and array-form gram tables."""
     if fan_out:
         docs = _fan_out(docs, id_col)
     toks = docs.select(
@@ -710,7 +743,7 @@ def gram_hash_array_table(
     hashes = F.expr(
         f"CASE WHEN size(_toks) >= {n} THEN {body} ELSE array() END"
     )
-    return toks.select(id_col, *extra_cols, hashes.alias("_harr"))
+    return toks, hashes
 
 
 def duplicate_span_table(
