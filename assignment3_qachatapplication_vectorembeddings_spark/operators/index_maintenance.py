@@ -458,16 +458,29 @@ class VectorIndex:
         return None
 
     def _publish_manifest(
-        self, version: int, partitions: dict[str, str], catalog: dict[str, str]
+        self,
+        version: int,
+        partitions: dict[str, str],
+        catalog: dict[str, str],
+        row_counts: dict[str, int] | None = None,
     ) -> None:
         """Atomically publish manifest ``version`` via create-if-absent
         — the commit point AND the fencing token: if the version file
         already exists, another writer won the version and this commit
-        must abort (its data dirs stay orphaned until vacuum)."""
+        must abort (its data dirs stay orphaned until vacuum).
+
+        ``row_counts`` (title → exact live rows) rides in the manifest
+        so the NEXT commit can bound its skew decision without
+        re-executing its merge plan; catalog-only commits pass None and
+        the counts carry forward (pruned to live titles)."""
+        if row_counts is None:
+            row_counts = self._manifest_row_counts()
+        row_counts = {t: int(n) for t, n in row_counts.items() if t in partitions}
         payload = {
             "version": version,
             "partitions": partitions,
             "catalog": catalog,
+            "row_counts": row_counts,
             "committed_utc": datetime.now(timezone.utc).isoformat(),
             # written LAST in the serialized object: a truncated
             # manifest cannot parse to complete=true
@@ -488,6 +501,15 @@ class VectorIndex:
         version, payload = m
         return version, dict(payload["partitions"]), dict(payload["catalog"])
 
+    def _manifest_row_counts(self) -> dict[str, int]:
+        """title → exact live row count from the current manifest
+        (empty for pre-row-counts manifests — writers then fall back to
+        one explicit count pass and the next manifest is stamped)."""
+        m = self._load_manifest()
+        if m is None:
+            return {}
+        return dict(m[1].get("row_counts", {}))
+
     def _new_generation(self, version: int) -> str:
         # the nonce keeps a fenced-off loser's directory from colliding
         # with the winner's next attempt at the same version
@@ -499,25 +521,40 @@ class VectorIndex:
     #: to the generation write (round-4 verdict ask #7)
     SKEW_SPLIT_ROWS = 1_000_000
 
-    def _write_generation(self, rows: DataFrame, gen: str) -> None:
+    def _write_generation(
+        self,
+        rows: DataFrame,
+        gen: str,
+        *,
+        bounds: dict[str, int] | None = None,
+    ) -> dict[str, int]:
         """Write ``rows`` as the generation directory, partitioned by
-        title. Partitioning key is (title, salt): salt is 0 for normal
-        titles (one reduce partition, one file — the compact layout),
-        and ``pmod(xxhash64(id), ceil(n/SKEW_SPLIT_ROWS))`` for hot
-        titles, so one pathological million-chunk form parallelizes
-        across tasks and produces multiple files. The salt map comes
-        from ONE narrow count pass (title column only — column pruning
-        makes it cheap next to the full-row write); per-commit titles
-        are bounded, so the collected map is O(titles)."""
-        counts = {
-            r["title"]: r["n"]
-            for r in rows.groupBy("title")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        title; returns exact written rows per title. Partitioning key
+        is (title, salt): salt is 0 for normal titles (one reduce
+        partition, one file — the compact layout), and
+        ``pmod(xxhash64(id), ceil(n/SKEW_SPLIT_ROWS))`` for hot titles,
+        so one pathological million-chunk form parallelizes across
+        tasks and produces multiple files.
+
+        The salt decision uses ``bounds`` — per-title row UPPER BOUNDS
+        the caller derives from the previous manifest's exact counts
+        plus the update batch (so the merge plan is executed ONCE, by
+        the write; a pre-write count pass would double the commit's
+        read IO at scale). Exact counts come from a metadata-only
+        post-scan of the written files (partition column + footer row
+        counts, no data pages) and are stamped into the next manifest
+        for the commit after. ``bounds=None`` (pre-row-counts
+        manifest) falls back to one explicit pre-write count."""
+        if bounds is None:
+            bounds = {
+                r["title"]: r["n"]
+                for r in rows.groupBy("title")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         hot = {
             t: -(-n // self.SKEW_SPLIT_ROWS)
-            for t, n in counts.items()
+            for t, n in bounds.items()
             if t is not None and n > self.SKEW_SPLIT_ROWS
         }
         if hot:
@@ -533,7 +570,7 @@ class VectorIndex:
             # back into one task — defeating the split. A user-given
             # count is respected; size it so distinct (title, salt)
             # keys rarely collide.
-            total = sum(hot.values()) + (len(counts) - len(hot))
+            total = sum(hot.values()) + (len(bounds) - len(hot))
             n_parts = max(
                 2 * total, self.spark.sparkContext.defaultParallelism
             )
@@ -545,6 +582,16 @@ class VectorIndex:
             .partitionBy("title")
             .parquet(f"{self.path}/{gen}")
         )
+        # exact counts from the written files: the scan materializes
+        # only the partition column, so count(*) per title is served
+        # from parquet footers — no data pages re-read
+        return {
+            r["title"]: r["n"]
+            for r in self.spark.read.parquet(f"{self.path}/{gen}")
+            .groupBy(F.col("title").cast("string").alias("title"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
 
     def snapshot_info(self) -> tuple[int, dict[str, str]]:
         """(manifest version, title→generation map) of the current
@@ -612,7 +659,16 @@ class VectorIndex:
 
     def _upsert_locked(self, updates: DataFrame) -> None:
         updates = updates.select("id", "vector", "title", "text")
-        titles = [r["title"] for r in updates.select("title").distinct().collect()]
+        # one aggregation serves BOTH the touched-title list and the
+        # per-title update counts the skew bound needs (this used to be
+        # a bare distinct())
+        upd_counts = {
+            r["title"]: r["n"]
+            for r in updates.groupBy("title")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        titles = sorted(upd_counts)
         if not titles:
             return
         version, parts, catalog = self._state()
@@ -639,13 +695,27 @@ class VectorIndex:
         )
         merged = survivors.unionByName(updates)
         gen = self._new_generation(version + 1)
-        self._write_generation(merged, gen)
+        # skew bound per merged title: previous exact count (replaced
+        # ids double-count — an upper bound is all salting needs) plus
+        # this batch; a pre-row-counts manifest (no stamp for a live
+        # title) falls back to one explicit count pass
+        old_counts = self._manifest_row_counts()
+        bounds: dict[str, int] | None = {}
+        for t in merge_titles:
+            if t in parts and t not in old_counts:
+                bounds = None
+                break
+            bounds[t] = old_counts.get(t, 0) + upd_counts.get(t, 0)
+        written = self._write_generation(merged, gen, bounds=bounds)
         now = datetime.now(timezone.utc).isoformat()
         for t in merge_titles:
             parts[t] = gen
         for t in titles:
             catalog.setdefault(t, now)  # insert-if-absent, pipeline2.py:315-331
-        self._publish_manifest(version + 1, parts, catalog)
+        for t in merge_titles:
+            old_counts.pop(t, None)
+        old_counts.update(written)
+        self._publish_manifest(version + 1, parts, catalog, row_counts=old_counts)
 
     # -- S13: point fetch ---------------------------------------------------
 
@@ -690,16 +760,27 @@ class VectorIndex:
         surviving = {
             r["title"] for r in remaining.select("title").distinct().collect()
         }
+        old_counts = self._manifest_row_counts()
+        written: dict[str, int] = {}
         if surviving:
             gen = self._new_generation(version + 1)
-            self._write_generation(remaining, gen)
+            # deletion only shrinks: the previous exact counts bound
+            # the rewrite (None → count fallback for unstamped titles)
+            bounds = (
+                {t: old_counts[t] for t in affected if t in old_counts}
+                if all(t in old_counts for t in affected)
+                else None
+            )
+            written = self._write_generation(remaining, gen, bounds=bounds)
             for t in surviving:
                 parts[t] = gen
         for t in affected:
+            old_counts.pop(t, None)
             if t not in surviving:
                 parts.pop(t, None)
                 catalog.pop(t, None)  # J4 cascade
-        self._publish_manifest(version + 1, parts, catalog)
+        old_counts.update(written)
+        self._publish_manifest(version + 1, parts, catalog, row_counts=old_counts)
 
     def delete_by_form(self, form_titles: Sequence[str]) -> None:
         """delete_by_form (pipeline2.py:195-197): MANIFEST-ONLY — the
@@ -807,11 +888,21 @@ class VectorIndex:
             # one reduce partition per title — except hot titles, which
             # _write_generation salt-splits (compaction TARGET is one
             # file per title, but never at the price of one task
-            # holding a million-chunk form)
-            self._write_generation(rows, gen)
+            # holding a million-chunk form); rewrite preserves row
+            # counts, so the previous stamps ARE the bounds
+            old_counts = self._manifest_row_counts()
+            bounds = (
+                {t: old_counts[t] for t in victims}
+                if all(t in old_counts for t in victims)
+                else None
+            )
+            written = self._write_generation(rows, gen, bounds=bounds)
             for t in victims:
                 parts[t] = gen
-            self._publish_manifest(version + 1, parts, catalog)
+            old_counts.update(written)
+            self._publish_manifest(
+                version + 1, parts, catalog, row_counts=old_counts
+            )
             return victims
 
     # -- reader leases (retention enforcement) ------------------------------

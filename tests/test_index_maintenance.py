@@ -491,3 +491,20 @@ def test_hot_title_salt_split_produces_multiple_files(index, spark):
     index.upsert(make_updates(spark, [("hot_3", "formHot", "REVISED")]))
     assert index.fetch_by_ids(["hot_3"]).head()["text"] == "REVISED"
     assert index.stats()["total_vector_count"] == 205
+
+
+def test_manifest_row_counts_stay_exact_through_churn(index, spark):
+    """The skew bound derives from manifest-stamped exact counts; they
+    must track replace/delete/compact churn exactly (a drifting bound
+    would over- or under-salt forever)."""
+    index.upsert(make_updates(spark, [(f"a_{i}", "formA", f"t{i}") for i in range(6)]))
+    index.upsert(make_updates(spark, [("a_0", "formA", "replaced"), ("b_0", "formB", "b")]))
+    index.delete_by_ids(["a_1", "a_2"])
+    index.compact()
+    counts = index._manifest_row_counts()
+    assert counts == {"formA": 4, "formB": 1}
+    live = {
+        r["title"]: r["n"]
+        for r in index.read().groupBy("title").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == live
