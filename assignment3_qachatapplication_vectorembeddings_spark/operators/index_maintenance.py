@@ -527,6 +527,7 @@ class VectorIndex:
         gen: str,
         *,
         bounds: dict[str, int] | None = None,
+        bounds_exact: bool = False,
     ) -> dict[str, int]:
         """Write ``rows`` as the generation directory, partitioned by
         title; returns exact written rows per title. Partitioning key
@@ -582,6 +583,11 @@ class VectorIndex:
             .partitionBy("title")
             .parquet(f"{self.path}/{gen}")
         )
+        if bounds_exact and bounds is not None:
+            # caller proved bounds == written rows (pure insert of new
+            # titles, or a row-preserving compaction rewrite): skip the
+            # post-scan job
+            return dict(bounds)
         # exact counts from the written files: the scan materializes
         # only the partition column, so count(*) per title is served
         # from parquet footers — no data pages re-read
@@ -706,7 +712,14 @@ class VectorIndex:
                 bounds = None
                 break
             bounds[t] = old_counts.get(t, 0) + upd_counts.get(t, 0)
-        written = self._write_generation(merged, gen, bounds=bounds)
+        # pure insert (every merged title is new): no survivors exist,
+        # so the batch counts ARE the written counts — no post-scan
+        pure_insert = bounds is not None and all(
+            t not in parts for t in merge_titles
+        )
+        written = self._write_generation(
+            merged, gen, bounds=bounds, bounds_exact=pure_insert
+        )
         now = datetime.now(timezone.utc).isoformat()
         for t in merge_titles:
             parts[t] = gen
@@ -896,7 +909,10 @@ class VectorIndex:
                 if all(t in old_counts for t in victims)
                 else None
             )
-            written = self._write_generation(rows, gen, bounds=bounds)
+            # compaction preserves row sets, so known bounds are exact
+            written = self._write_generation(
+                rows, gen, bounds=bounds, bounds_exact=bounds is not None
+            )
             for t in victims:
                 parts[t] = gen
             old_counts.update(written)
