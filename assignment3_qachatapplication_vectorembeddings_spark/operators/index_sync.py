@@ -259,6 +259,11 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         ).write.mode("overwrite").parquet(f"{self.path}/quantizer_codebooks")
 
     def _load_quantizer(self) -> tuple[np.ndarray, np.ndarray]:
+        # the quantizer is FROZEN between build() calls, so one load
+        # serves every search/refresh on this instance (two collect
+        # jobs per query otherwise); build() repopulates the cache
+        if getattr(self, "_quantizer_cache", None) is not None:
+            return self._quantizer_cache
         spark = self.vindex.spark
         cent = (
             spark.read.parquet(f"{self.path}/quantizer_centroids")
@@ -277,6 +282,7 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         codebooks = np.empty((m, ksub, dsub))
         for r in cb:
             codebooks[r["subspace"], r["code"]] = r["centroid"]
+        self._quantizer_cache = (centroids, codebooks)
         return centroids, codebooks
 
     # -- build / refresh ----------------------------------------------------
@@ -318,6 +324,7 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             seed=self.seed,
         )
         self._write_quantizer(centroids, codebooks)
+        self._quantizer_cache = (centroids, codebooks)
         seg = self._new_segment(version)
         self._encode_titles(None, centroids, codebooks, seg)
         m = self._load_meta()
