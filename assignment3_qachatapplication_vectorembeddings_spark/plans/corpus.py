@@ -3261,14 +3261,24 @@ def q_text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # title = 4 coarse source groups (write-width control: partitioned
     # writes cost per-directory; the sync contract is per-TITLE, so 4
     # titles demo it as well as 20 while the gate query stays cheap)
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("id"),
-        F.array(F.lit(0.0).cast("float")).alias("vector"),
-        F.concat(F.lit("g"), F.pmod(F.crc32(F.col("source")), F.lit(4))).alias(
-            "title"
-        ),
-        "text",
+    from ..runtime import register_materialized
+
+    # the maintenance flow touches this projection from ~6 separate
+    # actions (two upserts' agg+merge+write, two segment builds);
+    # checkpointing it once replaces six parquet scans+projections
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.array(F.lit(0.0).cast("float")).alias("vector"),
+            F.concat(
+                F.lit("g"), F.pmod(F.crc32(F.col("source")), F.lit(4))
+            ).alias("title"),
+            "text",
+        )
+        .localCheckpoint(eager=False)
     )
+    register_materialized(docs)
     tmp = tempfile.mkdtemp(prefix="sgraft_tix_inc_")
     try:
         vi = VectorIndex(spark, f"{tmp}/primary")
