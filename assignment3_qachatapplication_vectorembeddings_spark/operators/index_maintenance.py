@@ -463,24 +463,31 @@ class VectorIndex:
         partitions: dict[str, str],
         catalog: dict[str, str],
         row_counts: dict[str, int] | None = None,
+        row_count_bounds: set[str] | None = None,
     ) -> None:
         """Atomically publish manifest ``version`` via create-if-absent
         — the commit point AND the fencing token: if the version file
         already exists, another writer won the version and this commit
         must abort (its data dirs stay orphaned until vacuum).
 
-        ``row_counts`` (title → exact live rows) rides in the manifest
-        so the NEXT commit can bound its skew decision without
-        re-executing its merge plan; catalog-only commits pass None and
-        the counts carry forward (pruned to live titles)."""
+        ``row_counts`` (title → live rows, exact unless the title is in
+        ``row_count_bounds``) rides in the manifest so the NEXT commit
+        can bound its skew decision without re-executing its merge
+        plan; catalog-only commits pass None and the stamps carry
+        forward (pruned to live titles)."""
         if row_counts is None:
             row_counts = self._manifest_row_counts()
+            row_count_bounds = self._manifest_count_bounds()
         row_counts = {t: int(n) for t, n in row_counts.items() if t in partitions}
+        bounds_list = sorted(
+            t for t in (row_count_bounds or set()) if t in row_counts
+        )
         payload = {
             "version": version,
             "partitions": partitions,
             "catalog": catalog,
             "row_counts": row_counts,
+            "row_count_bounds": bounds_list,
             "committed_utc": datetime.now(timezone.utc).isoformat(),
             # written LAST in the serialized object: a truncated
             # manifest cannot parse to complete=true
@@ -502,13 +509,25 @@ class VectorIndex:
         return version, dict(payload["partitions"]), dict(payload["catalog"])
 
     def _manifest_row_counts(self) -> dict[str, int]:
-        """title → exact live row count from the current manifest
+        """title → live row count stamp from the current manifest
         (empty for pre-row-counts manifests — writers then fall back to
-        one explicit count pass and the next manifest is stamped)."""
+        one explicit count pass and the next manifest is stamped).
+        A stamp is EXACT unless its title appears in
+        :meth:`_manifest_count_bounds`, in which case it is an upper
+        bound (replace churn adds the batch size without subtracting
+        replaced rows; re-anchored when it matters — see
+        ``_write_generation``)."""
         m = self._load_manifest()
         if m is None:
             return {}
         return dict(m[1].get("row_counts", {}))
+
+    def _manifest_count_bounds(self) -> set[str]:
+        """Titles whose row-count stamp is an upper bound, not exact."""
+        m = self._load_manifest()
+        if m is None:
+            return set()
+        return set(m[1].get("row_count_bounds", []))
 
     def _new_generation(self, version: int) -> str:
         # the nonce keeps a fenced-off loser's directory from colliding
@@ -528,9 +547,9 @@ class VectorIndex:
         *,
         bounds: dict[str, int] | None = None,
         bounds_exact: bool = False,
-    ) -> dict[str, int]:
+    ) -> tuple[dict[str, int], bool]:
         """Write ``rows`` as the generation directory, partitioned by
-        title; returns exact written rows per title. Partitioning key
+        title; returns (per-title counts, exact?). Partitioning key
         is (title, salt): salt is 0 for normal titles (one reduce
         partition, one file — the compact layout), and
         ``pmod(xxhash64(id), ceil(n/SKEW_SPLIT_ROWS))`` for hot titles,
@@ -538,14 +557,20 @@ class VectorIndex:
         tasks and produces multiple files.
 
         The salt decision uses ``bounds`` — per-title row UPPER BOUNDS
-        the caller derives from the previous manifest's exact counts
-        plus the update batch (so the merge plan is executed ONCE, by
-        the write; a pre-write count pass would double the commit's
-        read IO at scale). Exact counts come from a metadata-only
-        post-scan of the written files (partition column + footer row
-        counts, no data pages) and are stamped into the next manifest
-        for the commit after. ``bounds=None`` (pre-row-counts
-        manifest) falls back to one explicit pre-write count."""
+        the caller derives from the previous manifest's stamps plus the
+        update batch (so the merge plan is executed ONCE, by the write;
+        a pre-write count pass would double the commit's read IO at
+        scale). Returns ``(counts, exact)`` for the caller to stamp
+        into the next manifest: counts are the bounds passed in, exact
+        iff the caller asserted them (``bounds_exact`` — pure inserts,
+        row-preserving compaction) or this call had to run the explicit
+        pre-count (``bounds=None``, the pre-row-counts-manifest
+        fallback). No post-write scan happens here: a steady-state
+        commit adds ZERO jobs for count bookkeeping — bound creep from
+        replace churn is re-anchored by the CALLER only when a bound
+        crosses the salt threshold (one footer-only count of one
+        title's current files)."""
+        bounds_were_none = bounds is None
         if bounds is None:
             bounds = {
                 r["title"]: r["n"]
@@ -583,21 +608,17 @@ class VectorIndex:
             .partitionBy("title")
             .parquet(f"{self.path}/{gen}")
         )
-        if bounds_exact and bounds is not None:
-            # caller proved bounds == written rows (pure insert of new
-            # titles, or a row-preserving compaction rewrite): skip the
-            # post-scan job
-            return dict(bounds)
-        # exact counts from the written files: the scan materializes
-        # only the partition column, so count(*) per title is served
-        # from parquet footers — no data pages re-read
-        return {
-            r["title"]: r["n"]
-            for r in self.spark.read.parquet(f"{self.path}/{gen}")
-            .groupBy(F.col("title").cast("string").alias("title"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        return dict(bounds), bounds_exact or bounds_were_none
+
+    def _count_title_rows(self, gen_dir: str, title: str) -> int:
+        """Exact live rows of one title in one generation — a
+        footer-only scan of that title's partition directory (the
+        re-anchor step when a bound crosses the salt threshold)."""
+        return (
+            self.spark.read.parquet(f"{self.path}/{gen_dir}")
+            .filter(F.col("title").cast("string") == title)
+            .count()
+        )
 
     def snapshot_info(self) -> tuple[int, dict[str, str]]:
         """(manifest version, title→generation map) of the current
@@ -701,23 +722,32 @@ class VectorIndex:
         )
         merged = survivors.unionByName(updates)
         gen = self._new_generation(version + 1)
-        # skew bound per merged title: previous exact count (replaced
-        # ids double-count — an upper bound is all salting needs) plus
-        # this batch; a pre-row-counts manifest (no stamp for a live
-        # title) falls back to one explicit count pass
+        # skew bound per merged title: previous stamp (replaced ids
+        # double-count — an upper bound is all salting needs) plus this
+        # batch. A stale BOUND stamp that would cross the salt
+        # threshold is re-anchored first (one footer-only count of that
+        # title's current files) so replace churn cannot over-salt
+        # forever; a pre-row-counts manifest (no stamp for a live
+        # title) falls back to one explicit count pass.
         old_counts = self._manifest_row_counts()
+        bound_titles = self._manifest_count_bounds()
         bounds: dict[str, int] | None = {}
         for t in merge_titles:
+            base = old_counts.get(t, 0)
             if t in parts and t not in old_counts:
                 bounds = None
                 break
-            bounds[t] = old_counts.get(t, 0) + upd_counts.get(t, 0)
+            b = base + upd_counts.get(t, 0)
+            if t in bound_titles and b > self.SKEW_SPLIT_ROWS:
+                base = self._count_title_rows(parts[t], t)
+                b = base + upd_counts.get(t, 0)
+            bounds[t] = b
         # pure insert (every merged title is new): no survivors exist,
-        # so the batch counts ARE the written counts — no post-scan
+        # so the batch counts ARE exact
         pure_insert = bounds is not None and all(
             t not in parts for t in merge_titles
         )
-        written = self._write_generation(
+        written, exact = self._write_generation(
             merged, gen, bounds=bounds, bounds_exact=pure_insert
         )
         now = datetime.now(timezone.utc).isoformat()
@@ -727,8 +757,17 @@ class VectorIndex:
             catalog.setdefault(t, now)  # insert-if-absent, pipeline2.py:315-331
         for t in merge_titles:
             old_counts.pop(t, None)
+            bound_titles.discard(t)
         old_counts.update(written)
-        self._publish_manifest(version + 1, parts, catalog, row_counts=old_counts)
+        if not exact:
+            bound_titles.update(written)
+        self._publish_manifest(
+            version + 1,
+            parts,
+            catalog,
+            row_counts=old_counts,
+            row_count_bounds=bound_titles,
+        )
 
     # -- S13: point fetch ---------------------------------------------------
 
@@ -774,26 +813,41 @@ class VectorIndex:
             r["title"] for r in remaining.select("title").distinct().collect()
         }
         old_counts = self._manifest_row_counts()
+        bound_titles = self._manifest_count_bounds()
         written: dict[str, int] = {}
+        exact = True
         if surviving:
             gen = self._new_generation(version + 1)
-            # deletion only shrinks: the previous exact counts bound
-            # the rewrite (None → count fallback for unstamped titles)
+            # deletion only shrinks: the previous stamps bound the
+            # rewrite (None → count fallback for unstamped titles);
+            # post-delete stamps are bounds (the deleted quantity per
+            # title is unknown without a count)
             bounds = (
                 {t: old_counts[t] for t in affected if t in old_counts}
                 if all(t in old_counts for t in affected)
                 else None
             )
-            written = self._write_generation(remaining, gen, bounds=bounds)
+            written, exact = self._write_generation(
+                remaining, gen, bounds=bounds
+            )
             for t in surviving:
                 parts[t] = gen
         for t in affected:
             old_counts.pop(t, None)
+            bound_titles.discard(t)
             if t not in surviving:
                 parts.pop(t, None)
                 catalog.pop(t, None)  # J4 cascade
         old_counts.update(written)
-        self._publish_manifest(version + 1, parts, catalog, row_counts=old_counts)
+        if not exact:
+            bound_titles.update(written)
+        self._publish_manifest(
+            version + 1,
+            parts,
+            catalog,
+            row_counts=old_counts,
+            row_count_bounds=bound_titles,
+        )
 
     def delete_by_form(self, form_titles: Sequence[str]) -> None:
         """delete_by_form (pipeline2.py:195-197): MANIFEST-ONLY — the
@@ -902,22 +956,32 @@ class VectorIndex:
             # _write_generation salt-splits (compaction TARGET is one
             # file per title, but never at the price of one task
             # holding a million-chunk form); rewrite preserves row
-            # counts, so the previous stamps ARE the bounds
+            # sets, so the previous stamps carry with their previous
+            # exactness (a victim with a BOUND stamp stays a bound)
             old_counts = self._manifest_row_counts()
-            bounds = (
-                {t: old_counts[t] for t in victims}
-                if all(t in old_counts for t in victims)
-                else None
-            )
-            # compaction preserves row sets, so known bounds are exact
-            written = self._write_generation(
-                rows, gen, bounds=bounds, bounds_exact=bounds is not None
-            )
+            bound_titles = self._manifest_count_bounds()
+            if all(t in old_counts for t in victims):
+                # stamps and their exact/bound flags carry UNCHANGED —
+                # a row-preserving rewrite can't change either
+                bounds = {t: old_counts[t] for t in victims}
+                self._write_generation(
+                    rows, gen, bounds=bounds, bounds_exact=True
+                )
+            else:
+                # unstamped victim (pre-row-counts manifest): the
+                # fallback pre-count yields exact stamps for all
+                written, _ = self._write_generation(rows, gen)
+                old_counts.update(written)
+                for t in written:
+                    bound_titles.discard(t)
             for t in victims:
                 parts[t] = gen
-            old_counts.update(written)
             self._publish_manifest(
-                version + 1, parts, catalog, row_counts=old_counts
+                version + 1,
+                parts,
+                catalog,
+                row_counts=old_counts,
+                row_count_bounds=bound_titles,
             )
             return victims
 

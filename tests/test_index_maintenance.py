@@ -493,18 +493,63 @@ def test_hot_title_salt_split_produces_multiple_files(index, spark):
     assert index.stats()["total_vector_count"] == 205
 
 
-def test_manifest_row_counts_stay_exact_through_churn(index, spark):
-    """The skew bound derives from manifest-stamped exact counts; they
-    must track replace/delete/compact churn exactly (a drifting bound
-    would over- or under-salt forever)."""
+def test_manifest_row_count_stamps_bound_live_rows(index, spark):
+    """Count stamps drive the skew-salt decision with ZERO extra jobs
+    per commit: pure inserts stamp exact; replace/delete churn stamps
+    UPPER BOUNDS (flagged); every stamp must dominate the live row
+    count at every step, and compaction carries stamps unchanged."""
+
+    def live():
+        return {
+            r["title"]: r["n"]
+            for r in index.read()
+            .groupBy("title")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def assert_stamps_dominate():
+        counts = index._manifest_row_counts()
+        for t, n in live().items():
+            assert counts[t] >= n, (t, counts, live())
+
+    # pure insert: exact, unflagged
     index.upsert(make_updates(spark, [(f"a_{i}", "formA", f"t{i}") for i in range(6)]))
+    assert index._manifest_row_counts() == {"formA": 6}
+    assert index._manifest_count_bounds() == set()
+
+    # replace churn: formA stamp becomes a flagged bound (6+1), formB
+    # is a fresh pure insert within the same commit -> bound too (the
+    # commit-level exactness is conservative)
     index.upsert(make_updates(spark, [("a_0", "formA", "replaced"), ("b_0", "formB", "b")]))
-    index.delete_by_ids(["a_1", "a_2"])
-    index.compact()
     counts = index._manifest_row_counts()
-    assert counts == {"formA": 4, "formB": 1}
-    live = {
-        r["title"]: r["n"]
-        for r in index.read().groupBy("title").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    assert counts == live
+    assert counts["formA"] == 7 and counts["formB"] == 1
+    assert "formA" in index._manifest_count_bounds()
+    assert_stamps_dominate()
+
+    index.delete_by_ids(["a_1", "a_2"])
+    assert_stamps_dominate()
+    index.compact()
+    assert_stamps_dominate()
+    # live truth unchanged by any of the bookkeeping
+    assert live() == {"formA": 4, "formB": 1}
+
+
+def test_bound_stamp_reanchors_at_salt_threshold(index, spark):
+    """A stale bound crossing SKEW_SPLIT_ROWS is re-anchored from the
+    title's current files before the salt decision, so replace churn
+    can't inflate the stamp forever."""
+    index.SKEW_SPLIT_ROWS = 25
+    index.upsert(make_updates(spark, [(f"a_{i}", "formA", f"t{i}") for i in range(10)]))
+    # 5 replace-only commits: bounds would creep 10->15->20->25->30->35
+    # without re-anchoring; with it the stamp stays ~actual+batch
+    for _ in range(5):
+        index.upsert(
+            make_updates(spark, [(f"a_{i}", "formA", "rev") for i in range(5)])
+        )
+    counts = index._manifest_row_counts()
+    # creep is bounded: a stamp never exceeds threshold + batch (the
+    # crossing commit re-anchors to actual+batch = 15); without
+    # re-anchoring this sequence would stamp 35
+    assert counts["formA"] <= index.SKEW_SPLIT_ROWS
+    assert index.stats()["total_vector_count"] == 10
