@@ -47,6 +47,7 @@ are the existing distributed Arrow ones from ``operators/ann.py`` /
 
 from __future__ import annotations
 
+import contextlib
 import json
 import uuid
 from functools import reduce
@@ -172,19 +173,38 @@ class _SyncedIndexBase:
         self.refresh()
         return self._load_meta()
 
-    def _diff(self, meta: dict) -> tuple[int, dict, list[str], list[str]]:
-        """(current version, current parts, changed titles, removed
-        titles) vs the indexed snapshot. Correctness hinges on the
-        primary's invariant that every mutation repoints the titles it
-        touches to a new generation — so generation equality IS row-set
-        equality per title."""
-        cur_version, cur_parts = self.vindex.snapshot_info()
+    def _diff(
+        self, meta: dict, cur_version: int, cur_parts: dict
+    ) -> tuple[list[str], list[str]]:
+        """(changed titles, removed titles) of the pinned snapshot
+        ``(cur_version, cur_parts)`` vs the indexed one. Correctness
+        hinges on the primary's invariant that every mutation repoints
+        the titles it touches to a new generation — so generation
+        equality IS row-set equality per title."""
         base = meta["base_parts"]
         changed = sorted(
             t for t, g in cur_parts.items() if base.get(t) != g
         )
         removed = sorted(t for t in meta["assign"] if t not in cur_parts)
-        return cur_version, cur_parts, changed, removed
+        return changed, removed
+
+    @contextlib.contextmanager
+    def _pinned_source(self):
+        """Lease the primary snapshot for the duration of a derived
+        build/refresh: yields ``(version, parts, snap)`` where
+        ``snap.read(titles)`` plans against EXACTLY that manifest. The
+        lease (a) keeps vacuum from reclaiming the generations
+        mid-encode and (b) removes the race where a commit lands
+        between the title diff and the encode read — the diff and the
+        rows are one snapshot by construction."""
+        with self.vindex.reader_lease() as snap:
+            payload = self.vindex._load_manifest_version(snap.version)
+            if payload is None:
+                raise StaleIndexError(
+                    f"primary manifest v{snap.version} vanished under "
+                    f"an active lease at {self.vindex.path}"
+                )
+            yield snap.version, dict(payload["partitions"]), snap
 
     # -- segment-union read -------------------------------------------------
 
@@ -258,12 +278,19 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             cb_rows, "subspace int, code int, centroid array<double>"
         ).write.mode("overwrite").parquet(f"{self.path}/quantizer_codebooks")
 
-    def _load_quantizer(self) -> tuple[np.ndarray, np.ndarray]:
+    def _load_quantizer(
+        self, quantizer_id: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         # the quantizer is FROZEN between build() calls, so one load
         # serves every search/refresh on this instance (two collect
-        # jobs per query otherwise); build() repopulates the cache
-        if getattr(self, "_quantizer_cache", None) is not None:
-            return self._quantizer_cache
+        # jobs per query otherwise). The cache is KEYED by the meta's
+        # quantizer_id: an external rebuild (new id in the meta this
+        # caller just resolved) misses the cache and reloads, so a
+        # long-lived server instance can never score against a
+        # superseded quantizer.
+        cached = getattr(self, "_quantizer_cache", None)
+        if cached is not None and cached[0] == quantizer_id:
+            return cached[1], cached[2]
         spark = self.vindex.spark
         cent = (
             spark.read.parquet(f"{self.path}/quantizer_centroids")
@@ -282,7 +309,7 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         codebooks = np.empty((m, ksub, dsub))
         for r in cb:
             codebooks[r["subspace"], r["code"]] = r["centroid"]
-        self._quantizer_cache = (centroids, codebooks)
+        self._quantizer_cache = (quantizer_id, centroids, codebooks)
         return centroids, codebooks
 
     # -- build / refresh ----------------------------------------------------
@@ -293,10 +320,12 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         centroids: np.ndarray,
         codebooks: np.ndarray,
         segment: str,
+        reader=None,
     ) -> None:
         from .ann import ivfpq_encode
 
-        rows = self.vindex.read(titles=None if titles is None else list(titles))
+        read = reader if reader is not None else self.vindex.read
+        rows = read(titles=None if titles is None else list(titles))
         enc = ivfpq_encode(
             rows, centroids, codebooks, vec_col="vector", posts=self.posts
         ).select("id", "title", "cluster", "codes", "norm")
@@ -308,31 +337,36 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         )
 
     def build(self) -> dict:
-        """Full (re)build from the current primary snapshot: trains the
+        """Full (re)build from a LEASED primary snapshot: trains the
         quantizer, encodes every live row into one segment, publishes
-        meta v(next). The one operation whose cost is O(corpus)."""
+        meta v(next). The one operation whose cost is O(corpus). The
+        lease pins the snapshot for the whole train+encode, so a
+        concurrent commit or vacuum can neither tear the build nor
+        mislabel its data_version."""
         from .ann import ivfpq_build
 
-        version, parts = self.vindex.snapshot_info()
-        rows = self.vindex.read()
-        centroids, codebooks = ivfpq_build(
-            rows,
-            vec_col="vector",
-            nlist=self.nlist,
-            m=self.m,
-            nbits=self.nbits,
-            seed=self.seed,
-        )
-        self._write_quantizer(centroids, codebooks)
-        self._quantizer_cache = (centroids, codebooks)
-        seg = self._new_segment(version)
-        self._encode_titles(None, centroids, codebooks, seg)
+        with self._pinned_source() as (version, parts, snap):
+            rows = snap.read()
+            centroids, codebooks = ivfpq_build(
+                rows,
+                vec_col="vector",
+                nlist=self.nlist,
+                m=self.m,
+                nbits=self.nbits,
+                seed=self.seed,
+            )
+            quantizer_id = uuid.uuid4().hex[:12]
+            self._write_quantizer(centroids, codebooks)
+            self._quantizer_cache = (quantizer_id, centroids, codebooks)
+            seg = self._new_segment(version)
+            self._encode_titles(None, centroids, codebooks, seg, reader=snap.read)
         m = self._load_meta()
         next_meta = 1 if m is None else m["meta_version"] + 1
         meta = {
             "data_version": version,
             "base_parts": parts,
             "assign": {t: seg for t in parts},
+            "quantizer_id": quantizer_id,
             "params": {
                 "nlist": self.nlist,
                 "m": self.m,
@@ -349,26 +383,33 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         indexed snapshot (frozen quantizer), drops removed titles from
         the assignment, publishes one meta commit. No-op (meta bump
         only) when the manifest moved without touching any title's
-        rows (e.g. catalog-only commits)."""
+        rows (e.g. catalog-only commits). Runs under a primary reader
+        lease: the diff and the encode see ONE snapshot."""
         m = self._load_meta()
         if m is None:
             return self.build()
-        cur_version, cur_parts, changed, removed = self._diff(m)
-        if cur_version == m["data_version"]:
-            return m
-        assign = dict(m["assign"])
-        if changed:
-            centroids, codebooks = self._load_quantizer()
-            seg = self._new_segment(cur_version)
-            self._encode_titles(changed, centroids, codebooks, seg)
-            for t in changed:
-                assign[t] = seg
+        with self._pinned_source() as (cur_version, cur_parts, snap):
+            if cur_version == m["data_version"]:
+                return m
+            changed, removed = self._diff(m, cur_version, cur_parts)
+            assign = dict(m["assign"])
+            if changed:
+                centroids, codebooks = self._load_quantizer(
+                    m.get("quantizer_id")
+                )
+                seg = self._new_segment(cur_version)
+                self._encode_titles(
+                    changed, centroids, codebooks, seg, reader=snap.read
+                )
+                for t in changed:
+                    assign[t] = seg
         for t in removed:
             assign.pop(t, None)
         meta = {
             "data_version": cur_version,
             "base_parts": cur_parts,
             "assign": assign,
+            "quantizer_id": m.get("quantizer_id"),
             "params": m["params"],
         }
         self._publish_meta(m["meta_version"] + 1, meta)
@@ -377,11 +418,20 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
     def compact(self) -> dict:
         """Fold all live titles into one fresh segment (frozen
         quantizer) — bounds the union width the way the primary's
-        compact bounds its generation count."""
+        compact bounds its generation count. Re-encodes from the
+        SEGMENTS' source snapshot? No — from the primary's CURRENT
+        rows of the live titles, which by the meta invariant equal the
+        indexed rows unless the index is stale; compacting a stale
+        index is refused (refresh first) so the fold cannot silently
+        advance data_version."""
         m = self._load_meta()
         if m is None:
             raise StaleIndexError(f"no ivfpq index at {self.path}; call build()")
-        centroids, codebooks = self._load_quantizer()
+        if self.is_stale():
+            raise StaleIndexError(
+                f"ivfpq index at {self.path} is stale; refresh() before compact()"
+            )
+        centroids, codebooks = self._load_quantizer(m.get("quantizer_id"))
         seg = self._new_segment(m["data_version"])
         live = sorted(m["assign"])
         self._encode_titles(live, centroids, codebooks, seg)
@@ -416,7 +466,9 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
     # -- serving ------------------------------------------------------------
 
     def encoded(self, *, on_stale: str = "error") -> DataFrame:
-        meta = self._resolve(on_stale)
+        return self._encoded_for(self._resolve(on_stale))
+
+    def _encoded_for(self, meta: dict) -> DataFrame:
         frames = [
             df.filter(F.col("title").isin(titles)).select(
                 "id", "cluster", "codes", "norm"
@@ -445,8 +497,8 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         from .ann import ivfpq_topk
 
         meta = self._resolve(on_stale)
-        centroids, codebooks = self._load_quantizer()
-        enc = self.encoded(on_stale="serve" if on_stale != "refresh" else "refresh")
+        centroids, codebooks = self._load_quantizer(meta.get("quantizer_id"))
+        enc = self._encoded_for(meta)
         emb = None
         if rerank:
             emb = self.vindex.read(titles=sorted(meta["assign"]))
@@ -487,10 +539,13 @@ class SyncedTextIndex(_SyncedIndexBase):
         super().__init__(vindex, path)
         self.buckets = buckets
 
-    def _write_segment(self, titles: Sequence[str] | None, segment: str) -> dict:
+    def _write_segment(
+        self, titles: Sequence[str] | None, segment: str, reader=None
+    ) -> dict:
         """Encode ``titles`` (None = all live) into ``segment``;
         returns {title: [n_docs, n_dl, sum_dl]} for the meta."""
-        rows = self.vindex.read(
+        read = reader if reader is not None else self.vindex.read
+        rows = read(
             titles=None if titles is None else list(titles)
         ).select("id", "title", "text")
         toks = rows.select(
@@ -536,9 +591,9 @@ class SyncedTextIndex(_SyncedIndexBase):
         }
 
     def build(self) -> dict:
-        version, parts = self.vindex.snapshot_info()
-        seg = self._new_segment(version)
-        title_stats = self._write_segment(None, seg)
+        with self._pinned_source() as (version, parts, snap):
+            seg = self._new_segment(version)
+            title_stats = self._write_segment(None, seg, reader=snap.read)
         m = self._load_meta()
         meta = {
             "data_version": version,
@@ -555,16 +610,19 @@ class SyncedTextIndex(_SyncedIndexBase):
         m = self._load_meta()
         if m is None:
             return self.build()
-        cur_version, cur_parts, changed, removed = self._diff(m)
-        if cur_version == m["data_version"]:
-            return m
-        assign = dict(m["assign"])
-        title_stats = dict(m["title_stats"])
-        if changed:
-            seg = self._new_segment(cur_version)
-            title_stats.update(self._write_segment(changed, seg))
-            for t in changed:
-                assign[t] = seg
+        with self._pinned_source() as (cur_version, cur_parts, snap):
+            if cur_version == m["data_version"]:
+                return m
+            changed, removed = self._diff(m, cur_version, cur_parts)
+            assign = dict(m["assign"])
+            title_stats = dict(m["title_stats"])
+            if changed:
+                seg = self._new_segment(cur_version)
+                title_stats.update(
+                    self._write_segment(changed, seg, reader=snap.read)
+                )
+                for t in changed:
+                    assign[t] = seg
         for t in removed:
             assign.pop(t, None)
             title_stats.pop(t, None)

@@ -201,3 +201,38 @@ def test_text_auto_refresh_policy(tix, vindex, spark):
     got = tix.bm25(["quantum"], on_stale="refresh")
     assert "new_0" in {r["id"] for r in got.collect()}
     assert not tix.is_stale()
+
+
+def test_quantizer_cache_invalidated_by_external_rebuild(vindex, tmp_path, spark):
+    """A long-lived server instance must pick up a rebuild done by
+    ANOTHER instance: the per-instance quantizer cache is keyed by the
+    meta's quantizer_id, so a foreign build() misses it."""
+    path = str(tmp_path / "ivfpq_shared")
+    a = SyncedIvfpqIndex(vindex, path, nlist=4, m=4, nbits=4)
+    a.build()
+    q = EMB.embed_one("spark windows")
+    a.search(q, 3, nprobe=4).collect()  # populates a's cache
+    qid_a = a._load_meta()["quantizer_id"]
+    # second maintainer instance rebuilds (retrains the quantizer)
+    b = SyncedIvfpqIndex(vindex, path, nlist=4, m=4, nbits=4, seed=99)
+    b.build()
+    qid_b = b._load_meta()["quantizer_id"]
+    assert qid_a != qid_b
+    # a's next search resolves the new meta and reloads — never scores
+    # new codes with the old codebooks
+    a.search(q, 3, nprobe=4).collect()
+    assert a._quantizer_cache[0] == qid_b
+
+
+def test_refresh_uses_one_pinned_snapshot(vindex, tmp_path, spark):
+    """refresh() leases the primary: vacuum during the encode cannot
+    reclaim the pinned generations (retention honors the lease)."""
+    path = str(tmp_path / "ivfpq_lease")
+    ann = SyncedIvfpqIndex(vindex, path, nlist=4, m=4, nbits=4)
+    ann.build()
+    vindex.upsert(make_updates(spark, [("n_0", "formNew", "brand new")]))
+    # aggressive vacuum between commits is safe for a later refresh
+    vindex.vacuum(keep_versions=1, min_age_sec=0)
+    ann.refresh()
+    ids = {r["id"] for r in ann.encoded().select("id").collect()}
+    assert "n_0" in ids
