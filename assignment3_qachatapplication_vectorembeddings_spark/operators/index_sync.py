@@ -468,13 +468,23 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
     def encoded(self, *, on_stale: str = "error") -> DataFrame:
         return self._encoded_for(self._resolve(on_stale))
 
-    def _encoded_for(self, meta: dict) -> DataFrame:
-        frames = [
-            df.filter(F.col("title").isin(titles)).select(
-                "id", "cluster", "codes", "norm"
+    def _encoded_for(
+        self, meta: dict, titles: Sequence[str] | None = None
+    ) -> DataFrame:
+        # `titles` is the reference's `$in` metadata filter (P5) on the
+        # accelerated path: each segment is read with (requested ∩
+        # assigned) titles, so foreign forms never reach the scorer
+        want = None if titles is None else set(titles)
+        frames = []
+        for df, seg_titles in self._segment_frames(meta):
+            ts = seg_titles if want is None else sorted(want & set(seg_titles))
+            if not ts:
+                continue
+            frames.append(
+                df.filter(F.col("title").isin(ts)).select(
+                    "id", "cluster", "codes", "norm"
+                )
             )
-            for df, titles in self._segment_frames(meta)
-        ]
         if not frames:
             return self.vindex.spark.createDataFrame(
                 [], "id string, cluster int, codes array<int>, norm double"
@@ -489,19 +499,25 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         nprobe: int = 4,
         rerank: bool = False,
         shortlist: int | None = None,
+        titles: Sequence[str] | None = None,
         on_stale: str = "error",
     ) -> DataFrame:
         """ADC top-k over the synced codes table; ``rerank=True`` adds
         the exact-cosine refine stage against the primary's vectors
-        (same snapshot the meta indexed)."""
+        (same snapshot the meta indexed). ``titles`` applies the
+        reference's ``$in`` metadata predicate BEFORE scoring (P5) —
+        on both the code scan and the re-rank read."""
         from .ann import ivfpq_topk
 
         meta = self._resolve(on_stale)
         centroids, codebooks = self._load_quantizer(meta.get("quantizer_id"))
-        enc = self._encoded_for(meta)
+        enc = self._encoded_for(meta, titles)
         emb = None
         if rerank:
-            emb = self.vindex.read(titles=sorted(meta["assign"]))
+            live = sorted(meta["assign"])
+            if titles is not None:
+                live = sorted(set(titles) & set(live))
+            emb = self.vindex.read(titles=live)
         return ivfpq_topk(
             enc,
             centroids,

@@ -48,7 +48,16 @@ def _extractive_answer(prompt: str) -> str:
 
 
 class QAPipeline:
-    """ask(question, form_titles) over a VectorIndex."""
+    """ask(question, form_titles) over a VectorIndex.
+
+    ``ann_index`` (a :class:`~..operators.index_sync.SyncedIvfpqIndex`
+    built over the same primary) switches :meth:`search` to the
+    accelerated serving path: probe-pruned ADC shortlist + exact
+    cosine re-rank — the reference's Pinecone query shape, including
+    the ``$in`` title predicate, with the staleness contract applied
+    per ``ann_policy`` ('error' fails fast after an un-refreshed
+    upsert, 'refresh' catches the index up first, 'serve' reads the
+    indexed snapshot explicitly)."""
 
     def __init__(
         self,
@@ -56,11 +65,17 @@ class QAPipeline:
         embedder=None,
         answer_fn: Callable[[str], str] = _extractive_answer,
         top_k: int = DEFAULT_TOP_K,
+        ann_index=None,
+        ann_policy: str = "error",
+        ann_nprobe: int = 4,
     ):
         self.index = index
         self.embedder = embedder or HashingEmbedder(dim=64)
         self.answer_fn = answer_fn
         self.top_k = top_k
+        self.ann_index = ann_index
+        self.ann_policy = ann_policy
+        self.ann_nprobe = ann_nprobe
 
     def search(
         self,
@@ -76,6 +91,18 @@ class QAPipeline:
             # loudly instead (S11 dimension check, query side)
             raise ValueError(
                 f"embedder dim {len(qvec)} != index dim {dim}"
+            )
+        if self.ann_index is not None:
+            # accelerated path: ADC shortlist from the synced codes
+            # table, exact-cosine re-rank (so returned scores/columns
+            # are identical in kind to the exact path's)
+            return self.ann_index.search(
+                qvec,
+                k or self.top_k,
+                nprobe=self.ann_nprobe,
+                rerank=True,
+                titles=list(form_titles) if form_titles else None,
+                on_stale=self.ann_policy,
             )
         filter_expr = (
             F.col("title").isin(list(form_titles)) if form_titles else None

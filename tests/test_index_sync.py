@@ -236,3 +236,38 @@ def test_refresh_uses_one_pinned_snapshot(vindex, tmp_path, spark):
     ann.refresh()
     ids = {r["id"] for r in ann.encoded().select("id").collect()}
     assert "n_0" in ids
+
+
+# -- QA serving facade over the synced ANN index ----------------------------
+
+
+def test_qa_pipeline_with_synced_ann(vindex, tmp_path, spark):
+    """The reference's /askQuestion flow on the accelerated path:
+    ANN shortlist + exact re-rank, $in title predicate, and the
+    staleness contract end-to-end."""
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.qa import (
+        QAPipeline,
+    )
+
+    ann = SyncedIvfpqIndex(vindex, str(tmp_path / "qa_ann"), nlist=4, m=4, nbits=4)
+    ann.build()
+    qa = QAPipeline(vindex, embedder=EMB, ann_index=ann, ann_nprobe=4)
+
+    res = qa.ask("spark windows")
+    assert len(res["matches"]) == 2 and res["answer"]
+    assert res["matches"][0][1] == "formA"  # exact re-rank surfaces it
+
+    # P5: $in title predicate restricts scope BEFORE scoring
+    res_b = qa.ask("spark windows", form_titles=["formB"])
+    assert res_b["matches"] and all(t == "formB" for _, t, _ in res_b["matches"])
+
+    # staleness: un-refreshed upsert fails fast under the default policy
+    vindex.upsert(make_updates(spark, [("n_0", "formNew", "quantum leap")]))
+    with pytest.raises(StaleIndexError):
+        qa.ask("quantum leap")
+    # ...and the refresh policy serves the new vector
+    qa_auto = QAPipeline(
+        vindex, embedder=EMB, ann_index=ann, ann_policy="refresh", ann_nprobe=4
+    )
+    res_new = qa_auto.ask("quantum leap")
+    assert res_new["matches"][0][0] == "n_0"
