@@ -68,6 +68,7 @@ class QAPipeline:
         ann_index=None,
         ann_policy: str = "error",
         ann_nprobe: int = 4,
+        text_index=None,
     ):
         self.index = index
         self.embedder = embedder or HashingEmbedder(dim=64)
@@ -76,6 +77,7 @@ class QAPipeline:
         self.ann_index = ann_index
         self.ann_policy = ann_policy
         self.ann_nprobe = ann_nprobe
+        self.text_index = text_index
 
     def search(
         self,
@@ -130,10 +132,17 @@ class QAPipeline:
         if form_titles:
             base = base.filter(F.col("title").isin(list(form_titles)))
         terms = [t for t in question.lower().split() if t]
+        if self.text_index is not None and not form_titles:
+            # index-served lexical ranker: postings pruned to the query
+            # terms' buckets (the persisted-index sibling of the
+            # in-plan scorer; scores are the same Okapi form). Title
+            # filtering stays on the in-plan path — the synced text
+            # index serves whole-corpus rankings.
+            bm_scored = self.text_index.bm25(terms, on_stale=self.ann_policy)
+        else:
+            bm_scored = bm25_scores(base, terms, id_col="id", text_col="text")
         bm = rank_by(
-            bm25_scores(base, terms, id_col="id", text_col="text")
-            .orderBy(F.desc("score"), F.asc("id"))
-            .limit(candidates),
+            bm_scored.orderBy(F.desc("score"), F.asc("id")).limit(candidates),
             [F.desc("score"), F.asc("id")],
         ).select("id", "rank")
         vec = rank_by(

@@ -271,3 +271,23 @@ def test_qa_pipeline_with_synced_ann(vindex, tmp_path, spark):
     )
     res_new = qa_auto.ask("quantum leap")
     assert res_new["matches"][0][0] == "n_0"
+
+
+def test_qa_hybrid_over_persisted_indexes(vindex, tmp_path):
+    """search_hybrid with BOTH rankers on persisted synced indexes:
+    the index-served BM25 must produce the same fused ranking as the
+    in-plan scorer (same Okapi form over the same live corpus)."""
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.qa import (
+        QAPipeline,
+    )
+
+    ann = SyncedIvfpqIndex(vindex, str(tmp_path / "h_ann"), nlist=4, m=4, nbits=4)
+    ann.build()
+    tix = SyncedTextIndex(vindex, str(tmp_path / "h_tix"), buckets=8)
+    tix.build()
+    plain = QAPipeline(vindex, embedder=EMB)
+    served = QAPipeline(vindex, embedder=EMB, text_index=tix)
+    q = "spark join strategies"
+    a = [(r["id"], round(r["score"], 9)) for r in plain.search_hybrid(q).collect()]
+    b = [(r["id"], round(r["score"], 9)) for r in served.search_hybrid(q).collect()]
+    assert a == b and a
