@@ -21,10 +21,24 @@ from assignment3_qachatapplication_vectorembeddings_spark.plans.corpus import CO
 from assignment3_qachatapplication_vectorembeddings_spark.session import get_spark
 
 
+def _load_state() -> dict:
+    """1/5/15-min loadavg snapshot. The build host is shared and its
+    background load swings 2-18 with no local processes; numbers recorded
+    under load overstate wall times 2-7x (VERDICT r5 ask #1), so every
+    bench artifact self-documents the host state it was measured under.
+    """
+    try:
+        one, five, fifteen = os.getloadavg()
+        return {"1m": round(one, 2), "5m": round(five, 2), "15m": round(fifteen, 2)}
+    except OSError:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    load_start = _load_state()
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -80,6 +94,7 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "sf": sf,
+        "host_load": {"start": load_start, "end": _load_state()},
     }
     full_line = json.dumps(full, separators=(",", ":"))
     # Full per-query JSON: first line of output + persisted next to the
@@ -104,6 +119,7 @@ def main() -> None:
         "queries_truncated": True,
         "queries_full": "BENCH_full.json",
         "sf": sf,
+        "host_load": {"start": load_start, "end": _load_state()},
     }
     for name, sec in slowest:
         summary["queries"][name] = sec
