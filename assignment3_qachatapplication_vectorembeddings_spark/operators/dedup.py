@@ -789,6 +789,16 @@ def duplicate_span_table(
       window were 2 of the plan's 5 exchanges);
     - larger: the window path — posexplode, hash semi join against the
       dup set, ``pos - row_number`` islands keyed on the doc id.
+
+    NOTE (not lazy): CONSTRUCTION runs the frequency-count job — the
+    gate probe and the broadcast-set egress are fused into one
+    ``limit(gate+1).toPandas()`` action (≤ ~16 MB + Arrow overhead on
+    the driver), so calling this builds the dup-gram set even if the
+    returned DataFrame is never executed. On the over-gate fallback
+    the dup aggregation is recomputed once more by the semi join
+    (bounded: it is the one corpus shuffle); keeping the probe eager
+    and the fallback lazy beats checkpointing the corpus-scale
+    aggregate for the common under-gate case.
     """
     from pyspark.sql.window import Window
 

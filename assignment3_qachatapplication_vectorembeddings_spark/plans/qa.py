@@ -132,13 +132,19 @@ class QAPipeline:
         if form_titles:
             base = base.filter(F.col("title").isin(list(form_titles)))
         terms = [t for t in question.lower().split() if t]
-        if self.text_index is not None and not form_titles:
+        if self.text_index is not None:
             # index-served lexical ranker: postings pruned to the query
             # terms' buckets (the persisted-index sibling of the
             # in-plan scorer; scores are the same Okapi form). Title
-            # filtering stays on the in-plan path — the synced text
-            # index serves whole-corpus rankings.
-            bm_scored = self.text_index.bm25(terms, on_stale=self.ann_policy)
+            # filtering is the reference's ``$in`` predicate
+            # (QA_using_pinecone.py:41), applied inside the index read
+            # with per-title stats, so filtered scores match the
+            # in-plan ranker on the same subset.
+            bm_scored = self.text_index.bm25(
+                terms,
+                titles=list(form_titles) if form_titles else None,
+                on_stale=self.ann_policy,
+            )
         else:
             bm_scored = bm25_scores(base, terms, id_col="id", text_col="text")
         bm = rank_by(

@@ -11,11 +11,15 @@ the standard codec option — no driver-side serialization).
 Id derivation (round-5: numeric ids round-trip, NULL-text rows no
 longer collapse):
 
-- a numeric-like external id (``doc_id`` or ``id`` field) is used
-  DIRECTLY as the 64-bit doc_id — so a corpus written by
-  ``write_documents_jsonl`` (which stringifies doc_id) reads back with
-  id EQUALITY, not merely id stability;
-- a non-numeric external id hashes (``xxhash64(id)``);
+- a CANONICAL-decimal external id (``doc_id`` or ``id`` field,
+  matching ``^(0|-?[1-9][0-9]*)$``) is used DIRECTLY as the 64-bit
+  doc_id — so a corpus written by ``write_documents_jsonl`` (which
+  stringifies doc_id canonically) reads back with id EQUALITY, not
+  merely id stability;
+- every other external id hashes (``xxhash64(id)``) — including
+  non-canonical numerics ('007', '+7', ' 7'), which would otherwise
+  try_cast-collide with the canonical '7' (round-6: distinct external
+  ids stay distinct);
 - id-less rows with text: ``xxhash64(input_file_name, text)`` —
   file-content addressing that survives re-runs and scan re-ordering
   (a collision needs two identical texts in one file: true duplicates,
@@ -76,7 +80,16 @@ def read_documents_jsonl(
         "*", "_metadata"
     )
     ext_id = F.coalesce(F.col("doc_id"), F.col("id"))
-    num_id = ext_id.try_cast("long")
+    # only CANONICAL decimal ids pass through as-is: '007', '+7' and
+    # ' 7' would all try_cast to 7 and silently collide with '7' in an
+    # upsert-keyed store (round-5 advice), so everything non-canonical
+    # takes the hash branch, which keeps distinct external ids
+    # distinct. write_documents_jsonl emits canonical decimals, so
+    # write→read round-trips still preserve id EQUALITY; out-of-range
+    # canonicals (> 64-bit) null out of try_cast and hash too.
+    num_id = F.when(
+        ext_id.rlike(r"^(0|-?[1-9][0-9]*)$"), ext_id.try_cast("long")
+    )
     # per-partition counter == line ordinal within this (file, block)
     # split for a file-source scan; combined with the block identity it
     # is unique per row even when every payload field is NULL

@@ -632,6 +632,7 @@ def run_streaming_index_ingest(
     seq_col: str | None = None,
     available_now: bool = True,
     query_name: str = "stream_index_ingest",
+    synced_indexes: Sequence | None = None,
 ):
     """Streaming RAW-VECTOR index ingest: each micro-batch of landed
     embeddings becomes ONE ``VectorIndex.upsert`` — a read-merge-publish
@@ -660,6 +661,16 @@ def run_streaming_index_ingest(
     version column (the CDC contract), else the lexicographically
     latest source FILE wins (deterministic for ordered landing names;
     an id must not repeat within one file).
+
+    ``synced_indexes``: derived indexes (:class:`SyncedIvfpqIndex` /
+    :class:`SyncedTextIndex` handles constructed on a ``VectorIndex``
+    at this same ``index_path``) to ``refresh()`` inside foreachBatch
+    after each commit — serving stays in lock-step with ingest, so a
+    post-drain ``search(..., on_stale='error')`` succeeds and returns
+    the streamed vectors. Refresh runs under the derived module's
+    primary reader lease, so it composes with retention/vacuum; cost
+    per batch is O(titles the batch touched), the incremental-refresh
+    contract.
 
     Returns the ``VectorIndex`` handle once the drain finishes
     (``available_now=True``) or the running query otherwise.
@@ -698,6 +709,11 @@ def run_streaming_index_ingest(
         rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             idx.upsert(rows)
+            for synced in synced_indexes or ():
+                # first batch bootstraps (refresh of an unbuilt index
+                # builds); later batches re-encode only the touched
+                # titles' rows
+                synced.refresh()
         finally:
             rows.unpersist()
 

@@ -193,3 +193,34 @@ def test_jsonl_numeric_and_string_ids(spark, tmp_path):
     assert rows["num"] == 12345
     assert rows["neg"] == -7
     assert isinstance(rows["str"], int) and rows["str"] not in (12345, -7)
+
+
+def test_jsonl_noncanonical_numeric_ids_stay_distinct(spark, tmp_path):
+    """Only CANONICAL decimal ids pass through as-is: '007', '+7',
+    ' 7' and '7' are four DISTINCT external ids and must not collapse
+    to doc_id 7 (round-5 advice — in an upsert-keyed store a collision
+    silently overwrites a different source document)."""
+    import json
+
+    from assignment3_qachatapplication_vectorembeddings_spark.sources.jsonl import (
+        read_documents_jsonl,
+    )
+
+    d = tmp_path / "nc_ids"
+    d.mkdir()
+    ext_ids = ["7", "007", "+7", " 7", "-0", "0", str(2**70)]
+    with open(d / "a.jsonl", "w") as f:
+        for i, e in enumerate(ext_ids):
+            f.write(json.dumps({"doc_id": e, "text": f"t{i}"}) + "\n")
+
+    rows = {
+        r["text"]: r["doc_id"]
+        for r in read_documents_jsonl(spark, str(d)).collect()
+    }
+    assert rows["t0"] == 7          # canonical: passes through
+    assert rows["t5"] == 0          # canonical zero
+    assert len(set(rows.values())) == len(ext_ids)  # no collisions
+    # non-canonical forms hash — none of them lands on the literal 7
+    assert all(rows[f"t{i}"] != 7 for i in (1, 2, 3))
+    # out-of-64-bit canonical hashes rather than nulling out
+    assert rows["t6"] is not None
