@@ -385,23 +385,70 @@ class _SyncedIndexBase:
 
     def _segment_frames(
         self, meta: dict, subdir: str = "", schema: str | None = None
-    ) -> list[tuple[DataFrame, list[str]]]:
-        """[(segment DataFrame, live titles in it)] — each segment read
-        restricted to the titles the meta currently assigns to it, so
-        superseded rows parked in older segments are never served.
-        ``schema`` (DDL, including the partition column) skips parquet
-        footer inference — without it every serving query pays one
-        driver job PER SEGMENT just to learn a layout this module wrote
-        itself (round-6: serving-path plan construction is job-free)."""
+    ) -> list[tuple[DataFrame, list[str], list[str] | None]]:
+        """[(segment DataFrame, assigned titles, revoked titles)] —
+        each segment read restricted to the titles the meta currently
+        assigns to it, so superseded rows parked in older segments are
+        never served. ``schema`` (DDL, including the partition column)
+        skips parquet footer inference — without it every serving query
+        pays one driver job PER SEGMENT just to learn a layout this
+        module wrote itself (round-6: serving-path plan construction is
+        job-free). ``revoked`` is ``None`` for legacy metas (caller
+        must filter by the assigned list)."""
         by_seg: dict[str, list[str]] = {}
         for t, seg in meta["assign"].items():
             by_seg.setdefault(seg, []).append(t)
+        revoked_map = meta.get("revoked")
         spark = self.vindex.spark
         out = []
         for seg, titles in sorted(by_seg.items()):
             p = f"{self.path}/{seg}" + (f"/{subdir}" if subdir else "")
             reader = spark.read.schema(schema) if schema else spark.read
-            out.append((reader.parquet(p), titles))
+            revoked = None if revoked_map is None else revoked_map.get(seg, [])
+            out.append((reader.parquet(p), titles, revoked))
+        return out
+
+    @staticmethod
+    def _serving_filter(assigned: list[str], revoked: list[str] | None):
+        """Cheapest EXACT live-rows predicate for one segment read. A
+        segment contains only rows of titles written into it, and a
+        title once repointed away never returns — so the live rows are
+        precisely NOT-IN-(revoked titles): an O(churn-since-write)
+        expression instead of the O(live titles) ``isin(assigned)``
+        literal list, which at 100 TB (millions of titles per segment)
+        would blow up the plan before the scan even starts. Zero churn
+        (every segment right after build/compact) means NO filter at
+        all. ``revoked=None`` (pre-round-6 meta) falls back to the
+        assigned-list filter."""
+        if revoked is None:
+            return F.col("title").isin(list(assigned))
+        if revoked:
+            return ~F.col("title").isin(list(revoked))
+        return None
+
+    def _update_revoked(
+        self, meta: dict, assign_new: dict, moved: Sequence[str]
+    ) -> dict | None:
+        """Next meta's {segment: [revoked titles]} after ``moved``
+        titles (changed or removed) left their old segments. Entries
+        for segments no longer assigned are dropped (vacuum fodder).
+        A legacy meta (no ``revoked`` key) has unknown churn history —
+        stay legacy (return None; serving keeps the assigned-list
+        filter) until a build()/compact() resets the baseline."""
+        if meta.get("revoked") is None:
+            return None
+        old_assign = meta["assign"]
+        revoked: dict[str, list[str]] = {
+            s: list(v) for s, v in meta["revoked"].items()
+        }
+        for t in moved:
+            s = old_assign.get(t)
+            if s is not None and assign_new.get(t) != s:
+                revoked.setdefault(s, []).append(t)
+        live = set(assign_new.values())
+        out = {s: sorted(set(v)) for s, v in revoked.items() if s in live}
+        for s in live:
+            out.setdefault(s, [])
         return out
 
     def refresh(self) -> dict:  # pragma: no cover - overridden
@@ -596,6 +643,7 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             "data_version": version,
             "base_parts": parts,
             "assign": {t: seg for t in parts},
+            "revoked": {seg: []},
             "quantizer_id": quantizer_id,
             "recon_baseline": baseline,
             "params": {
@@ -654,6 +702,7 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             "data_version": cur_version,
             "base_parts": cur_parts,
             "assign": assign,
+            "revoked": self._update_revoked(m, assign, changed + removed),
             "quantizer_id": m.get("quantizer_id"),
             "recon_baseline": m.get("recon_baseline"),
             "params": m["params"],
@@ -704,7 +753,7 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             centroids, codebooks = self._load_quantizer(m.get("quantizer_id"))
             seg = self._new_segment(m["data_version"])
             self._encode_titles(live, centroids, codebooks, seg, reader=snap.read)
-        meta = dict(m, assign={t: seg for t in live})
+        meta = dict(m, assign={t: seg for t in live}, revoked={seg: []})
         self._publish_meta(m["meta_version"] + 1, meta)
         return meta
 
@@ -721,17 +770,21 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         # assigned) titles, so foreign forms never reach the scorer
         want = None if titles is None else set(titles)
         frames = []
-        for df, seg_titles in self._segment_frames(
+        for df, seg_titles, revoked in self._segment_frames(
             meta, schema=self.SEGMENT_SCHEMA
         ):
-            ts = seg_titles if want is None else sorted(want & set(seg_titles))
-            if not ts:
-                continue
-            frames.append(
-                df.filter(F.col("title").isin(ts)).select(
-                    "id", "cluster", "codes", "norm"
-                )
-            )
+            if want is not None:
+                # the $in predicate: query title lists are small, the
+                # requested∩assigned isin is the right shape
+                ts = sorted(want & set(seg_titles))
+                if not ts:
+                    continue
+                cond = F.col("title").isin(ts)
+            else:
+                cond = self._serving_filter(seg_titles, revoked)
+            if cond is not None:
+                df = df.filter(cond)
+            frames.append(df.select("id", "cluster", "codes", "norm"))
         if not frames:
             return self.vindex.spark.createDataFrame(
                 [], "id string, cluster int, codes array<int>, norm double"
@@ -883,6 +936,7 @@ class SyncedTextIndex(_SyncedIndexBase):
             "data_version": version,
             "base_parts": parts,
             "assign": {t: seg for t in parts},
+            "revoked": {seg: []},
             "title_stats": title_stats,
             "buckets": self.buckets,
             "tokenizer": TOKENIZER_VERSION,
@@ -914,6 +968,7 @@ class SyncedTextIndex(_SyncedIndexBase):
             "data_version": cur_version,
             "base_parts": cur_parts,
             "assign": assign,
+            "revoked": self._update_revoked(m, assign, changed + removed),
             "title_stats": title_stats,
             "buckets": m["buckets"],
             "tokenizer": m["tokenizer"],
@@ -939,7 +994,12 @@ class SyncedTextIndex(_SyncedIndexBase):
                 )
             seg = self._new_segment(m["data_version"])
             title_stats = self._write_segment(live, seg, reader=snap.read)
-        meta = dict(m, assign={t: seg for t in live}, title_stats=title_stats)
+        meta = dict(
+            m,
+            assign={t: seg for t in live},
+            revoked={seg: []},
+            title_stats=title_stats,
+        )
         self._publish_meta(m["meta_version"] + 1, meta)
         return meta
 
@@ -1001,29 +1061,37 @@ class SyncedTextIndex(_SyncedIndexBase):
         if n_docs == 0:
             return spark.createDataFrame([], "id string, score double")
         avgdl = (sum_dl / n_dl) if n_dl else 0.0
+        def _title_cond(seg_titles, revoked):
+            """None = read everything, False = skip segment entirely."""
+            if want is not None:
+                ts = sorted(want & set(seg_titles))
+                if not ts:
+                    return False
+                return F.col("title").isin(ts)
+            return self._serving_filter(seg_titles, revoked)
+
         hit_frames, dl_frames = [], []
-        for df, seg_titles in self._segment_frames(
+        for df, seg_titles, revoked in self._segment_frames(
             meta, "postings", schema=self.POSTINGS_SCHEMA
         ):
-            ts = seg_titles if want is None else sorted(want & set(seg_titles))
-            if not ts:
+            cond = _title_cond(seg_titles, revoked)
+            if cond is False:
                 continue
-            hit_frames.append(
-                df.where(
-                    F.col("bucket").isin(list(want_buckets))
-                    & F.col("word").isin(terms)
-                    & F.col("title").isin(ts)
-                ).select("word", "id", "tf")
-            )
-        for df, seg_titles in self._segment_frames(
+            pred = F.col("bucket").isin(list(want_buckets)) & F.col(
+                "word"
+            ).isin(terms)
+            if cond is not None:
+                pred = pred & cond
+            hit_frames.append(df.where(pred).select("word", "id", "tf"))
+        for df, seg_titles, revoked in self._segment_frames(
             meta, "doclens", schema=self.DOCLENS_SCHEMA
         ):
-            ts = seg_titles if want is None else sorted(want & set(seg_titles))
-            if not ts:
+            cond = _title_cond(seg_titles, revoked)
+            if cond is False:
                 continue
-            dl_frames.append(
-                df.where(F.col("title").isin(ts)).select("id", "dl")
-            )
+            if cond is not None:
+                df = df.where(cond)
+            dl_frames.append(df.select("id", "dl"))
         if not hit_frames:
             return spark.createDataFrame([], "id string, score double")
         hits = reduce(DataFrame.unionByName, hit_frames)

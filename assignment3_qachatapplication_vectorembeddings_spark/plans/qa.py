@@ -233,16 +233,31 @@ class QAPipeline:
         )
 
     def ask(self, question: str, form_titles: Sequence[str] | None = None) -> dict:
-        matches = self.search(question, form_titles).cache()
-        prompt = assemble_context(matches, question)
-        answer = self.answer_fn(prompt)
-        out = {
-            "question": question,
-            "answer": answer,
-            "matches": [
-                (r["id"], r["title"], round(r["score"], 6))
-                for r in matches.select("id", "title", "score").collect()
-            ],
-        }
-        matches.unpersist()
+        """One /askQuestion round trip. On the accelerated path this
+        spans several Spark actions (context head, answer_fn, match
+        collect) with a user hook in the middle, so it holds a derived
+        :meth:`~..operators.index_sync._SyncedIndexBase.reader_lease`
+        for its whole duration: a refresh+vacuum landing between the
+        actions (or inside ``answer_fn``) cannot reclaim the meta/
+        segments this request resolved — the never-partial-scan
+        contract, end-to-end through the serving facade. Callers that
+        keep the :meth:`search` DataFrame beyond one call should take
+        the lease themselves."""
+        import contextlib
+
+        with contextlib.ExitStack() as stack:
+            if self.ann_index is not None:
+                stack.enter_context(self.ann_index.reader_lease())
+            matches = self.search(question, form_titles).cache()
+            prompt = assemble_context(matches, question)
+            answer = self.answer_fn(prompt)
+            out = {
+                "question": question,
+                "answer": answer,
+                "matches": [
+                    (r["id"], r["title"], round(r["score"], 6))
+                    for r in matches.select("id", "title", "score").collect()
+                ],
+            }
+            matches.unpersist()
         return out

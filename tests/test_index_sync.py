@@ -426,7 +426,7 @@ def test_derived_vacuum_retains_leased_meta(tix, vindex, spark):
     with tix.reader_lease() as pinned:
         baseline = {
             tuple(sorted(ts))
-            for _df, ts in tix._segment_frames(pinned, "doclens")
+            for _df, ts, _rv in tix._segment_frames(pinned, "doclens")
         }
         # two commits + a compact supersede every segment v1 references
         vindex.upsert(make_updates(spark, [("formA_0", "formA", "rewritten")]))
@@ -436,7 +436,7 @@ def test_derived_vacuum_retains_leased_meta(tix, vindex, spark):
         # leased meta still fully scannable: every segment it assigns
         # resolves and returns its complete title set
         total = 0
-        for df, ts in tix._segment_frames(pinned, "doclens"):
+        for df, ts, _rv in tix._segment_frames(pinned, "doclens"):
             got = df.filter(F.col("title").isin(ts)).count()
             assert got > 0
             total += got
@@ -561,3 +561,99 @@ def test_drift_guard_trips_on_distribution_shift(exact_vindex, tmp_path, spark):
     # ...and cleared by a retraining build()
     meta = ann.build()
     assert "retrain_recommended" not in meta
+
+
+def test_qa_ask_holds_lease_across_concurrent_maintenance(
+    vindex, tmp_path, spark
+):
+    """ask() pins the resolved meta for its whole multi-action span:
+    a refresh + aggressive vacuum landing MID-REQUEST (inside the
+    answer hook, between the context head and the match collect)
+    cannot reclaim the segments the request is scanning."""
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.qa import (
+        QAPipeline,
+    )
+
+    ann = SyncedIvfpqIndex(
+        vindex, str(tmp_path / "lease_ann"), nlist=4, m=4, nbits=4
+    )
+    ann.build()
+
+    def hostile_answer(prompt: str) -> str:
+        # concurrent maintainer: commit, catch the index up, vacuum
+        # with zero retention slack — only the lease protects us
+        vindex.upsert(
+            make_updates(spark, [("mid_0", "formMid", "mid-request row")])
+        )
+        ann.refresh()
+        ann.compact()
+        ann.vacuum(keep_versions=1, min_age_sec=0)
+        return "answered"
+
+    qa = QAPipeline(vindex, embedder=EMB, ann_index=ann, answer_fn=hostile_answer)
+    res = qa.ask("spark windows")
+    assert res["answer"] == "answered"
+    assert len(res["matches"]) == 2
+    # pre-upsert snapshot served coherently: the mid-request row is
+    # not in the results, the original best match is
+    ids = [i for i, _, _ in res["matches"]]
+    assert "mid_0" not in ids and ids[0].startswith("formA_")
+    # and the lease was released: a second vacuum can now reclaim
+    ann.vacuum(keep_versions=1, min_age_sec=0)
+    assert len(ann._meta_versions()) == 1
+
+
+# -- round 6: O(churn) serving filters (no O(titles) isin literals) ----------
+
+
+def _plan_of(df):
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    return buf.getvalue()
+
+
+def test_serving_filters_are_o_churn_not_o_titles(ann, tix, vindex, spark):
+    """A fresh (or compacted) segment serves with NO title filter at
+    all, and a churned index filters old segments by the REVOKED set
+    (O(changes)), never by the full assigned-title literal list —
+    the plan shape that survives millions of titles per segment."""
+    # zero churn: no title literals anywhere in the plans
+    plan = _plan_of(ann.encoded())
+    assert "formA" not in plan and "formB" not in plan
+    plan = _plan_of(tix.bm25(["spark"]))
+    assert "formA" not in plan and "formB" not in plan
+    # churn ONE title: only that title may appear (as NOT-IN), the
+    # untouched titles never enter the plan
+    vindex.upsert(make_updates(spark, [("formA_0", "formA", "rewritten")]))
+    ann.refresh()
+    tix.refresh()
+    for df in (ann.encoded(), tix.bm25(["spark", "rewritten"])):
+        plan = _plan_of(df)
+        assert "formB" not in plan and "formC" not in plan
+        assert "formA" in plan  # the revoked entry on the old segment
+    # results stay exact across the filter change
+    ids = {r["id"] for r in ann.encoded().select("id").collect()}
+    assert ids == {i for i, _, _ in BASE_ROWS}
+    got = _scores(tix.bm25(["rewritten"]))
+    assert set(got) == {"formA_0"}
+
+
+def test_revoked_bookkeeping_across_maintenance(tix, vindex, spark):
+    vindex.upsert(make_updates(spark, [("formA_0", "formA", "rewritten")]))
+    tix.refresh()
+    m = tix._load_meta()
+    old_seg = next(s for s, rv in m["revoked"].items() if rv)
+    assert m["revoked"][old_seg] == ["formA"]
+    assert m["assign"]["formA"] != old_seg
+    # delete another form: revoked grows on its (old) segment
+    vindex.delete_by_form(["formB"])
+    tix.refresh()
+    m = tix._load_meta()
+    assert sorted(m["revoked"][old_seg]) == ["formA", "formB"]
+    # compact resets churn to zero
+    tix.compact()
+    m = tix._load_meta()
+    assert list(m["revoked"].values()) == [[]]
