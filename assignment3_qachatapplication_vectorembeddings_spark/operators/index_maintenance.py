@@ -442,8 +442,23 @@ class VectorIndex:
         mid-write by a concurrent committer parses as incomplete (the
         trailing ``"complete"`` sentinel is written last), and the
         reader falls back one version — that fallback IS the snapshot
-        isolation: v(N+1) becomes visible only once fully durable."""
+        isolation: v(N+1) becomes visible only once fully durable.
+
+        Complete manifests are immutable (create-if-absent, never
+        rewritten), so their PARSE is cached per instance keyed by
+        version: the manifest is O(titles) JSON, and without the cache
+        every serving query on a long-lived handle re-parses it just to
+        learn the version didn't move. The cache is consulted only for
+        versions present in the CURRENT listing, so a vacuumed version
+        can never be served from memory; consumers treat payloads as
+        read-only (they copy before mutating)."""
+        cache = getattr(self, "_manifest_parse_cache", None)
+        if cache is None:
+            cache = self._manifest_parse_cache = {}
         for version in reversed(self._manifest_versions()):
+            hit = cache.get(version)
+            if hit is not None:
+                return version, hit
             data = self._read_small_file(
                 f"{self.manifest_dir}/{self._manifest_name(version)}"
             )
@@ -454,6 +469,9 @@ class VectorIndex:
             except ValueError:
                 continue
             if payload.get("complete") is True:
+                cache[version] = payload
+                for v in sorted(cache)[:-4]:  # bound: the live tail
+                    del cache[v]
                 return version, payload
         return None
 

@@ -108,7 +108,18 @@ class _SyncedIndexBase:
         return sorted(out)
 
     def _load_meta(self) -> dict | None:
+        # metas are immutable once published (create-if-absent), so the
+        # O(titles) JSON parse is cached per instance keyed by version —
+        # consulted only for versions in the CURRENT listing, so a
+        # vacuumed meta is never served from memory (the same contract
+        # as VectorIndex._load_manifest's parse cache)
+        cache = getattr(self, "_meta_parse_cache", None)
+        if cache is None:
+            cache = self._meta_parse_cache = {}
         for version in reversed(self._meta_versions()):
+            hit = cache.get(version)
+            if hit is not None:
+                return hit
             data = self.vindex._read_small_file(
                 f"{self.meta_dir}/{self._meta_name(version)}"
             )
@@ -119,6 +130,9 @@ class _SyncedIndexBase:
             except ValueError:
                 continue  # torn write of the newest meta: fall back one
             payload["meta_version"] = version
+            cache[version] = payload
+            for v in sorted(cache)[:-4]:
+                del cache[v]
             return payload
         return None
 
@@ -876,6 +890,20 @@ class SyncedTextIndex(_SyncedIndexBase):
         super().__init__(vindex, path)
         self.buckets = buckets
 
+    @staticmethod
+    def _stats_totals(title_stats: dict) -> list:
+        """[n_docs, n_dl, sum_dl] over all live titles — computed ONCE
+        at meta publish so unfiltered bm25 queries don't pay an
+        O(titles) driver sum per request. Summed in sorted-title order
+        so the float total is identical however the stats dict was
+        assembled (incremental refresh == full rebuild, bit-for-bit)."""
+        vals = [v for _, v in sorted(title_stats.items())]
+        return [
+            sum(v[0] for v in vals),
+            sum(v[1] for v in vals),
+            float(sum(v[2] for v in vals)),
+        ]
+
     def _write_segment(
         self, titles: Sequence[str] | None, segment: str, reader=None
     ) -> dict:
@@ -938,6 +966,7 @@ class SyncedTextIndex(_SyncedIndexBase):
             "assign": {t: seg for t in parts},
             "revoked": {seg: []},
             "title_stats": title_stats,
+            "stats_totals": self._stats_totals(title_stats),
             "buckets": self.buckets,
             "tokenizer": TOKENIZER_VERSION,
         }
@@ -970,6 +999,7 @@ class SyncedTextIndex(_SyncedIndexBase):
             "assign": assign,
             "revoked": self._update_revoked(m, assign, changed + removed),
             "title_stats": title_stats,
+            "stats_totals": self._stats_totals(title_stats),
             "buckets": m["buckets"],
             "tokenizer": m["tokenizer"],
         }
@@ -999,6 +1029,7 @@ class SyncedTextIndex(_SyncedIndexBase):
             assign={t: seg for t in live},
             revoked={seg: []},
             title_stats=title_stats,
+            stats_totals=self._stats_totals(title_stats),
         )
         self._publish_meta(m["meta_version"] + 1, meta)
         return meta
@@ -1050,14 +1081,17 @@ class SyncedTextIndex(_SyncedIndexBase):
                 memo[1][t] = py_term_bucket(t, buckets)
             want_buckets.add(memo[1][t])
         want = None if titles is None else set(titles)
-        stats = (
-            meta["title_stats"]
-            if want is None
-            else {t: v for t, v in meta["title_stats"].items() if t in want}
-        )
-        n_docs = sum(v[0] for v in stats.values())
-        n_dl = sum(v[1] for v in stats.values())
-        sum_dl = sum(v[2] for v in stats.values())
+        if want is None:
+            # publish-time totals: O(1) per query instead of an
+            # O(titles) driver sum (legacy metas fall back to the sum)
+            n_docs, n_dl, sum_dl = meta.get("stats_totals") or self._stats_totals(
+                meta["title_stats"]
+            )
+        else:
+            stats = {t: v for t, v in meta["title_stats"].items() if t in want}
+            n_docs = sum(v[0] for v in stats.values())
+            n_dl = sum(v[1] for v in stats.values())
+            sum_dl = sum(v[2] for v in stats.values())
         if n_docs == 0:
             return spark.createDataFrame([], "id string, score double")
         avgdl = (sum_dl / n_dl) if n_dl else 0.0
