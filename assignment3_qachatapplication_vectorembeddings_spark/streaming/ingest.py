@@ -171,6 +171,7 @@ def run_streaming_index_upsert(
     tokenizer: str = "ws",
     embedder=None,
     available_now: bool = True,
+    synced_indexes: Sequence | None = None,
 ):
     """Streaming Pipeline-1 + Pipeline-2 fused: documents landing in a
     dir flow straight into the vector index, one micro-batch at a time.
@@ -180,6 +181,10 @@ def run_streaming_index_upsert(
     accumulating batch-composition-dependent ids — the incremental
     contract the reference approximates with manual delete + re-upsert
     DAG runs.
+
+    ``synced_indexes``: same contract as
+    :func:`run_streaming_index_ingest` — derived indexes on this
+    ``index_path`` are ``refresh()``-ed after each micro-batch commit.
     """
     from ..functions.embedding import HashingEmbedder, embed_column
     from ..operators.chunking import pypdf_chunk_table
@@ -198,6 +203,8 @@ def run_streaming_index_upsert(
         upsert_from_chunks(
             VectorIndex(spark, index_path), embedded, id_mode="stable"
         )
+        for synced in synced_indexes or ():
+            synced.refresh()
 
     writer = (
         stream_documents(spark, landing_dir)

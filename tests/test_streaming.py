@@ -585,3 +585,37 @@ def test_streaming_ingest_auto_refreshes_synced_indexes(spark, tmp_path):
     assert not ann.is_stale()
     ids = {r["id"] for r in ann.encoded(on_stale="error").select("id").collect()}
     assert ids == {"1", "2", "3", "4", "5"}
+
+
+def test_streaming_upsert_auto_refreshes_text_index(spark, tmp_path):
+    """The document-feed sibling: synced_indexes on
+    run_streaming_index_upsert keeps a derived text index queryable
+    under on_stale='error' after every drained batch."""
+    import json as _json
+
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.index_maintenance import (
+        VectorIndex,
+    )
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.index_sync import (
+        SyncedTextIndex,
+    )
+    from assignment3_qachatapplication_vectorembeddings_spark.streaming.ingest import (
+        run_streaming_index_upsert,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    idx_path, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    (landing / "w1.json").write_text(
+        _json.dumps({"FormName": "alpha", "text": "spark joins windows"})
+    )
+    tix = SyncedTextIndex(
+        VectorIndex(spark, idx_path), str(tmp_path / "tix"), buckets=8
+    )
+    q = run_streaming_index_upsert(
+        spark, str(landing), idx_path, ckpt, token_limit=4, tokenizer="ws",
+        synced_indexes=[tix],
+    )
+    q.awaitTermination(120)
+    got = {r["id"] for r in tix.bm25(["spark"], on_stale="error").collect()}
+    assert got  # index is fresh AND contains the streamed doc's chunks
