@@ -468,6 +468,56 @@ class _SyncedIndexBase:
     def refresh(self) -> dict:  # pragma: no cover - overridden
         raise NotImplementedError
 
+    def compact(self) -> dict:  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def stats(self) -> dict:
+        """Operational snapshot of the derived index — the sidecar
+        face of the reference's ``describe_index_stats`` (S15,
+        ``pipeline2.py``): versions, segment layout, churn, and (for
+        ANN) the drift signal. Driver-only: reads the meta, never the
+        segments."""
+        m = self._load_meta()
+        if m is None:
+            return {"kind": self.KIND, "built": False}
+        by_seg: dict[str, int] = {}
+        for _t, seg in m["assign"].items():
+            by_seg[seg] = by_seg.get(seg, 0) + 1
+        revoked = m.get("revoked") or {}
+        out = {
+            "kind": self.KIND,
+            "built": True,
+            "meta_version": m["meta_version"],
+            "data_version": m["data_version"],
+            "stale": self.is_stale(),
+            "titles": len(m["assign"]),
+            "segments": len(by_seg),
+            "titles_per_segment": dict(sorted(by_seg.items())),
+            "revoked_titles": sum(len(v) for v in revoked.values()),
+        }
+        if "drift_ratio" in m:
+            out["drift_ratio"] = m["drift_ratio"]
+        if m.get("retrain_recommended"):
+            out["retrain_recommended"] = True
+        return out
+
+    def maybe_compact(self, *, max_segments: int = 8) -> dict | None:
+        """Fold when continuous refresh has grown the segment union
+        past ``max_segments`` — the bound that keeps query-time union
+        width and revoked-list length O(1) under a steady refresh
+        cadence (call it where the primary's compact is called). No-op
+        (returns None) below the bound or when the index is stale
+        (refresh first; compacting decides on the same snapshot it
+        encodes)."""
+        m = self._load_meta()
+        if m is None:
+            return None
+        if len(set(m["assign"].values())) <= max_segments:
+            return None
+        if self.is_stale():
+            return None
+        return self.compact()
+
 
 class SyncedIvfpqIndex(_SyncedIndexBase):
     """IVFPQ codes table derived from a VectorIndex, with staleness

@@ -67,3 +67,28 @@ def test_term_bucket_matches_jvm(spark):
         }
         for s, b in got.items():
             assert term_bucket(s, buckets) == b
+
+
+def test_xxhash64_matches_jvm_randomized(spark):
+    """300 seeded pseudo-random strings across byte/char alphabets —
+    the broad-net companion to the structured CASES."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    alphabets = [
+        "abcdefghijklmnopqrstuvwxyz0123456789 _-",
+        "".join(chr(c) for c in range(0x20, 0x7F)),
+        "áéíóúñçßøæœ日本語中文한국어русский",
+        "".join(chr(c) for c in range(0x1F300, 0x1F340)),  # emoji block
+    ]
+    cases = [
+        "".join(rng.choice(alphabets[i % len(alphabets)]) for _ in range(rng.randint(1, 120)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", F.xxhash64("s").alias("h")).collect()
+    }
+    for s in cases:
+        assert xxhash64(s) == got[s]

@@ -657,3 +657,37 @@ def test_revoked_bookkeeping_across_maintenance(tix, vindex, spark):
     tix.compact()
     m = tix._load_meta()
     assert list(m["revoked"].values()) == [[]]
+
+
+# -- round 6: ops surface (stats / maybe_compact) ----------------------------
+
+
+def test_stats_and_maybe_compact(tix, ann, vindex, spark):
+    s = tix.stats()
+    assert s["built"] and s["kind"] == "text" and not s["stale"]
+    assert s["segments"] == 1 and s["titles"] == 3 and s["revoked_titles"] == 0
+    # churn a title → stats reflect the extra segment and the revocation
+    vindex.upsert(make_updates(spark, [("formA_0", "formA", "rewritten")]))
+    assert tix.stats()["stale"] is True
+    tix.refresh()
+    ann.refresh()
+    s = tix.stats()
+    assert s["segments"] == 2 and s["revoked_titles"] == 1
+    a = ann.stats()
+    assert a["kind"] == "ivfpq" and a["segments"] == 2
+    # the drift signal surfaces in stats (here the rewritten vector IS
+    # far out of the tiny fixture's training distribution, so the
+    # sticky flag fires — the deterministic trip/no-trip cases are
+    # pinned in test_drift_guard_trips_on_distribution_shift)
+    assert "drift_ratio" in a
+    assert a.get("retrain_recommended") in (None, True)
+    # under the bound: no-op; over it: folds to one segment
+    assert tix.maybe_compact(max_segments=8) is None
+    assert tix.stats()["segments"] == 2
+    out = tix.maybe_compact(max_segments=1)
+    assert out is not None
+    s = tix.stats()
+    assert s["segments"] == 1 and s["revoked_titles"] == 0
+    # stale index: maybe_compact refuses silently (refresh first)
+    vindex.upsert(make_updates(spark, [("n_0", "formNew", "fresh")]))
+    assert tix.maybe_compact(max_segments=0) is None
