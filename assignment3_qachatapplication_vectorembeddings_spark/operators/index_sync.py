@@ -1122,7 +1122,9 @@ class SyncedTextIndex(_SyncedIndexBase):
         spark = self.vindex.spark
         buckets = int(meta["buckets"])
         memo = getattr(self, "_bucket_memo", None)
-        if memo is None or memo[0] != buckets:
+        if memo is None or memo[0] != buckets or len(memo[1]) > 65536:
+            # bounded: a long-lived server's query vocabulary grows
+            # without limit; re-hashing a term is nanoseconds anyway
             memo = (buckets, {})
             self._bucket_memo = memo
         want_buckets = set()
