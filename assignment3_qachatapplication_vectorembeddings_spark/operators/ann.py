@@ -65,6 +65,7 @@ __all__ = [
     "sq8_encode",
     "sq8_topk",
     "ivfpq_topk",
+    "ivfpq_topk_batch",
 ]
 
 
@@ -711,6 +712,160 @@ def ivfpq_topk(
     )
     rerank = emb.join(short, id_col, "left_semi")
     return topk_cosine(rerank, qvec, k, vec_col=vec_col)
+
+
+def ivfpq_topk_batch(
+    encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    *,
+    nprobe: int = 4,
+    emb: DataFrame | None = None,
+    q_id_col: str = "qid",
+    q_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shortlist: int | None = None,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Batch ADC top-k: answer MANY queries in ONE scan of the probed
+    cells — the batch-serving shape that matters at 100 TB, where
+    per-question :func:`ivfpq_topk` jobs would rescan the codes table
+    per query. The whole query batch is collected driver-side (bounded
+    by ``max_queries`` — a batch request is driver-sized by contract),
+    its per-query LUTs/probe sets broadcast once, and one Arrow
+    ``mapInPandas`` pass scores each probed code row against exactly
+    the queries probing its cell (a per-cluster LUT-gather matmul,
+    never rows x all-queries). Per-slab, per-query top candidates are
+    cut locally (keeping boundary TIES, so the global id-tiebreak stays
+    exact; within one cluster ids are unique, so a local cut can never
+    starve the global distinct-id top-k even on multi-posted tables),
+    then one groupBy-max dedups postings and a window ranks per query.
+
+    ``emb`` switches to shortlist + EXACT re-rank: the shortlisted ids
+    join the originals and the final score is the same JVM-side
+    ``cosine_sim`` the exact :func:`~..operators.topk.knn_join` uses —
+    with full probing the result is bit-identical to brute force (the
+    gate oracle). Returns ``(q_id_col, <emb cols minus vector>, score)``
+    with ``emb``, else ``(q_id_col, id_col, score)``.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.similarity import cosine_sim
+
+    cb = codebooks
+    m, _, dsub = cb.shape
+    qpdf = queries.select(q_id_col, q_vec_col).limit(max_queries + 1).toPandas()
+    if len(qpdf) > max_queries:
+        raise ValueError(
+            f"batch has more than max_queries={max_queries} rows; raise the "
+            "bound or split the batch (driver memory holds one LUT per query)"
+        )
+    if not len(qpdf):
+        empty_schema = f"{q_id_col} long, {id_col} string, score double"
+        return encoded.sparkSession.createDataFrame([], empty_schema)
+    qmat = np.array([np.asarray(v, dtype=np.float64) for v in qpdf[q_vec_col]])
+    if qmat.shape[1] != m * dsub:
+        raise ValueError(f"query dim {qmat.shape[1]} != codebook dim {m * dsub}")
+    qids = qpdf[q_id_col].to_numpy()
+    qn = np.sqrt((qmat * qmat).sum(axis=1))
+    # per-query probe sets -> cluster -> [query rows probing it]
+    d2 = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2, axis=1)[:, :nprobe]  # (Q, nprobe)
+    probe_cols: dict[int, np.ndarray] = {}
+    for j in range(len(qmat)):
+        for c in probes[j]:
+            probe_cols.setdefault(int(c), []).append(j)
+    probe_cols = {c: np.asarray(js, dtype=np.int64) for c, js in probe_cols.items()}
+    qc = qmat @ centroids.T  # (Q, nlist)
+    lut = np.stack(
+        [cb[i] @ qmat[:, i * dsub : (i + 1) * dsub].T for i in range(m)]
+    )  # (m, ksub, Q)
+    s_keep = k if emb is None else (shortlist or max(10 * k, 100))
+    bc = encoded.sparkSession.sparkContext.broadcast(
+        {"lut": lut, "qc": qc, "qn": qn, "qids": qids, "probe_cols": probe_cols}
+    )
+    qid_ddl = queries.schema[q_id_col].dataType.simpleString()
+    id_ddl = encoded.schema[id_col].dataType.simpleString()
+    out_schema = f"{q_id_col} {qid_ddl}, {id_col} {id_ddl}, score double"
+
+    def _score(batches):
+        B = bc.value
+        lut_, qc_, qn_, qids_ = B["lut"], B["qc"], B["qn"], B["qids"]
+        cols = B["probe_cols"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for c, grp in pdf.groupby("cluster", sort=False):
+                S = cols.get(int(c))
+                if S is None or not len(grp):
+                    continue
+                codes = np.array(
+                    [np.asarray(x, dtype=np.int64) for x in grp["codes"]]
+                )  # (r, m)
+                r = len(codes)
+                dots = qc_[S, int(c)][None, :].repeat(r, axis=0)
+                for i in range(lut_.shape[0]):
+                    dots += lut_[i][codes[:, i][:, None], S[None, :]]
+                norm = grp["norm"].to_numpy(dtype=np.float64)
+                denom = qn_[S][None, :] * np.maximum(norm, 1e-300)[:, None]
+                scores = np.where(norm[:, None] > 0, dots / denom, 0.0)
+                ids = grp[id_col].to_numpy()
+                for jj in range(len(S)):
+                    col = scores[:, jj]
+                    if r > s_keep:
+                        # keep top s_keep PLUS boundary ties: the global
+                        # (score desc, id asc) order resolves them
+                        thresh = np.partition(col, r - s_keep)[r - s_keep]
+                        keep = col >= thresh
+                    else:
+                        keep = slice(None)
+                    kid, ks = ids[keep], col[keep]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                q_id_col: np.full(len(ks), qids_[S[jj]]),
+                                id_col: kid,
+                                "score": ks,
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    union_probe = sorted(probe_cols)
+    cands = (
+        encoded.filter(F.col("cluster").isin(union_probe))
+        .select(id_col, "cluster", "codes", "norm")
+        .mapInPandas(_score, schema=out_schema)
+    )
+    # multi-posted ids: best ADC score wins (map-side-combinable max)
+    best = cands.groupBy(q_id_col, id_col).agg(F.max("score").alias("score"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    ranked = best.withColumn("__rn", F.row_number().over(w))
+    if emb is None:
+        return ranked.filter(F.col("__rn") <= k).drop("__rn")
+    short = ranked.filter(F.col("__rn") <= s_keep).select(q_id_col, id_col)
+    qf = F.broadcast(
+        queries.select(
+            F.col(q_id_col).alias("__qid"), F.col(q_vec_col).alias("__qvec")
+        )
+    )
+    exact = (
+        emb.join(short, id_col, "inner")
+        .join(qf, F.col(q_id_col) == F.col("__qid"))
+        .withColumn("score", cosine_sim(F.col(vec_col), F.col("__qvec")))
+        .drop("__qid", "__qvec", vec_col)
+    )
+    we = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        exact.withColumn("__rn", F.row_number().over(we))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 # ----------------------------------------------------------------------
 # Scalar quantization (FAISS ``SQ8``): each dimension quantized
 # independently to one byte on a per-dimension [min, max] range fit on

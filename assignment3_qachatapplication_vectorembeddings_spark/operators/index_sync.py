@@ -910,6 +910,62 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             shortlist=shortlist,
         )
 
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        *,
+        q_id_col: str = "qid",
+        q_vec_col: str = "qvec",
+        nprobe: int = 4,
+        rerank: bool = False,
+        shortlist: int | None = None,
+        titles: Sequence[str] | None = None,
+        on_stale: str = "error",
+        max_queries: int = 10_000,
+    ) -> DataFrame:
+        """Batch sibling of :meth:`search`: MANY (qid, qvec) queries in
+        ONE scan of the union of their probed cells
+        (:func:`~.ann.ivfpq_topk_batch`) — per-question jobs would
+        rescan the codes table per query at batch-serving scale. Same
+        staleness policy, ``$in`` title predicate, and pinned-manifest
+        exact re-rank as the single-query path; with ``rerank`` the
+        output carries the primary's (id, title, text) per hit."""
+        from .ann import ivfpq_topk_batch
+
+        meta = self._resolve(on_stale)
+        centroids, codebooks = self._load_quantizer(meta.get("quantizer_id"))
+        enc = self._encoded_for(meta, titles)
+        emb = None
+        if rerank:
+            live = sorted(meta["assign"])
+            if titles is not None:
+                live = sorted(set(titles) & set(live))
+            payload = self.vindex._load_manifest_version(meta["data_version"])
+            if payload is None:
+                raise StaleIndexError(
+                    f"primary manifest v{meta['data_version']} (the snapshot "
+                    f"this {self.KIND} index serves) has been vacuumed at "
+                    f"{self.vindex.path}; refresh() the index or hold a "
+                    "primary reader_lease across serving"
+                )
+            emb = self.vindex._read_manifest_payload(payload, titles=live)
+        return ivfpq_topk_batch(
+            enc,
+            centroids,
+            codebooks,
+            queries,
+            k,
+            nprobe=nprobe,
+            emb=emb,
+            q_id_col=q_id_col,
+            q_vec_col=q_vec_col,
+            id_col="id",
+            vec_col="vector",
+            shortlist=shortlist,
+            max_queries=max_queries,
+        )
+
 
 class SyncedTextIndex(_SyncedIndexBase):
     """Inverted (BM25) text index derived from a VectorIndex — the

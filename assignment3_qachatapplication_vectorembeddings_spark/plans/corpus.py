@@ -1100,6 +1100,55 @@ SELECT qid, vec_id, round(score, 4) AS score FROM (
 """
 
 
+def q_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN serving (round 6): many queries answered in ONE scan
+    of the union of their probed IVF cells (``ivfpq_topk_batch`` —
+    per-query LUTs broadcast once, per-cluster LUT-gather scoring,
+    local tie-keeping top cut, exact re-rank). The gate pins the
+    PLUMBING exactly: full probing + a shortlist covering the probed
+    rows makes the result bit-identical to brute-force k-NN (the SQL
+    oracle); the bounded-shortlist/bounded-probe approximate mode is
+    pinned by the recall floor in ``tests/test_ann.py``."""
+    from ..operators.ann import ivfpq_build, ivfpq_encode, ivfpq_topk_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    index = emb.filter(F.col("vec_id") >= 5)
+    # tiny training budget: the full-probe + covering-shortlist rerank
+    # makes the RESULT exact regardless of quantizer quality, so the
+    # gate spends its wall on the serving plumbing, not on k-means
+    centroids, codebooks = ivfpq_build(
+        index,
+        nlist=8,
+        m=8,
+        nbits=8,
+        seed=7,
+        coarse_iter=3,
+        pq_iter=3,
+        sample_cap=2048,
+    )
+    enc = ivfpq_encode(index, centroids, codebooks, posts=2).select(
+        "vec_id", "cluster", "codes", "norm"
+    )
+    hits = ivfpq_topk_batch(
+        enc,
+        centroids,
+        codebooks,
+        queries,
+        3,
+        nprobe=8,
+        emb=index,
+        q_vec_col="qvec",
+        shortlist=1_000_000,
+    )
+    return hits.select("qid", "vec_id", F.round("score", 4).alias("score"))
+
+
+_SQL_IVFPQ_BATCH_TOPK = _SQL_KNN_JOIN
+
+
 # --------------------------------------------------------------------------
 # Relational breadth — TPC-H-shaped multi-join analytics. The reference has
 # no general join executor (SURVEY §2.3); these exercise what Spark gives
@@ -5635,6 +5684,11 @@ CORPUS: dict[str, QuerySpec] = {
     "sectionize": QuerySpec(q_sectionize, _SQL_SECTIONIZE, "W2 section numbering"),
     "knn_join_topk": QuerySpec(
         q_knn_join, _SQL_KNN_JOIN, "batch k-NN join (broadcast + rank window)"
+    ),
+    "ivfpq_batch_topk": QuerySpec(
+        q_ivfpq_batch_topk,
+        _SQL_IVFPQ_BATCH_TOPK,
+        "batch ADC serving: one probed-cell scan for many queries + exact re-rank",
     ),
     "shipping_priority": QuerySpec(
         q_shipping_priority, _SQL_SHIPPING_PRIORITY, "TPC-H Q3 shape, 3-way join top-N"

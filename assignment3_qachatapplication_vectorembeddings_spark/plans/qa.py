@@ -186,14 +186,27 @@ class QAPipeline:
             self.embedder,
             out_col="qvec",
         ).select("qid", q_col, F.col("qvec").alias("embedding"))
-        hits = knn_join(
-            q.select("qid", "embedding"),
-            self.index.read(),
-            self.top_k,
-            q_id_col="qid",
-            i_vec_col="vector",
-            tiebreak=("id",),
-        )
+        if self.ann_index is not None:
+            # accelerated batch path: ONE scan of the union of all
+            # questions' probed cells (ivfpq_topk_batch), exact
+            # pinned-snapshot re-rank — per-question jobs would rescan
+            # the codes table per query
+            hits = self.ann_index.search_batch(
+                q.select("qid", F.col("embedding").alias("qvec")),
+                self.top_k,
+                nprobe=self.ann_nprobe,
+                rerank=True,
+                on_stale=self.ann_policy,
+            )
+        else:
+            hits = knn_join(
+                q.select("qid", "embedding"),
+                self.index.read(),
+                self.top_k,
+                q_id_col="qid",
+                i_vec_col="vector",
+                tiebreak=("id",),
+            )
         ctx = (
             hits.withColumn(
                 "__rn",

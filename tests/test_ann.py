@@ -420,3 +420,87 @@ def test_persisted_ivfpq_index_round_trips_and_prunes(spark, emb, qvec, tmp_path
         .toString()
     )
     assert "PartitionFilters" in plan and "cluster" in plan
+
+
+def test_ivfpq_topk_batch_full_probe_matches_exact_knn_join(spark, sf_dir):
+    """Batch ADC with full probing + a shortlist covering the probed
+    rows + exact re-rank must equal the brute-force knn_join
+    bit-for-bit (the gate-oracle contract), on a multi-posted table.
+    (A BOUNDED shortlist under tiny 4x4 codebooks legitimately drops
+    true neighbors the coarse ADC misranks — that mode is pinned by
+    the recall test below, not this equality.)"""
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        ivfpq_build,
+        ivfpq_encode,
+        ivfpq_topk_batch,
+    )
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.topk import (
+        knn_join,
+    )
+
+    emb_all = load_table(spark, sf_dir, "embeddings")
+    queries = emb_all.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    index = emb_all.filter(F.col("vec_id") >= 5)
+    centroids, codebooks = ivfpq_build(index, nlist=8, m=4, nbits=4, seed=7)
+    enc = ivfpq_encode(index, centroids, codebooks, posts=2).select(
+        "vec_id", "cluster", "codes", "norm"
+    )
+    got = ivfpq_topk_batch(
+        enc, centroids, codebooks, queries, 3, nprobe=8,
+        emb=index, q_vec_col="qvec", shortlist=100_000,
+    ).select("qid", "vec_id", F.round("score", 9).alias("score"))
+    expect = knn_join(
+        queries,
+        index.select("vec_id", F.col("embedding").alias("vector")),
+        3,
+        q_vec_col="qvec",
+        tiebreak=("vec_id",),
+    ).select("qid", "vec_id", F.round("score", 9).alias("score"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_ivfpq_topk_batch_adc_only_and_recall(spark, sf_dir):
+    """ADC-only batch path: k rows per query, and with generous probes
+    the ADC shortlist recalls the true neighbors well (seeded floor)."""
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        ivfpq_build,
+        ivfpq_encode,
+        ivfpq_topk_batch,
+    )
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.topk import (
+        knn_join,
+    )
+
+    emb_all = load_table(spark, sf_dir, "embeddings")
+    queries = emb_all.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    index = emb_all.filter(F.col("vec_id") >= 5)
+    centroids, codebooks = ivfpq_build(index, nlist=8, m=8, nbits=8, seed=7)
+    enc = ivfpq_encode(index, centroids, codebooks, posts=1).select(
+        "vec_id", "cluster", "codes", "norm"
+    )
+    got = ivfpq_topk_batch(
+        enc, centroids, codebooks, queries, K, nprobe=8, q_vec_col="qvec"
+    )
+    counts = {r["qid"]: r["n"] for r in got.groupBy("qid").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {0, 1, 2, 3, 4} and all(n == K for n in counts.values())
+    exact = knn_join(
+        queries,
+        index.select("vec_id", F.col("embedding").alias("vector")),
+        K,
+        q_vec_col="qvec",
+        tiebreak=("vec_id",),
+    )
+    true_sets = {}
+    for r in exact.collect():
+        true_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    hit = sum(
+        r["vec_id"] in true_sets[r["qid"]] for r in got.collect()
+    )
+    # ADC-only on near-uniform synthetic 64-d data is the hard case
+    # for PQ (measured 0.72 with these seeds); the rerank path above is
+    # the precision mechanism — this floor just pins "sane shortlist"
+    assert hit / (5 * K) >= 0.6

@@ -691,3 +691,62 @@ def test_stats_and_maybe_compact(tix, ann, vindex, spark):
     # stale index: maybe_compact refuses silently (refresh first)
     vindex.upsert(make_updates(spark, [("n_0", "formNew", "fresh")]))
     assert tix.maybe_compact(max_segments=0) is None
+
+
+# -- round 6: batch ANN serving ----------------------------------------------
+
+
+def test_search_batch_matches_per_query_search(ann, vindex, spark):
+    """Batch serving == a loop of single-query search() on the same
+    synced index (full probe + covering shortlist + exact re-rank)."""
+    questions = ["spark windows", "join strategies", "vector search"]
+    qdf = spark.createDataFrame(
+        [(i, EMB.embed_one(t)) for i, t in enumerate(questions)],
+        "qid int, qvec array<float>",
+    )
+    batch = ann.search_batch(
+        qdf, 3, nprobe=4, rerank=True, shortlist=10_000
+    ).select("qid", "id", F.round("score", 9).alias("score"))
+    got = {(r["qid"], r["id"], r["score"]) for r in batch.collect()}
+    want = set()
+    for i, t in enumerate(questions):
+        for r in (
+            ann.search(EMB.embed_one(t), 3, nprobe=4, rerank=True, shortlist=10_000)
+            .select("id", F.round("score", 9).alias("score"))
+            .collect()
+        ):
+            want.add((i, r["id"], r["score"]))
+    assert got == want and len(got) == 9
+
+
+def test_search_batch_titles_and_staleness(ann, vindex, spark):
+    qdf = spark.createDataFrame(
+        [(0, EMB.embed_one("join strategies"))], "qid int, qvec array<float>"
+    )
+    hits = ann.search_batch(
+        qdf, 5, nprobe=4, rerank=True, titles=["formB"], shortlist=10_000
+    ).collect()
+    assert hits and all(r["id"].startswith("formB_") for r in hits)
+    vindex.upsert(make_updates(spark, [("n_0", "formNew", "fresh rows")]))
+    with pytest.raises(StaleIndexError):
+        ann.search_batch(qdf, 3)
+
+
+def test_ask_batch_accelerated_matches_exact(ann, vindex, spark):
+    """ask_batch over the synced index returns the same answers as the
+    exact knn_join path (the contract that lets a serving stack flip
+    the accelerator on without changing results)."""
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.qa import (
+        QAPipeline,
+    )
+
+    questions = spark.createDataFrame(
+        [("spark windows",), ("vector search",)], "question string"
+    )
+    exact = QAPipeline(vindex, embedder=EMB)
+    fast = QAPipeline(
+        vindex, embedder=EMB, ann_index=ann, ann_nprobe=4
+    )
+    a = {(r["question"], r["answer"]) for r in exact.ask_batch(questions).collect()}
+    b = {(r["question"], r["answer"]) for r in fast.ask_batch(questions).collect()}
+    assert a == b and len(a) == 2
