@@ -1170,12 +1170,86 @@ class SyncedTextIndex(_SyncedIndexBase):
         if not terms:
             raise ValueError("bm25 requires at least one term")
         meta = self._resolve(on_stale)
+        scan = self._bm25_scan(meta, terms, titles)
+        if scan is None:
+            return self.vindex.spark.createDataFrame([], "id string, score double")
+        scored, contrib = self._bm25_contrib(scan, k1, b)
+        return (
+            scored.select("id", contrib.alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("score"))
+        )
+
+    def bm25_batch(
+        self,
+        queries: DataFrame,
+        *,
+        q_id_col: str = "qid",
+        terms_col: str = "terms",
+        k1: float = 1.2,
+        b: float = 0.75,
+        titles: Sequence[str] | None = None,
+        on_stale: str = "error",
+        max_queries: int = 10_000,
+    ) -> DataFrame:
+        """(qid, id, score) for MANY queries in ONE postings scan — the
+        lexical sibling of :meth:`SyncedIvfpqIndex.search_batch`. The
+        batch (``q_id_col``, ``terms_col`` array) is collected driver-
+        side (bounded), the union of all queries' terms prunes the
+        postings buckets once, per-term df is computed once (Okapi df
+        is query-independent), and a broadcast (qid, word) map fans the
+        shared scan out to per-query scores — fully JVM-side, no UDF.
+        Per-query scores equal a loop of :meth:`bm25` exactly; ranking
+        is the caller's (scores are unbounded per query by design,
+        like the single-query method)."""
+        qpdf = queries.select(q_id_col, terms_col).limit(max_queries + 1).toPandas()
+        if len(qpdf) > max_queries:
+            raise ValueError(
+                f"batch has more than max_queries={max_queries} rows; split it"
+            )
+        pairs = []
+        union_terms: dict[str, None] = {}
+        for qid, ts in zip(qpdf[q_id_col], qpdf[terms_col]):
+            if ts is None:
+                continue
+            qid = qid.item() if hasattr(qid, "item") else qid  # numpy -> py
+            for t in dict.fromkeys(x for x in ts if x):
+                pairs.append((qid, str(t)))
+                union_terms[str(t)] = None
+        if not pairs:
+            raise ValueError("bm25_batch requires at least one (qid, term)")
+        meta = self._resolve(on_stale)
+        scan = self._bm25_scan(meta, list(union_terms), titles)
+        spark = self.vindex.spark
+        qid_ddl = queries.schema[q_id_col].dataType.simpleString()
+        if scan is None:
+            return spark.createDataFrame(
+                [], f"{q_id_col} {qid_ddl}, id string, score double"
+            )
+        scored, contrib = self._bm25_contrib(scan, k1, b)
+        qmap = F.broadcast(
+            spark.createDataFrame(pairs, f"{q_id_col} {qid_ddl}, word string")
+        )
+        return (
+            scored.join(qmap, "word")
+            .select(q_id_col, "id", contrib.alias("c"))
+            .groupBy(q_id_col, "id")
+            .agg(F.sum("c").alias("score"))
+        )
+
+    def _bm25_scan(
+        self, meta: dict, terms: list[str], titles: Sequence[str] | None
+    ):
+        """Shared scoped scan for the single-query and batch scorers:
+        returns ``(hits, doclens, n_docs, avgdl)`` or None (empty
+        scope). Buckets are hashed client-side (parity-pinned
+        xxhash64), segments read with explicit schemas and O(churn)
+        title filters — construction launches no Spark job."""
         if meta["tokenizer"] != TOKENIZER_VERSION:
             raise ValueError(
                 f"text index at {self.path} was built with tokenizer "
                 f"{meta['tokenizer']!r}; engine is {TOKENIZER_VERSION!r}"
             )
-        spark = self.vindex.spark
         buckets = int(meta["buckets"])
         memo = getattr(self, "_bucket_memo", None)
         if memo is None or memo[0] != buckets or len(memo[1]) > 65536:
@@ -1201,8 +1275,9 @@ class SyncedTextIndex(_SyncedIndexBase):
             n_dl = sum(v[1] for v in stats.values())
             sum_dl = sum(v[2] for v in stats.values())
         if n_docs == 0:
-            return spark.createDataFrame([], "id string, score double")
+            return None
         avgdl = (sum_dl / n_dl) if n_dl else 0.0
+
         def _title_cond(seg_titles, revoked):
             """None = read everything, False = skip segment entirely."""
             if want is not None:
@@ -1235,9 +1310,16 @@ class SyncedTextIndex(_SyncedIndexBase):
                 df = df.where(cond)
             dl_frames.append(df.select("id", "dl"))
         if not hit_frames:
-            return spark.createDataFrame([], "id string, score double")
+            return None
         hits = reduce(DataFrame.unionByName, hit_frames)
         doclens = reduce(DataFrame.unionByName, dl_frames)
+        return hits, doclens, n_docs, avgdl
+
+    @staticmethod
+    def _bm25_contrib(scan, k1: float, b: float):
+        """(scored frame carrying word/id/tf/df/dl, per-row Okapi
+        contribution column) from a :meth:`_bm25_scan` result."""
+        hits, doclens, n_docs, avgdl = scan
         dfs = hits.groupBy("word").agg(
             F.count(F.lit(1)).cast("double").alias("df")
         )
@@ -1250,8 +1332,4 @@ class SyncedTextIndex(_SyncedIndexBase):
             * (k1 + 1)
             / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
         )
-        return (
-            scored.select("id", contrib.alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("score"))
-        )
+        return scored, contrib

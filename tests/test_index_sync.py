@@ -750,3 +750,33 @@ def test_ask_batch_accelerated_matches_exact(ann, vindex, spark):
     a = {(r["question"], r["answer"]) for r in exact.ask_batch(questions).collect()}
     b = {(r["question"], r["answer"]) for r in fast.ask_batch(questions).collect()}
     assert a == b and len(a) == 2
+
+
+def test_bm25_batch_matches_per_query_loop(tix, spark):
+    """One postings scan for many queries == a loop of bm25()."""
+    qs = [
+        (0, ["spark", "windows"]),
+        (1, ["join", "strategies", "about"]),
+        (2, ["vector"]),
+        (3, ["nosuchterm"]),
+    ]
+    qdf = spark.createDataFrame(qs, "qid int, terms array<string>")
+    got = {}
+    for r in tix.bm25_batch(qdf).collect():
+        got.setdefault(r["qid"], {})[r["id"]] = round(r["score"], 9)
+    for qid, terms in qs:
+        want = {
+            r["id"]: round(r["score"], 9) for r in tix.bm25(terms).collect()
+        }
+        assert got.get(qid, {}) == want, f"qid {qid} diverged"
+    # titles filter applies uniformly
+    f = {
+        (r["qid"], r["id"]): round(r["score"], 9)
+        for r in tix.bm25_batch(qdf, titles=["formA"]).collect()
+    }
+    want_f = {
+        (0, r["id"]): round(r["score"], 9)
+        for r in tix.bm25(["spark", "windows"], titles=["formA"]).collect()
+    }
+    assert {k: v for k, v in f.items() if k[0] == 0} == want_f
+    assert all(i.startswith("formA_") for _, i in f)
