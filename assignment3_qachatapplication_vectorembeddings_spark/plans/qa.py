@@ -166,6 +166,90 @@ class QAPipeline:
             "id", "title", "text", F.col("rrf").alias("score")
         ).orderBy(F.desc("score"), F.asc("id"))
 
+    def search_hybrid_batch(
+        self,
+        questions: DataFrame,
+        *,
+        q_col: str = "question",
+        candidates: int = 50,
+        k0: int = 60,
+        max_queries: int = 10_000,
+    ) -> DataFrame:
+        """Hybrid retrieval for MANY questions over the batch serving
+        paths: ONE postings scan (``bm25_batch``) + ONE probed-cell
+        codes scan (``search_batch``), fused per question with
+        reciprocal-rank fusion — per-question results equal a loop of
+        :meth:`search_hybrid` exactly (pytest-pinned). Requires both
+        ``text_index`` and ``ann_index`` (the batch paths ARE those
+        indexes; the in-plan scorers have no batch form). Returns
+        ``(qid, question, id, title, text, score)``, ``top_k`` rows
+        per question."""
+        from pyspark.sql.window import Window
+
+        if self.text_index is None or self.ann_index is None:
+            raise ValueError(
+                "search_hybrid_batch needs both text_index and ann_index"
+            )
+        spark = questions.sparkSession
+        rows = questions.select(q_col).limit(max_queries + 1).collect()
+        if len(rows) > max_queries:
+            raise ValueError(f"batch exceeds max_queries={max_queries}")
+        qs = [r[q_col] for r in rows]
+        qdf_terms = spark.createDataFrame(
+            [(i, [t for t in q.lower().split() if t]) for i, q in enumerate(qs)],
+            "qid long, terms array<string>",
+        )
+        qdf_vecs = spark.createDataFrame(
+            [(i, self.embedder.embed_one(q)) for i, q in enumerate(qs)],
+            "qid long, qvec array<float>",
+        )
+        wq = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+        bm = (
+            self.text_index.bm25_batch(qdf_terms, on_stale=self.ann_policy)
+            .withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= candidates)
+            .select("qid", "id", "rank")
+        )
+        vec = (
+            self.ann_index.search_batch(
+                qdf_vecs,
+                candidates,
+                nprobe=self.ann_nprobe,
+                rerank=True,
+                on_stale=self.ann_policy,
+            )
+            .withColumn("rank", F.row_number().over(wq))
+            .select("qid", "id", "rank")
+        )
+        a = bm.select("qid", "id", F.col("rank").alias("rank_a"))
+        b = vec.select("qid", "id", F.col("rank").alias("rank_b"))
+        fused = a.join(b, ["qid", "id"], "full_outer").select(
+            "qid",
+            "id",
+            (
+                F.coalesce(1.0 / (k0 + F.col("rank_a")), F.lit(0.0))
+                + F.coalesce(1.0 / (k0 + F.col("rank_b")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        wf = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("id"))
+        top = (
+            fused.withColumn("__rn", F.row_number().over(wf))
+            .filter(F.col("__rn") <= self.top_k)
+            .drop("__rn")
+        )
+        qnames = spark.createDataFrame(
+            list(enumerate(qs)), f"qid long, {q_col} string"
+        )
+        base = self.index.read().select("id", "title", "text")
+        return (
+            top.join(F.broadcast(qnames), "qid")
+            .join(base, "id", "left")
+            .select(
+                "qid", q_col, "id", "title", "text", F.col("rrf").alias("score")
+            )
+            .orderBy("qid", F.desc("score"), F.asc("id"))
+        )
+
     def ask_batch(self, questions: DataFrame, *, q_col: str = "question") -> DataFrame:
         """M3's batch variant (SURVEY §2.8): answer MANY questions in one
         job — embed all questions (Arrow batches), broadcast k-NN join

@@ -780,3 +780,32 @@ def test_bm25_batch_matches_per_query_loop(tix, spark):
     }
     assert {k: v for k, v in f.items() if k[0] == 0} == want_f
     assert all(i.startswith("formA_") for _, i in f)
+
+
+def test_search_hybrid_batch_matches_per_question_loop(vindex, tmp_path, spark):
+    """Batch hybrid (one postings scan + one codes scan + per-question
+    RRF) == a loop of search_hybrid over the same indexes."""
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.qa import (
+        QAPipeline,
+    )
+
+    ann = SyncedIvfpqIndex(vindex, str(tmp_path / "hb_ann"), nlist=4, m=4, nbits=4)
+    ann.build()
+    tix = SyncedTextIndex(vindex, str(tmp_path / "hb_tix"), buckets=8)
+    tix.build()
+    qa = QAPipeline(vindex, embedder=EMB, ann_index=ann, text_index=tix, ann_nprobe=4)
+    questions = ["spark windows", "join strategies about", "vector search"]
+    qdf = spark.createDataFrame([(q,) for q in questions], "question string")
+    batch = qa.search_hybrid_batch(qdf)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["question"], []).append((r["id"], round(r["score"], 9)))
+    for q in questions:
+        want = [
+            (r["id"], round(r["score"], 9))
+            for r in qa.search_hybrid(q).collect()
+        ]
+        assert got[q] == want, f"{q!r} diverged"
+    # requires both indexes
+    with pytest.raises(ValueError, match="needs both"):
+        QAPipeline(vindex, embedder=EMB, ann_index=ann).search_hybrid_batch(qdf)
