@@ -764,8 +764,11 @@ def ivfpq_topk_batch(
             "bound or split the batch (driver memory holds one LUT per query)"
         )
     if not len(qpdf):
-        empty_schema = f"{q_id_col} long, {id_col} string, score double"
-        return encoded.sparkSession.createDataFrame([], empty_schema)
+        qid_t = queries.schema[q_id_col].dataType.simpleString()
+        id_t = encoded.schema[id_col].dataType.simpleString()
+        return encoded.sparkSession.createDataFrame(
+            [], f"{q_id_col} {qid_t}, {id_col} {id_t}, score double"
+        )
     qmat = np.array([np.asarray(v, dtype=np.float64) for v in qpdf[q_vec_col]])
     if qmat.shape[1] != m * dsub:
         raise ValueError(f"query dim {qmat.shape[1]} != codebook dim {m * dsub}")
