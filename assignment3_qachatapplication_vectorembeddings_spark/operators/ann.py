@@ -764,11 +764,29 @@ def ivfpq_topk_batch(
             "bound or split the batch (driver memory holds one LUT per query)"
         )
     if not len(qpdf):
-        qid_t = queries.schema[q_id_col].dataType.simpleString()
-        id_t = encoded.schema[id_col].dataType.simpleString()
-        return encoded.sparkSession.createDataFrame(
-            [], f"{q_id_col} {qid_t}, {id_col} {id_t}, score double"
+        # shape the empty result like the NON-empty path would: the
+        # rerank variant carries emb's columns (an accelerated
+        # ask_batch on zero questions must not change schema by
+        # cardinality — confirmed round-6 review crash)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        if emb is not None:
+            base = emb.drop(vec_col).schema.fields
+        else:
+            base = [StructField(id_col, encoded.schema[id_col].dataType)]
+        schema = StructType(
+            list(base)
+            + [
+                StructField(q_id_col, queries.schema[q_id_col].dataType),
+                StructField("score", DoubleType()),
+            ]
         )
+        return encoded.sparkSession.createDataFrame([], schema)
+    if qpdf[q_id_col].duplicated().any():
+        # two queries under one qid would interleave their candidates
+        # into one garbage ranking — fail loudly instead
+        dup = qpdf[q_id_col][qpdf[q_id_col].duplicated()].iloc[0]
+        raise ValueError(f"duplicate {q_id_col} in batch (e.g. {dup!r})")
     qmat = np.array([np.asarray(v, dtype=np.float64) for v in qpdf[q_vec_col]])
     if qmat.shape[1] != m * dsub:
         raise ValueError(f"query dim {qmat.shape[1]} != codebook dim {m * dsub}")

@@ -137,6 +137,22 @@ class _SyncedIndexBase:
         return None
 
     def _publish_meta(self, version: int, payload: dict) -> None:
+        # referenced segments must still exist at publish time: a
+        # writer stalled past vacuum's min-age (or running under clock
+        # skew) could otherwise publish a meta pointing at a directory
+        # a concurrent vacuum just reclaimed — a permanently broken
+        # index. The check turns that into a loud retryable failure;
+        # the residual check-to-publish window is the same bounded
+        # bargain the primary's min-age makes.
+        live = self.vindex._list_dir(self.path)
+        missing = sorted(set(payload.get("assign", {}).values()) - set(live))
+        if missing:
+            raise StaleIndexError(
+                f"segments {missing} referenced by {self.KIND} meta "
+                f"v{version} no longer exist at {self.path} (vacuumed "
+                "mid-write? writer stalled past min_age_sec, or vacuumer "
+                "clock ahead of writer clock) — retry the operation"
+            )
         payload = dict(
             payload,
             kind=self.KIND,
@@ -295,29 +311,51 @@ class _SyncedIndexBase:
         refresh+vacuum cycles. Yields the pinned meta dict (pass its
         ``assign`` through :meth:`_segment_frames` / the serving
         methods' internals). Mirrors ``VectorIndex.reader_lease``:
-        an orphaned lease self-expires after ``ttl_sec``."""
-        m = self._load_meta()
-        if m is None:
-            raise StaleIndexError(
-                f"no {self.KIND} index built at {self.path}; call build()"
-            )
-        version = m["meta_version"]
-        lease_id = uuid.uuid4().hex[:12]
-        target = f"{self.lease_dir}/v{version:020d}-{lease_id}.json"
-        expires = datetime.now(timezone.utc).timestamp() + ttl_sec
-        payload = {
-            "meta_version": version,
-            "expires_utc": datetime.fromtimestamp(
-                expires, tz=timezone.utc
-            ).isoformat(),
-        }
-        if not self.vindex._create_exclusive(target, json.dumps(payload).encode()):
-            raise RuntimeError(f"lease file collision at {target}")
+        an orphaned lease self-expires after ``ttl_sec``.
+
+        Pin-then-verify closes the load-to-lease race: after the lease
+        file lands, the pinned version must still be listed (a
+        zero-slack concurrent vacuum could have reclaimed it in the
+        window); a lost race releases and re-pins the then-newest meta
+        — bounded retries, then a loud error."""
+        target = None
         try:
+            for _attempt in range(3):
+                m = self._load_meta()
+                if m is None:
+                    raise StaleIndexError(
+                        f"no {self.KIND} index built at {self.path}; call build()"
+                    )
+                version = m["meta_version"]
+                lease_id = uuid.uuid4().hex[:12]
+                target = f"{self.lease_dir}/v{version:020d}-{lease_id}.json"
+                expires = datetime.now(timezone.utc).timestamp() + ttl_sec
+                payload = {
+                    "meta_version": version,
+                    "expires_utc": datetime.fromtimestamp(
+                        expires, tz=timezone.utc
+                    ).isoformat(),
+                }
+                if not self.vindex._create_exclusive(
+                    target, json.dumps(payload).encode()
+                ):
+                    raise RuntimeError(f"lease file collision at {target}")
+                if version in self._meta_versions():
+                    break  # pinned AND still live: vacuum now retains it
+                with contextlib.suppress(Exception):
+                    self.vindex._delete_path(target)
+                target = None
+            else:
+                raise StaleIndexError(
+                    f"could not pin a live {self.KIND} meta at {self.path}: "
+                    "every candidate was vacuumed before the lease landed "
+                    "(zero-retention vacuum racing this reader?)"
+                )
             yield m
         finally:
-            with contextlib.suppress(Exception):
-                self.vindex._delete_path(target)
+            if target is not None:
+                with contextlib.suppress(Exception):
+                    self.vindex._delete_path(target)
 
     def vacuum(
         self, *, keep_versions: int = 2, min_age_sec: float = 600.0
@@ -344,8 +382,13 @@ class _SyncedIndexBase:
         (always true for an in-flight refresh), or while it is younger
         than ``min_age_sec`` (covers same-version rebuild/compact; a
         writer stalled longer than that between segment write and meta
-        publish loses the segment and fails at publish — the same
-        bounded-staleness bargain the primary's min-age makes)."""
+        publish loses the segment and fails LOUDLY at publish —
+        ``_publish_meta`` verifies every referenced segment still
+        exists — the same bounded-staleness bargain the primary's
+        min-age makes). Segment age compares the writer's embedded
+        wall clock against this vacuumer's clock: size ``min_age_sec``
+        with cross-host clock skew in mind (the default 600 s absorbs
+        any sane NTP drift)."""
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         versions = self._meta_versions()
@@ -1207,6 +1250,11 @@ class SyncedTextIndex(_SyncedIndexBase):
             raise ValueError(
                 f"batch has more than max_queries={max_queries} rows; split it"
             )
+        if qpdf[q_id_col].duplicated().any():
+            # two queries sharing a qid would silently SUM their Okapi
+            # contributions into one garbage score — fail loudly instead
+            dup = qpdf[q_id_col][qpdf[q_id_col].duplicated()].iloc[0]
+            raise ValueError(f"duplicate {q_id_col} in batch (e.g. {dup!r})")
         pairs = []
         union_terms: dict[str, None] = {}
         for qid, ts in zip(qpdf[q_id_col], qpdf[terms_col]):
@@ -1251,17 +1299,9 @@ class SyncedTextIndex(_SyncedIndexBase):
                 f"{meta['tokenizer']!r}; engine is {TOKENIZER_VERSION!r}"
             )
         buckets = int(meta["buckets"])
-        memo = getattr(self, "_bucket_memo", None)
-        if memo is None or memo[0] != buckets or len(memo[1]) > 65536:
-            # bounded: a long-lived server's query vocabulary grows
-            # without limit; re-hashing a term is nanoseconds anyway
-            memo = (buckets, {})
-            self._bucket_memo = memo
-        want_buckets = set()
-        for t in terms:
-            if t not in memo[1]:
-                memo[1][t] = py_term_bucket(t, buckets)
-            want_buckets.add(memo[1][t])
+        # hashed directly per call: nanoseconds for a query's handful
+        # of terms, and no cache state to size or invalidate
+        want_buckets = {py_term_bucket(t, buckets) for t in terms}
         want = None if titles is None else set(titles)
         if want is None:
             # publish-time totals: O(1) per query instead of an

@@ -199,9 +199,12 @@ class QAPipeline:
             [(i, [t for t in q.lower().split() if t]) for i, q in enumerate(qs)],
             "qid long, terms array<string>",
         )
+        # float64 end-to-end: the single-query path scores against the
+        # full-precision embedding; a float32 qvec could flip near-tie
+        # ranks and break the batch==loop contract by construction
         qdf_vecs = spark.createDataFrame(
-            [(i, self.embedder.embed_one(q)) for i, q in enumerate(qs)],
-            "qid long, qvec array<float>",
+            [(i, [float(v) for v in self.embedder.embed_one(q)]) for i, q in enumerate(qs)],
+            "qid long, qvec array<double>",
         )
         wq = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
         bm = (
@@ -221,15 +224,20 @@ class QAPipeline:
             .withColumn("rank", F.row_number().over(wq))
             .select("qid", "id", "rank")
         )
-        a = bm.select("qid", "id", F.col("rank").alias("rank_a"))
-        b = vec.select("qid", "id", F.col("rank").alias("rank_b"))
-        fused = a.join(b, ["qid", "id"], "full_outer").select(
-            "qid",
-            "id",
-            (
-                F.coalesce(1.0 / (k0 + F.col("rank_a")), F.lit(0.0))
-                + F.coalesce(1.0 / (k0 + F.col("rank_b")), F.lit(0.0))
-            ).alias("rrf"),
+        # reuse the single-path fusion (one RRF implementation): fuse
+        # on a packed (qid, id) struct key, then unpack
+        from ..operators.text_search import rrf_fuse
+
+        key = F.struct("qid", "id").alias("__key")
+        fused = rrf_fuse(
+            bm.select(key, "rank"),
+            vec.select(key, "rank"),
+            id_col="__key",
+            k0=k0,
+        ).select(
+            F.col("__key.qid").alias("qid"),
+            F.col("__key.id").alias("id"),
+            "rrf",
         )
         wf = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("id"))
         top = (
@@ -332,19 +340,35 @@ class QAPipeline:
     def ask(self, question: str, form_titles: Sequence[str] | None = None) -> dict:
         """One /askQuestion round trip. On the accelerated path this
         spans several Spark actions (context head, answer_fn, match
-        collect) with a user hook in the middle, so it holds a derived
-        :meth:`~..operators.index_sync._SyncedIndexBase.reader_lease`
-        for its whole duration: a refresh+vacuum landing between the
-        actions (or inside ``answer_fn``) cannot reclaim the meta/
-        segments this request resolved — the never-partial-scan
-        contract, end-to-end through the serving facade. Callers that
-        keep the :meth:`search` DataFrame beyond one call should take
-        the lease themselves."""
+        collect) with a user hook in the middle, so it pins its inputs
+        for the whole duration:
+
+        - a derived :meth:`~..operators.index_sync._SyncedIndexBase.
+          reader_lease` keeps a refresh+vacuum landing between the
+          actions (or inside ``answer_fn``) from reclaiming the meta/
+          segments this request resolved; under ``ann_policy='refresh'``
+          the catch-up runs BEFORE the lease so the pinned meta is the
+          one served;
+        - a primary ``reader_lease`` keeps a primary vacuum from
+          reclaiming the generations the exact re-rank reads (a cached
+          plan recomputed under memory pressure re-scans them).
+
+        Residual (documented, bounded by the stores' min-age
+        retention): a commit landing between the refresh and the
+        leases, and — under ``ann_policy='serve'`` — the pinned primary
+        version being the head rather than the older indexed snapshot
+        the re-rank reads. Callers that keep the :meth:`search`
+        DataFrame beyond one call should take the leases themselves."""
         import contextlib
 
         with contextlib.ExitStack() as stack:
             if self.ann_index is not None:
+                if self.ann_policy == "refresh" and self.ann_index.is_stale():
+                    # catch up BEFORE pinning, so the lease pins the
+                    # meta search() will actually serve
+                    self.ann_index.refresh()
                 stack.enter_context(self.ann_index.reader_lease())
+                stack.enter_context(self.index.reader_lease())
             matches = self.search(question, form_titles).cache()
             prompt = assemble_context(matches, question)
             answer = self.answer_fn(prompt)

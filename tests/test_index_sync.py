@@ -809,3 +809,48 @@ def test_search_hybrid_batch_matches_per_question_loop(vindex, tmp_path, spark):
     # requires both indexes
     with pytest.raises(ValueError, match="needs both"):
         QAPipeline(vindex, embedder=EMB, ann_index=ann).search_hybrid_batch(qdf)
+
+
+# -- round 6: review fixes (empty batch, dup qids, publish guard) ------------
+
+
+def test_ask_batch_accelerated_empty_questions(ann, vindex, spark):
+    """Zero questions must not change the accelerated path's schema
+    (review-confirmed crash: the empty shortcut returned (qid,id,score)
+    while the rerank path carries text)."""
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.qa import (
+        QAPipeline,
+    )
+
+    empty = spark.createDataFrame([], "question string")
+    qa = QAPipeline(vindex, embedder=EMB, ann_index=ann, ann_nprobe=4)
+    assert qa.ask_batch(empty).count() == 0
+
+
+def test_batch_duplicate_qids_fail_loudly(ann, tix, spark):
+    qdup = spark.createDataFrame(
+        [(7, EMB.embed_one("a")), (7, EMB.embed_one("b"))],
+        "qid int, qvec array<float>",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        ann.search_batch(qdup, 3, nprobe=4)
+    tdup = spark.createDataFrame(
+        [(7, ["spark"]), (7, ["join"])], "qid int, terms array<string>"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        tix.bm25_batch(tdup)
+
+
+def test_publish_meta_refuses_vanished_segment(tix):
+    m = tix._load_meta()
+    bad = dict(m, assign={t: "seg-vanished" for t in m["assign"]})
+    with pytest.raises(StaleIndexError, match="no longer exist"):
+        tix._publish_meta(m["meta_version"] + 1, bad)
+
+
+def test_reader_lease_survives_zero_retention_vacuum_race(tix, vindex, spark):
+    """Pin-then-verify: a lease taken normally pins a live meta even
+    when zero-slack vacuums run around it."""
+    with tix.reader_lease() as m:
+        tix.vacuum(keep_versions=1, min_age_sec=0)
+        assert m["meta_version"] in tix._meta_versions()
