@@ -770,18 +770,19 @@ def ivfpq_topk_batch(
         # cardinality — confirmed round-6 review crash)
         from pyspark.sql.types import DoubleType, StructField, StructType
 
+        qid_field = StructField(q_id_col, queries.schema[q_id_col].dataType)
+        score_field = StructField("score", DoubleType())
         if emb is not None:
-            base = emb.drop(vec_col).schema.fields
+            # non-empty rerank order: emb-minus-vec cols, qid, score
+            fields = list(emb.drop(vec_col).schema.fields) + [qid_field, score_field]
         else:
-            base = [StructField(id_col, encoded.schema[id_col].dataType)]
-        schema = StructType(
-            list(base)
-            + [
-                StructField(q_id_col, queries.schema[q_id_col].dataType),
-                StructField("score", DoubleType()),
+            # non-empty ADC order: qid, id, score
+            fields = [
+                qid_field,
+                StructField(id_col, encoded.schema[id_col].dataType),
+                score_field,
             ]
-        )
-        return encoded.sparkSession.createDataFrame([], schema)
+        return encoded.sparkSession.createDataFrame([], StructType(fields))
     if qpdf[q_id_col].duplicated().any():
         # two queries under one qid would interleave their candidates
         # into one garbage ranking — fail loudly instead

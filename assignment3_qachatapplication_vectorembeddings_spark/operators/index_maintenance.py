@@ -1042,27 +1042,51 @@ class VectorIndex:
         :class:`PinnedSnapshot`; the lease is released on exit. A
         reader outliving ``ttl_sec`` loses the guarantee (crash-safety:
         an orphaned lease self-expires) — re-acquire before then, or
-        expect :class:`SnapshotExpiredError` / a failed scan."""
-        m = self._load_manifest()
-        if m is None:
-            raise SnapshotExpiredError(f"no committed snapshot at {self.path}")
-        version = m[0]
-        lease_id = uuid.uuid4().hex[:12]
-        target = f"{self.lease_dir}/v{version:020d}-{lease_id}.json"
-        expires = datetime.now(timezone.utc).timestamp() + ttl_sec
-        payload = {
-            "version": version,
-            "expires_utc": datetime.fromtimestamp(
-                expires, tz=timezone.utc
-            ).isoformat(),
-        }
-        if not self._create_exclusive(target, json.dumps(payload).encode()):
-            raise RuntimeError(f"lease file collision at {target}")
+        expect :class:`SnapshotExpiredError` / a failed scan.
+
+        Pin-then-verify (round 6, mirroring the derived-index lease):
+        after the lease file lands, the pinned version must still be
+        listed — a zero-slack vacuum racing the load-to-lease window
+        could have reclaimed it; a lost race releases and re-pins the
+        then-newest manifest, bounded retries then a loud error."""
+        target = None
         try:
+            for _attempt in range(3):
+                m = self._load_manifest()
+                if m is None:
+                    raise SnapshotExpiredError(
+                        f"no committed snapshot at {self.path}"
+                    )
+                version = m[0]
+                lease_id = uuid.uuid4().hex[:12]
+                target = f"{self.lease_dir}/v{version:020d}-{lease_id}.json"
+                expires = datetime.now(timezone.utc).timestamp() + ttl_sec
+                payload = {
+                    "version": version,
+                    "expires_utc": datetime.fromtimestamp(
+                        expires, tz=timezone.utc
+                    ).isoformat(),
+                }
+                if not self._create_exclusive(target, json.dumps(payload).encode()):
+                    # collision means ANOTHER holder owns that file —
+                    # clear target so the finally can't delete it
+                    collided, target = target, None
+                    raise RuntimeError(f"lease file collision at {collided}")
+                if version in self._manifest_versions():
+                    break  # pinned AND still live: vacuum now retains it
+                with contextlib.suppress(Exception):
+                    self._delete_path(target)
+                target = None
+            else:
+                raise SnapshotExpiredError(
+                    f"could not pin a live manifest at {self.path}: every "
+                    "candidate was vacuumed before the lease landed"
+                )
             yield PinnedSnapshot(self, version)
         finally:
-            with contextlib.suppress(Exception):
-                self._delete_path(target)
+            if target is not None:
+                with contextlib.suppress(Exception):
+                    self._delete_path(target)
 
     def _load_manifest_version(self, version: int) -> dict | None:
         data = self._read_small_file(
@@ -1149,12 +1173,9 @@ class VectorIndex:
                 )
                 with contextlib.suppress(Exception):
                     referenced.update(json.loads(data)["partitions"].values())
-            removed_dirs = []
-            for name in self._list_dir(f"{self.path}/data"):
-                rel = f"data/{name}"
-                if rel not in referenced:
-                    self._delete_path(f"{self.path}/{rel}", recursive=True)
-                    removed_dirs.append(rel)
+            # manifests BEFORE data dirs: reader_lease's pin-then-verify
+            # checks manifest presence, so this vacuum's decision must be
+            # observable before any generation it relies on disappears
             removed_manifests = 0
             for v in versions:
                 if v not in retained:
@@ -1162,6 +1183,12 @@ class VectorIndex:
                         f"{self.manifest_dir}/{self._manifest_name(v)}"
                     )
                     removed_manifests += 1
+            removed_dirs = []
+            for name in self._list_dir(f"{self.path}/data"):
+                rel = f"data/{name}"
+                if rel not in referenced:
+                    self._delete_path(f"{self.path}/{rel}", recursive=True)
+                    removed_dirs.append(rel)
             return {
                 "data_dirs_removed": removed_dirs,
                 "manifests_removed": removed_manifests,

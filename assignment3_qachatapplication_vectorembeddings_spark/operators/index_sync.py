@@ -145,14 +145,20 @@ class _SyncedIndexBase:
         # the residual check-to-publish window is the same bounded
         # bargain the primary's min-age makes.
         live = self.vindex._list_dir(self.path)
-        missing = sorted(set(payload.get("assign", {}).values()) - set(live))
-        if missing:
-            raise StaleIndexError(
-                f"segments {missing} referenced by {self.KIND} meta "
-                f"v{version} no longer exist at {self.path} (vacuumed "
-                "mid-write? writer stalled past min_age_sec, or vacuumer "
-                "clock ahead of writer clock) — retry the operation"
-            )
+        # listing-sanity sentinel: _list_dir returns [] on transient FS
+        # errors too, and a live index path ALWAYS contains at least
+        # `_meta` — an empty/sentinel-less listing is indeterminate, so
+        # the guard stands down rather than aborting an hours-long
+        # encode on a hiccup (publish then behaves as pre-guard code)
+        if "_meta" in live:
+            missing = sorted(set(payload.get("assign", {}).values()) - set(live))
+            if missing:
+                raise StaleIndexError(
+                    f"segments {missing} referenced by {self.KIND} meta "
+                    f"v{version} no longer exist at {self.path} (vacuumed "
+                    "mid-write? writer stalled past min_age_sec, or vacuumer "
+                    "clock ahead of writer clock) — retry the operation"
+                )
         payload = dict(
             payload,
             kind=self.KIND,
@@ -339,7 +345,10 @@ class _SyncedIndexBase:
                 if not self.vindex._create_exclusive(
                     target, json.dumps(payload).encode()
                 ):
-                    raise RuntimeError(f"lease file collision at {target}")
+                    # collision means ANOTHER holder owns that file —
+                    # clear target so the finally can't delete it
+                    collided, target = target, None
+                    raise RuntimeError(f"lease file collision at {collided}")
                 if version in self._meta_versions():
                     break  # pinned AND still live: vacuum now retains it
                 with contextlib.suppress(Exception):
@@ -422,6 +431,14 @@ class _SyncedIndexBase:
                 newest_data_version = max(
                     newest_data_version, int(m.get("data_version", -1))
                 )
+        # metas are deleted BEFORE their segments: a reader_lease's
+        # pin-then-verify checks meta presence, so the verify must
+        # observe this vacuum's decision before any segment it relies
+        # on can disappear — segments-first would let the verify pass
+        # while the (slow, recursive) segment deletion was in flight
+        for v in versions:
+            if v not in retained:
+                self.vindex._delete_path(f"{self.meta_dir}/{self._meta_name(v)}")
         removed = []
         for name in self.vindex._list_dir(self.path):
             if not name.startswith("seg-") or name in referenced:
@@ -433,9 +450,6 @@ class _SyncedIndexBase:
                 continue  # too young to be provably abandoned
             self.vindex._delete_path(f"{self.path}/{name}", recursive=True)
             removed.append(name)
-        for v in versions:
-            if v not in retained:
-                self.vindex._delete_path(f"{self.meta_dir}/{self._meta_name(v)}")
         return removed
 
     # -- segment-union read -------------------------------------------------

@@ -854,3 +854,51 @@ def test_reader_lease_survives_zero_retention_vacuum_race(tix, vindex, spark):
     with tix.reader_lease() as m:
         tix.vacuum(keep_versions=1, min_age_sec=0)
         assert m["meta_version"] in tix._meta_versions()
+
+
+def test_reader_lease_pin_then_verify_interleaved_vacuum(
+    tix, vindex, spark, tmp_path
+):
+    """THE load-to-lease race, deterministically interleaved: a
+    refresh+zero-retention vacuum lands BETWEEN _load_meta and the
+    lease-file write (injected via a one-shot _create_exclusive hook).
+    The verify must detect the vanished pin and re-pin the newest meta
+    — and since vacuum deletes metas before segments, the re-pinned
+    meta's segments are fully scannable."""
+    # a second maintainer handle (its own vindex instance, so its
+    # filesystem calls bypass the hook below)
+    tix2 = SyncedTextIndex(
+        VectorIndex(spark, vindex.path), tix.path, buckets=8
+    )
+    vindex.upsert(make_updates(spark, [("r_0", "formRace", "race row")]))
+    orig = vindex._create_exclusive
+    fired = {}
+
+    def hook(path, content):
+        if "_meta_leases" in path and not fired:
+            fired["x"] = True
+            tix2.refresh()  # publishes meta v2
+            tix2.vacuum(keep_versions=1, min_age_sec=0)  # reclaims v1
+        return orig(path, content)
+
+    vindex._create_exclusive = hook
+    try:
+        with tix.reader_lease() as m:
+            assert fired
+            assert m["meta_version"] == 2  # re-pinned the survivor
+            total = 0
+            for df, ts, _rv in tix._segment_frames(m, "doclens"):
+                total += df.filter(F.col("title").isin(ts)).count()
+            assert total == len(BASE_ROWS) + 1
+    finally:
+        vindex._create_exclusive = orig
+
+
+def test_search_batch_empty_queries_schema(ann, spark):
+    """Empty batches keep the non-empty paths' schemas (both modes)."""
+    empty = spark.createDataFrame([], "qid int, qvec array<float>")
+    adc = ann.search_batch(empty, 3)
+    assert adc.columns == ["qid", "id", "score"] and adc.count() == 0
+    rr = ann.search_batch(empty, 3, rerank=True)
+    assert rr.columns[0] == "id" and rr.columns[-2:] == ["qid", "score"]
+    assert "text" in rr.columns and rr.count() == 0
