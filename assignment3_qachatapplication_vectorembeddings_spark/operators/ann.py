@@ -773,8 +773,18 @@ def ivfpq_topk_batch(
         qid_field = StructField(q_id_col, queries.schema[q_id_col].dataType)
         score_field = StructField("score", DoubleType())
         if emb is not None:
-            # non-empty rerank order: emb-minus-vec cols, qid, score
-            fields = list(emb.drop(vec_col).schema.fields) + [qid_field, score_field]
+            # non-empty rerank order: the equi-join puts the key FIRST
+            # (emb.join(short, id_col) -> id_col, other emb cols, qid,
+            # score) — mirror that here so column order does not vary
+            # by cardinality even when id_col is not emb's first column
+            rest = [
+                f for f in emb.drop(vec_col).schema.fields if f.name != id_col
+            ]
+            fields = (
+                [StructField(id_col, emb.schema[id_col].dataType)]
+                + rest
+                + [qid_field, score_field]
+            )
         else:
             # non-empty ADC order: qid, id, score
             fields = [

@@ -450,15 +450,21 @@ class VectorIndex:
         every serving query on a long-lived handle re-parses it just to
         learn the version didn't move. The cache is consulted only for
         versions present in the CURRENT listing, so a vacuumed version
-        can never be served from memory; consumers treat payloads as
-        read-only (they copy before mutating)."""
+        can never be served from memory. Returns a DEEP COPY per call:
+        the cache holds the canonical parse, and a caller mutating
+        ``payload['partitions']`` in place gets a private copy instead
+        of silently poisoning every later read on this handle (the
+        copy is O(titles) dict work — the expensive part the cache
+        saves is the store read, not the copy)."""
+        import copy
+
         cache = getattr(self, "_manifest_parse_cache", None)
         if cache is None:
             cache = self._manifest_parse_cache = {}
         for version in reversed(self._manifest_versions()):
             hit = cache.get(version)
             if hit is not None:
-                return version, hit
+                return version, copy.deepcopy(hit)
             data = self._read_small_file(
                 f"{self.manifest_dir}/{self._manifest_name(version)}"
             )
@@ -472,7 +478,7 @@ class VectorIndex:
                 cache[version] = payload
                 for v in sorted(cache)[:-4]:  # bound: the live tail
                     del cache[v]
-                return version, payload
+                return version, copy.deepcopy(payload)
         return None
 
     def _publish_manifest(

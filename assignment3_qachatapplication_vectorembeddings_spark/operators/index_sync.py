@@ -32,10 +32,14 @@ pattern, sized down):
   path keeps its planning-time pruning (PartitionFilters on the probed
   IVF cells / the query terms' buckets);
 - the PQ quantizer (coarse centroids + per-subspace codebooks) is
-  **frozen at build time** — standard IVF practice (FAISS
+  **frozen between (re)builds** — standard IVF practice (FAISS
   ``add``/``remove_ids`` never retrain): refreshes encode against the
-  original codebooks, and a drifted corpus warrants an explicit
-  ``build()``, which retrains.
+  original codebooks, the drift guard flags ``retrain_recommended``
+  when reconstruction error degrades past the threshold, and
+  :meth:`SyncedIvfpqIndex.retrain` (or ``retrain_if_recommended``)
+  refits + re-encodes + publishes in one meta commit with serving
+  available throughout (quantizer sidecars are VERSIONED dirs, never
+  overwritten in place).
 
 Scale notes: the meta JSON is O(titles) — the same cardinality the
 primary manifest already carries. Segment count grows one per refresh;
@@ -112,14 +116,18 @@ class _SyncedIndexBase:
         # O(titles) JSON parse is cached per instance keyed by version —
         # consulted only for versions in the CURRENT listing, so a
         # vacuumed meta is never served from memory (the same contract
-        # as VectorIndex._load_manifest's parse cache)
+        # as VectorIndex._load_manifest's parse cache). Returns a DEEP
+        # COPY per call so a caller mutating meta['assign'] in place
+        # gets a private copy, not a poisoned shared cache entry.
+        import copy
+
         cache = getattr(self, "_meta_parse_cache", None)
         if cache is None:
             cache = self._meta_parse_cache = {}
         for version in reversed(self._meta_versions()):
             hit = cache.get(version)
             if hit is not None:
-                return hit
+                return copy.deepcopy(hit)
             data = self.vindex._read_small_file(
                 f"{self.meta_dir}/{self._meta_name(version)}"
             )
@@ -133,7 +141,7 @@ class _SyncedIndexBase:
             cache[version] = payload
             for v in sorted(cache)[:-4]:
                 del cache[v]
-            return payload
+            return copy.deepcopy(payload)
         return None
 
     def _publish_meta(self, version: int, payload: dict) -> None:
@@ -151,7 +159,10 @@ class _SyncedIndexBase:
         # the guard stands down rather than aborting an hours-long
         # encode on a hiccup (publish then behaves as pre-guard code)
         if "_meta" in live:
-            missing = sorted(set(payload.get("assign", {}).values()) - set(live))
+            want = set(payload.get("assign", {}).values())
+            if payload.get("quantizer_dir"):
+                want.add(payload["quantizer_dir"])
+            missing = sorted(want - set(live))
             if missing:
                 raise StaleIndexError(
                     f"segments {missing} referenced by {self.KIND} meta "
@@ -428,6 +439,8 @@ class _SyncedIndexBase:
             m = metas.get(v)
             if m:
                 referenced.update(m["assign"].values())
+                if m.get("quantizer_dir"):
+                    referenced.add(m["quantizer_dir"])
                 newest_data_version = max(
                     newest_data_version, int(m.get("data_version", -1))
                 )
@@ -441,16 +454,43 @@ class _SyncedIndexBase:
                 self.vindex._delete_path(f"{self.meta_dir}/{self._meta_name(v)}")
         removed = []
         for name in self.vindex._list_dir(self.path):
-            if not name.startswith("seg-") or name in referenced:
+            if name in referenced:
                 continue
-            seg_version, age = self._segment_stamp(name)
-            if seg_version is not None and seg_version > newest_data_version:
-                continue  # in-flight refresh targeting a newer snapshot
-            if age is not None and age < min_age_sec:
-                continue  # too young to be provably abandoned
+            if name.startswith("seg-"):
+                seg_version, age = self._segment_stamp(name)
+                if seg_version is not None and seg_version > newest_data_version:
+                    continue  # in-flight refresh targeting a newer snapshot
+                if age is not None and age < min_age_sec:
+                    continue  # too young to be provably abandoned
+            elif name.startswith("quantizer-"):
+                # versioned quantizer sidecars (build()/retrain()):
+                # unreferenced by every retained meta → reclaim, with
+                # the same min-age guard covering an in-flight build
+                # that wrote its quantizer but hasn't published yet
+                # (publish verifies existence, so a stalled build fails
+                # loudly rather than serving a vacuumed quantizer)
+                age = self._quantizer_stamp(name)
+                if age is None or age < min_age_sec:
+                    continue  # unparseable (keep) or too young
+            else:
+                continue
             self.vindex._delete_path(f"{self.path}/{name}", recursive=True)
             removed.append(name)
         return removed
+
+    @staticmethod
+    def _quantizer_stamp(name: str) -> float | None:
+        """age_sec parsed from ``quantizer-t<ms>-<qid>``; None for
+        names this engine didn't write (legacy fixed-path sidecars are
+        named ``quantizer_centroids``/``quantizer_codebooks`` — no
+        ``-`` — and never match the ``quantizer-`` prefix)."""
+        parts = name.split("-")
+        if len(parts) < 2 or not parts[1].startswith("t"):
+            return None
+        try:
+            return time.time() - int(parts[1][1:]) / 1000.0
+        except ValueError:
+            return None
 
     # -- segment-union read -------------------------------------------------
 
@@ -647,18 +687,47 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         return float(np.mean(err / denom))
 
     def _sample_vectors(self, reader, titles: Sequence[str] | None):
+        # deterministic SPREAD, not an arbitrary partition-order prefix:
+        # a bare .limit() can draw the whole sample from one title/
+        # partition, making drift_ratio (and the sticky
+        # retrain_recommended flag) hostage to a single outlier title.
+        # Ordering by xxhash64(id) is a seed-free uniform shuffle of the
+        # candidate rows, so the sample reflects the whole refreshed set
+        # while staying reproducible across runs.
         rows = reader(titles=None if titles is None else list(titles))
-        pdf = rows.select("vector").limit(self.DRIFT_SAMPLE).toPandas()
+        pdf = (
+            rows.select("vector", F.xxhash64("id").alias("__h"))
+            .orderBy("__h")
+            .limit(self.DRIFT_SAMPLE)
+            .toPandas()
+        )
         return pdf["vector"]
 
     # -- quantizer sidecars -------------------------------------------------
 
-    def _write_quantizer(self, centroids: np.ndarray, codebooks: np.ndarray) -> None:
+    @staticmethod
+    def _new_quantizer_dir(quantizer_id: str) -> str:
+        # creation timestamp embedded in the name (same convention as
+        # _new_segment) so vacuum's min-age guard works without fs mtime
+        return f"quantizer-t{int(time.time() * 1000):016d}-{quantizer_id}"
+
+    def _write_quantizer(
+        self,
+        centroids: np.ndarray,
+        codebooks: np.ndarray,
+        quantizer_dir: str,
+    ) -> None:
+        """Write the quantizer sidecars into a fresh VERSIONED dir
+        (``quantizer-t<ms>-<qid>/``) — never overwriting in place, so a
+        leased reader loading the previous quantizer can never observe
+        a torn parquet mid-rebuild. The meta's ``quantizer_dir`` points
+        serving at the right one; vacuum reclaims unreferenced dirs."""
         spark = self.vindex.spark
+        base = f"{self.path}/{quantizer_dir}"
         cent_rows = [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)]
         spark.createDataFrame(
             cent_rows, "cluster int, centroid array<double>"
-        ).write.mode("overwrite").parquet(f"{self.path}/quantizer_centroids")
+        ).write.mode("overwrite").parquet(f"{base}/centroids")
         m_, ksub, _dsub = codebooks.shape
         cb_rows = [
             (int(i), int(j), [float(v) for v in codebooks[i, j]])
@@ -667,33 +736,35 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         ]
         spark.createDataFrame(
             cb_rows, "subspace int, code int, centroid array<double>"
-        ).write.mode("overwrite").parquet(f"{self.path}/quantizer_codebooks")
+        ).write.mode("overwrite").parquet(f"{base}/codebooks")
 
     def _load_quantizer(
-        self, quantizer_id: str | None = None
+        self,
+        quantizer_id: str | None = None,
+        quantizer_dir: str | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        # the quantizer is FROZEN between build() calls, so one load
-        # serves every search/refresh on this instance (two collect
-        # jobs per query otherwise). The cache is KEYED by the meta's
-        # quantizer_id: an external rebuild (new id in the meta this
-        # caller just resolved) misses the cache and reloads, so a
+        # the quantizer is FROZEN between build()/retrain() calls, so
+        # one load serves every search/refresh on this instance (two
+        # collect jobs per query otherwise). The cache is KEYED by the
+        # meta's quantizer_id: an external rebuild (new id in the meta
+        # this caller just resolved) misses the cache and reloads, so a
         # long-lived server instance can never score against a
-        # superseded quantizer.
+        # superseded quantizer. ``quantizer_dir`` (meta key since round
+        # 7) selects the versioned sidecar dir; a legacy meta without it
+        # reads the original fixed paths.
         cached = getattr(self, "_quantizer_cache", None)
         if cached is not None and cached[0] == quantizer_id:
             return cached[1], cached[2]
         spark = self.vindex.spark
-        cent = (
-            spark.read.parquet(f"{self.path}/quantizer_centroids")
-            .orderBy("cluster")
-            .collect()
-        )
+        if quantizer_dir is not None:
+            cent_path = f"{self.path}/{quantizer_dir}/centroids"
+            cb_path = f"{self.path}/{quantizer_dir}/codebooks"
+        else:
+            cent_path = f"{self.path}/quantizer_centroids"
+            cb_path = f"{self.path}/quantizer_codebooks"
+        cent = spark.read.parquet(cent_path).orderBy("cluster").collect()
         centroids = np.array([r["centroid"] for r in cent])
-        cb = (
-            spark.read.parquet(f"{self.path}/quantizer_codebooks")
-            .orderBy("subspace", "code")
-            .collect()
-        )
+        cb = spark.read.parquet(cb_path).orderBy("subspace", "code").collect()
         m = 1 + max(r["subspace"] for r in cb)
         ksub = 1 + max(r["code"] for r in cb)
         dsub = len(cb[0]["centroid"])
@@ -747,7 +818,8 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
                 seed=self.seed,
             )
             quantizer_id = uuid.uuid4().hex[:12]
-            self._write_quantizer(centroids, codebooks)
+            qdir = self._new_quantizer_dir(quantizer_id)
+            self._write_quantizer(centroids, codebooks, qdir)
             self._quantizer_cache = (quantizer_id, centroids, codebooks)
             seg = self._new_segment(version)
             self._encode_titles(None, centroids, codebooks, seg, reader=snap.read)
@@ -766,6 +838,7 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             "assign": {t: seg for t in parts},
             "revoked": {seg: []},
             "quantizer_id": quantizer_id,
+            "quantizer_dir": qdir,
             "recon_baseline": baseline,
             "params": {
                 "nlist": self.nlist,
@@ -776,6 +849,40 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         }
         self._publish_meta(next_meta, meta)
         return meta
+
+    def retrain(self) -> dict:
+        """Drift remedy: refit the quantizer on the CURRENT leased
+        snapshot, re-encode every live row under the new codebooks, and
+        publish the result as ONE meta commit — the orchestrated answer
+        to the refresh-time drift guard's ``retrain_recommended`` flag
+        (FAISS practice: add-without-retrain until reconstruction error
+        degrades, then retrain; the reference outsources this lifecycle
+        to Pinecone entirely). Serving stays available throughout:
+
+        - the new quantizer lands in a fresh VERSIONED sidecar dir
+          (``quantizer-t<ms>-<qid>/``) so readers of the previous meta
+          keep loading the previous codebooks — nothing is overwritten;
+        - the new segment is written before the meta that references it
+          (the standard publish ordering), so a reader never resolves a
+          meta whose data is missing;
+        - leased readers pin their meta version; vacuum retains pinned
+          metas, their segments, AND their quantizer dirs.
+
+        Cost is O(corpus) like :meth:`build` — this IS a rebuild, named
+        for its trigger and guaranteed non-destructive to concurrent
+        readers. Clears ``retrain_recommended`` and resets
+        ``recon_baseline`` under the fresh codebooks."""
+        return self.build()
+
+    def retrain_if_recommended(self) -> dict | None:
+        """Run :meth:`retrain` iff the newest meta carries the sticky
+        drift flag; returns the new meta, or None when healthy. The
+        maintenance-loop entry point: ``refresh(); retrain_if_
+        recommended(); vacuum()``."""
+        m = self._load_meta()
+        if m is not None and m.get("retrain_recommended"):
+            return self.retrain()
+        return None
 
     def refresh(self) -> dict:
         """Incremental catch-up to the current primary snapshot:
@@ -796,7 +903,7 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             assign = dict(m["assign"])
             if changed:
                 centroids, codebooks = self._load_quantizer(
-                    m.get("quantizer_id")
+                    m.get("quantizer_id"), m.get("quantizer_dir")
                 )
                 seg = self._new_segment(cur_version)
                 self._encode_titles(
@@ -825,6 +932,7 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             "assign": assign,
             "revoked": self._update_revoked(m, assign, changed + removed),
             "quantizer_id": m.get("quantizer_id"),
+            "quantizer_dir": m.get("quantizer_dir"),
             "recon_baseline": m.get("recon_baseline"),
             "params": m["params"],
         }
@@ -871,7 +979,9 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
                     f"v{m['data_version']}, primary at v{cur_version}); "
                     "refresh() before compact()"
                 )
-            centroids, codebooks = self._load_quantizer(m.get("quantizer_id"))
+            centroids, codebooks = self._load_quantizer(
+                m.get("quantizer_id"), m.get("quantizer_dir")
+            )
             seg = self._new_segment(m["data_version"])
             self._encode_titles(live, centroids, codebooks, seg, reader=snap.read)
         meta = dict(m, assign={t: seg for t in live}, revoked={seg: []})
@@ -938,7 +1048,9 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         from .ann import ivfpq_topk
 
         meta = self._resolve(on_stale)
-        centroids, codebooks = self._load_quantizer(meta.get("quantizer_id"))
+        centroids, codebooks = self._load_quantizer(
+            meta.get("quantizer_id"), meta.get("quantizer_dir")
+        )
         enc = self._encoded_for(meta, titles)
         emb = None
         if rerank:
@@ -991,7 +1103,9 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         from .ann import ivfpq_topk_batch
 
         meta = self._resolve(on_stale)
-        centroids, codebooks = self._load_quantizer(meta.get("quantizer_id"))
+        centroids, codebooks = self._load_quantizer(
+            meta.get("quantizer_id"), meta.get("quantizer_dir")
+        )
         enc = self._encoded_for(meta, titles)
         emb = None
         if rerank:

@@ -47,6 +47,46 @@ class QuerySpec:
     quality: Optional[Callable[[SparkSession, str, list], dict]] = None
 
 
+# --------------------------------------------------------------------------
+# Golden-parquet oracles — for DETERMINISTIC queries with no ANSI-SQL
+# analog (chunk packing, hashing embedder, BPE training, FakeCodec
+# features, seeded PCA). tools/make_goldens.py runs each query ONCE per
+# scale factor and commits the exact Arrow result under
+# tests/fixtures/golden/; the oracle is then a DuckDB read_parquet of
+# the committed golden, dispatched on a scale-factor fingerprint (exact
+# INTEGER aggregates of the registered views — count + total text
+# length, or count + label sum — distinct across sf0.001/0.01/0.1 and
+# engine-version-stable, unlike hash()). The driver's gate then value-
+# hash-compares the live Spark result against the golden with the same
+# canonicalization as every other oracled row, so chunking/embedding/
+# BPE semantics are pinned IN the gate, not only in pytest.
+# --------------------------------------------------------------------------
+
+from pathlib import Path as _Path
+
+_GOLDEN_DIR = str(_Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "golden")
+
+_GOLDEN_KEYS: dict[str, tuple[str, dict[str, int]]] = {
+    "documents": (
+        "(SELECT count(*) * 10000000 + sum(length(text)) FROM documents)",
+        {"0_001": 5000153156, "0_01": 5000149174, "0_1": 50001485576},
+    ),
+    "embeddings": (
+        "(SELECT count(*) * 100000 + sum(label) FROM embeddings)",
+        {"0_001": 50002268, "0_01": 50002270, "0_1": 200009063},
+    ),
+}
+
+
+def _golden_oracle(name: str, table: str = "documents") -> str:
+    expr, keys = _GOLDEN_KEYS[table]
+    return "\nUNION ALL\n".join(
+        f"SELECT g.* FROM read_parquet('{_GOLDEN_DIR}/{name}_{tag}.parquet') g"
+        f" WHERE {expr} = {key}"
+        for tag, key in keys.items()
+    )
+
+
 def _md5_bucket(c, n: int):
     """Cross-engine-stable bucket in [0, n): first 8 md5 hex chars as a
     long, mod n. Parity-critical — must stay bit-identical to DuckDB's
@@ -5771,8 +5811,14 @@ CORPUS: dict[str, QuerySpec] = {
         q_ann_sq8, None, "scalar-quantization byte-code top-k + exact re-rank",
         quality=ann_recall_at_10,
     ),
-    "pypdf_chunks": QuerySpec(q_pypdf_chunks, None, "F2/F3 two-pass chunk pack"),
-    "nougat_chunks": QuerySpec(q_nougat_chunks, None, "F4/F5/F6/W2/A1 nougat pack"),
+    "pypdf_chunks": QuerySpec(
+        q_pypdf_chunks, _golden_oracle("pypdf_chunks"),
+        "F2/F3 two-pass chunk pack (golden-parquet oracle)",
+    ),
+    "nougat_chunks": QuerySpec(
+        q_nougat_chunks, _golden_oracle("nougat_chunks"),
+        "F4/F5/F6/W2/A1 nougat pack (golden-parquet oracle)",
+    ),
     "lang_id": QuerySpec(
         q_lang_id, _lang_id_oracle(), "stopword-argmax language identification"
     ),
@@ -5789,13 +5835,16 @@ CORPUS: dict[str, QuerySpec] = {
         q_token_counts, _SQL_TOKEN_COUNTS, "whitespace/distinct token + char counts"
     ),
     "bpe_token_counts": QuerySpec(
-        q_bpe_token_counts, None, "BPE-ish pre-tokenizer counts (pandas UDF)"
+        q_bpe_token_counts, _golden_oracle("bpe_token_counts"),
+        "BPE-ish pre-tokenizer counts (pandas UDF, golden-parquet oracle)",
     ),
     "embed_documents": QuerySpec(
-        q_embed_documents, None, "M1 batch embedding generation (hashing embedder)"
+        q_embed_documents, _golden_oracle("embed_documents"),
+        "M1 batch embedding generation (hashing embedder, golden oracle)",
     ),
     "multimodal_features": QuerySpec(
-        q_multimodal_features, None, "binary decode → feature extract plumbing"
+        q_multimodal_features, _golden_oracle("multimodal_features"),
+        "binary decode → feature extract plumbing (golden-parquet oracle)",
     ),
     "forecast_revenue": QuerySpec(
         q_forecast_revenue, _SQL_FORECAST_REVENUE, "TPC-H Q6 shape, pushdown showcase"
@@ -5993,8 +6042,8 @@ CORPUS: dict[str, QuerySpec] = {
         "watermarked stream-stream interval join (view→purchase attribution)",
     ),
     "bpe_train_merges": QuerySpec(
-        q_bpe_train_merges, None,
-        "distributed byte-level BPE training (golden-pinned, iterative)",
+        q_bpe_train_merges, _golden_oracle("bpe_train_merges"),
+        "distributed byte-level BPE training (golden-parquet oracle)",
     ),
     "weighted_sample": QuerySpec(
         q_weighted_sample, _SQL_WEIGHTED_SAMPLE,
@@ -6029,7 +6078,7 @@ CORPUS: dict[str, QuerySpec] = {
         "top-5 distinctive terms per source (integer tf×idf_micro)",
     ),
     "pca_embeddings": QuerySpec(
-        q_pca_embeddings, None,
+        q_pca_embeddings, _golden_oracle("pca_embeddings", table="embeddings"),
         "PCA whitening (FAISS PCAMatrix stage): sample fit, Arrow apply",
         quality=_pca_quality,
     ),

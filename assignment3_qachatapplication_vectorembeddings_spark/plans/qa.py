@@ -362,14 +362,24 @@ class QAPipeline:
         import contextlib
 
         with contextlib.ExitStack() as stack:
-            if self.ann_index is not None:
-                if self.ann_policy == "refresh" and self.ann_index.is_stale():
+            for derived in (self.ann_index, self.text_index):
+                if derived is None:
+                    continue
+                if self.ann_policy == "refresh" and derived.is_stale():
                     # catch up BEFORE pinning, so the lease pins the
                     # meta search() will actually serve
-                    self.ann_index.refresh()
-                stack.enter_context(self.ann_index.reader_lease())
+                    derived.refresh()
+                stack.enter_context(derived.reader_lease())
+            if self.ann_index is not None or self.text_index is not None:
+                # primary lease whenever ANY derived index is in play:
+                # both the exact re-rank and the bm25 text join read
+                # primary generations across the multi-action span
                 stack.enter_context(self.index.reader_lease())
             matches = self.search(question, form_titles).cache()
+            # unpersist even when answer_fn / the match collect raises —
+            # a long-lived server must not leak block-manager entries on
+            # every failed /askQuestion
+            stack.callback(matches.unpersist)
             prompt = assemble_context(matches, question)
             answer = self.answer_fn(prompt)
             out = {
@@ -380,5 +390,4 @@ class QAPipeline:
                     for r in matches.select("id", "title", "score").collect()
                 ],
             }
-            matches.unpersist()
         return out

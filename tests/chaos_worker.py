@@ -1,0 +1,129 @@
+"""Child-process worker for the multiprocess maintenance chaos test
+(tests/test_chaos.py). Each worker owns its own SparkSession (real
+process isolation — the lease/vacuum/compact/refresh interleavings the
+single-process pytest pins can't produce) and hammers ONE shared index
+tree for a wall-clock window:
+
+- ``writer``   — upserts new rows into the primary in a loop;
+- ``maintainer`` — refresh → (periodic) compact → vacuum, derived and
+  primary, with tight-but-nonzero retention;
+- ``reader``   — resolves and scans the synced ANN index; every result
+  is checked for WRONG ANSWERS (title patterns are orthogonal and
+  immutable, so a hit whose id belongs to another title is a protocol
+  violation regardless of which snapshot was served).
+
+Loud staleness (:class:`StaleIndexError`) is the protocol working as
+documented (serve-from-vacuumed-snapshot refused) and is counted, not
+failed. Everything else — torn scans, missing parquet, wrong titles,
+empty results — lands in ``errors`` and fails the parent test.
+
+Usage: python chaos_worker.py <role> <base_dir> <run_seconds> <seed>
+Writes ``{base}/result_<role>_<seed>.json`` when done.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import time
+import traceback
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+DIM = 16
+TITLES = [f"form{i}" for i in range(4)]
+SCHEMA = "id string, vector array<float>, title string, text string"
+
+
+def pattern(i: int) -> list[float]:
+    return [1.0 if j // (DIM // len(TITLES)) == i else 0.0 for j in range(DIM)]
+
+
+def main() -> int:
+    role, base, run_sec, seed = (
+        sys.argv[1],
+        sys.argv[2],
+        float(sys.argv[3]),
+        int(sys.argv[4]),
+    )
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.index_maintenance import (
+        VectorIndex,
+    )
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.index_sync import (
+        StaleIndexError,
+        SyncedIvfpqIndex,
+    )
+    from assignment3_qachatapplication_vectorembeddings_spark.session import get_spark
+
+    spark = get_spark(
+        f"chaos-{role}-{seed}",
+        master="local[3]",
+        shuffle_partitions=2,
+        extra_conf={"spark.driver.memory": "2g"},
+    )
+    vi = VectorIndex(spark, f"{base}/primary")
+    ann = SyncedIvfpqIndex(vi, f"{base}/ann", nlist=4, m=4, nbits=4)
+    rng = random.Random(seed)
+    stats = {"role": role, "ops": 0, "stale_refusals": 0, "errors": []}
+    deadline = time.time() + run_sec  # clock starts AFTER session spin-up
+    while time.time() < deadline and len(stats["errors"]) < 5:
+        try:
+            if role == "writer":
+                rnd = stats["ops"]
+                rows = [
+                    (f"{t}_r{rnd}_s{seed}", pattern(i), t, f"{t} text r{rnd}")
+                    for i, t in enumerate(TITLES)
+                ]
+                vi.upsert(spark.createDataFrame(rows, SCHEMA))
+            elif role == "maintainer":
+                ann.refresh()
+                if stats["ops"] % 3 == 2:
+                    try:
+                        ann.compact()
+                    except StaleIndexError:
+                        stats["stale_refusals"] += 1  # raced a commit: fine
+                ann.vacuum(keep_versions=1, min_age_sec=10)
+                vi.vacuum(keep_versions=2, min_age_sec=10)
+            elif role == "reader":
+                i = rng.randrange(len(TITLES))
+                want = TITLES[i] + "_"
+                try:
+                    if stats["ops"] % 3 == 2:
+                        # multi-action span: leased, with exact re-rank
+                        # against the pinned primary snapshot
+                        with ann.reader_lease(), vi.reader_lease():
+                            hits = ann.search(
+                                pattern(i), 2, nprobe=4, rerank=True,
+                                on_stale="serve",
+                            ).collect()
+                    else:
+                        hits = ann.search(
+                            pattern(i), 2, nprobe=4, on_stale="serve"
+                        ).collect()
+                except StaleIndexError:
+                    stats["stale_refusals"] += 1  # loud refusal ≠ wrong
+                    hits = None
+                if hits is not None:
+                    if not hits:
+                        stats["errors"].append(
+                            f"empty result for {TITLES[i]} (partial scan?)"
+                        )
+                    for r in hits:
+                        if not r["id"].startswith(want):
+                            stats["errors"].append(
+                                f"WRONG ANSWER {r['id']!r} for query {TITLES[i]}"
+                            )
+            stats["ops"] += 1
+        except Exception:
+            stats["errors"].append(traceback.format_exc()[-2000:])
+    Path(f"{base}/result_{role}_{seed}.json").write_text(json.dumps(stats))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

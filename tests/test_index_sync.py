@@ -563,6 +563,135 @@ def test_drift_guard_trips_on_distribution_shift(exact_vindex, tmp_path, spark):
     assert "retrain_recommended" not in meta
 
 
+def test_retrain_clears_drift_and_serving_stays_available(
+    exact_vindex, tmp_path, spark
+):
+    """Round-7 ask #2: the drift guard's remedy. Injected drift trips
+    retrain_recommended; retrain() refits the quantizer on the current
+    snapshot, re-encodes, and publishes — with a concurrent leased
+    reader pinned on the PRE-retrain meta staying fully servable
+    through retrain + zero-retention vacuum (versioned quantizer dirs,
+    never overwritten in place)."""
+    import numpy as np
+
+    ann = SyncedIvfpqIndex(
+        exact_vindex, str(tmp_path / "retrain_ann"), nlist=8, m=4, nbits=4
+    )
+    meta0 = ann.build()
+    assert meta0["quantizer_dir"].startswith("quantizer-t")
+    # drift: a 5th pattern far outside the trained distribution
+    drift_rows = [
+        (f"formDrift_{i}", [37.0, -24.0] * 8, "formDrift", f"drift {i}")
+        for i in range(6)
+    ]
+    exact_vindex.upsert(
+        spark.createDataFrame(
+            drift_rows,
+            "id string, vector array<float>, title string, text string",
+        )
+    )
+    assert ann.retrain_if_recommended() is None  # healthy → no-op
+    flagged = ann.refresh()
+    assert flagged.get("retrain_recommended") is True
+
+    with ann.reader_lease() as pinned:
+        old_qid = pinned["quantizer_id"]
+        old_qdir = pinned["quantizer_dir"]
+        retrained = ann.retrain_if_recommended()
+        assert retrained is not None
+        ann.vacuum(keep_versions=1, min_age_sec=0)
+        # the retrained meta: fresh quantizer, flag cleared, baseline
+        # reset under codebooks that now cover the drifted pattern
+        assert retrained["quantizer_id"] != old_qid
+        assert retrained["quantizer_dir"] != old_qdir
+        assert "retrain_recommended" not in retrained
+        # pinned reader: its quantizer dir AND segments survived vacuum
+        fresh = SyncedIvfpqIndex(
+            exact_vindex, ann.path, nlist=8, m=4, nbits=4
+        )  # cold cache: must come from the pinned (old) sidecar dir
+        c_old, b_old = fresh._load_quantizer(old_qid, old_qdir)
+        assert c_old.shape[0] == 8
+        total = 0
+        for df, ts, rv in ann._segment_frames(
+            pinned, schema=ann.SEGMENT_SCHEMA
+        ):
+            cond = ann._serving_filter(ts, rv)
+            total += (df.filter(cond) if cond is not None else df).count()
+        assert total == 30  # 4 patterns x 6 + 6 drift rows
+
+    # post-retrain serving: drift vectors now reconstruct exactly, and
+    # an in-distribution refresh stays unflagged (ratio ~ 0)
+    hits = ann.search([37.0, -24.0] * 8, 3, nprobe=8).collect()
+    assert {r["id"] for r in hits} <= {f"formDrift_{i}" for i in range(6)}
+    exact_vindex.upsert(
+        spark.createDataFrame(
+            [("formA_post", [1.0, 0.0] * 8, "formA", "post-retrain")],
+            "id string, vector array<float>, title string, text string",
+        )
+    )
+    after = ann.refresh()
+    assert "retrain_recommended" not in after
+    assert after.get("drift_ratio", 0.0) < ann.drift_threshold
+    # lease released → the superseded quantizer dir is reclaimable
+    removed = ann.vacuum(keep_versions=1, min_age_sec=0)
+    assert old_qdir in removed
+    listing = exact_vindex._list_dir(ann.path)
+    assert retrained["quantizer_dir"] in listing
+
+
+def test_load_quantizer_legacy_fixed_paths(exact_vindex, tmp_path, spark):
+    """Back-compat: a pre-round-7 index stored its quantizer at the
+    fixed ``quantizer_centroids``/``quantizer_codebooks`` paths and its
+    meta has no ``quantizer_dir`` — _load_quantizer(None dir) must read
+    the legacy layout."""
+    import numpy as np
+
+    ann = SyncedIvfpqIndex(
+        exact_vindex, str(tmp_path / "legacy_ann"), nlist=4, m=4, nbits=4
+    )
+    meta = ann.build()
+    qdir = meta["quantizer_dir"]
+    spark.read.parquet(f"{ann.path}/{qdir}/centroids").write.parquet(
+        f"{ann.path}/quantizer_centroids"
+    )
+    spark.read.parquet(f"{ann.path}/{qdir}/codebooks").write.parquet(
+        f"{ann.path}/quantizer_codebooks"
+    )
+    fresh = SyncedIvfpqIndex(
+        exact_vindex, ann.path, nlist=4, m=4, nbits=4
+    )
+    c_new, b_new = fresh._load_quantizer(meta["quantizer_id"], qdir)
+    legacy = SyncedIvfpqIndex(
+        exact_vindex, ann.path, nlist=4, m=4, nbits=4
+    )
+    c_leg, b_leg = legacy._load_quantizer("some-legacy-id", None)
+    assert np.allclose(c_new, c_leg) and np.allclose(b_new, b_leg)
+
+
+def test_vacuum_spares_young_and_unparseable_quantizer_dirs(
+    exact_vindex, tmp_path
+):
+    """An in-flight build's quantizer dir (written, meta not yet
+    published) survives vacuum via the min-age guard; unparseable
+    names are kept conservatively."""
+    import os
+
+    ann = SyncedIvfpqIndex(
+        exact_vindex, str(tmp_path / "qvac_ann"), nlist=4, m=4, nbits=4
+    )
+    ann.build()
+    young = ann._new_quantizer_dir("inflight1")
+    stale = f"quantizer-t{10**11:016d}-abandoned"
+    weird = "quantizer-notastamp"
+    for name in (young, stale, weird):
+        os.makedirs(f"{ann.path}/{name}", exist_ok=True)
+    removed = ann.vacuum(keep_versions=1, min_age_sec=600)
+    assert stale in removed
+    assert young not in removed and weird not in removed
+    listing = ann.vindex._list_dir(ann.path)
+    assert young in listing and weird in listing
+
+
 def test_qa_ask_holds_lease_across_concurrent_maintenance(
     vindex, tmp_path, spark
 ):
