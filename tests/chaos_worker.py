@@ -56,6 +56,7 @@ def main() -> int:
     from assignment3_qachatapplication_vectorembeddings_spark.operators.index_sync import (
         StaleIndexError,
         SyncedIvfpqIndex,
+        SyncedTextIndex,
     )
     from assignment3_qachatapplication_vectorembeddings_spark.session import get_spark
 
@@ -67,6 +68,7 @@ def main() -> int:
     )
     vi = VectorIndex(spark, f"{base}/primary")
     ann = SyncedIvfpqIndex(vi, f"{base}/ann", nlist=4, m=4, nbits=4)
+    tix = SyncedTextIndex(vi, f"{base}/tix", buckets=8)
     rng = random.Random(seed)
     stats = {"role": role, "ops": 0, "stale_refusals": 0, "errors": []}
     deadline = time.time() + run_sec  # clock starts AFTER session spin-up
@@ -81,18 +83,44 @@ def main() -> int:
                 vi.upsert(spark.createDataFrame(rows, SCHEMA))
             elif role == "maintainer":
                 ann.refresh()
+                tix.refresh()
                 if stats["ops"] % 3 == 2:
                     try:
                         ann.compact()
+                        tix.compact()
                     except StaleIndexError:
                         stats["stale_refusals"] += 1  # raced a commit: fine
+                if stats["ops"] % 4 == 3:
+                    # quantizer RETRAIN mid-storm: versioned sidecar
+                    # dirs must keep concurrent leased readers coherent
+                    ann.retrain()
                 ann.vacuum(keep_versions=1, min_age_sec=10)
+                tix.vacuum(keep_versions=1, min_age_sec=10)
                 vi.vacuum(keep_versions=2, min_age_sec=10)
             elif role == "reader":
                 i = rng.randrange(len(TITLES))
                 want = TITLES[i] + "_"
                 try:
-                    if stats["ops"] % 3 == 2:
+                    if stats["ops"] % 4 == 3:
+                        # lexical path: every title-t doc's text carries
+                        # the literal title token, so a bm25 hit for
+                        # term t from another title is a wrong answer
+                        with tix.reader_lease():
+                            bm_hits = tix.bm25(
+                                [TITLES[i]], on_stale="serve"
+                            ).collect()
+                        hits = None
+                        if not bm_hits:
+                            stats["errors"].append(
+                                f"empty bm25 result for {TITLES[i]}"
+                            )
+                        for r in bm_hits:
+                            if not r["id"].startswith(want):
+                                stats["errors"].append(
+                                    f"WRONG ANSWER bm25 {r['id']!r} for "
+                                    f"{TITLES[i]}"
+                                )
+                    elif stats["ops"] % 3 == 2:
                         # multi-action span: leased, with exact re-rank
                         # against the pinned primary snapshot
                         with ann.reader_lease(), vi.reader_lease():

@@ -36,6 +36,7 @@ from assignment3_qachatapplication_vectorembeddings_spark.operators.index_mainte
 )
 from assignment3_qachatapplication_vectorembeddings_spark.operators.index_sync import (
     SyncedIvfpqIndex,
+    SyncedTextIndex,
 )
 
 from chaos_worker import SCHEMA, TITLES, pattern
@@ -59,6 +60,8 @@ def test_multiprocess_maintenance_chaos(spark, tmp_path):
     )
     ann = SyncedIvfpqIndex(vi, f"{base}/ann", nlist=4, m=4, nbits=4)
     ann.build()
+    tix = SyncedTextIndex(vi, f"{base}/tix", buckets=8)
+    tix.build()
 
     # NOTE: reader k (2) must never exceed the minimum per-title row
     # count (3 seed rows, writers only add) — top-k on orthogonal
@@ -104,9 +107,9 @@ def test_multiprocess_maintenance_chaos(spark, tmp_path):
     assert by_role["maintainer"][0]["ops"] >= 2
     assert all(r["ops"] >= 5 for r in by_role["reader"])
 
-    # post-mortem: catch up, zero-slack vacuum, then the tree must be
-    # exactly {final meta's segments + its quantizer dir} — anything
-    # else is an orphan the protocol leaked
+    # post-mortem: catch up, zero-slack vacuum, then each derived tree
+    # must be exactly {final meta's segments (+ its quantizer dir)} —
+    # anything else is an orphan the protocol leaked
     ann.refresh()
     ann.vacuum(keep_versions=1, min_age_sec=0)
     meta = ann._load_meta()
@@ -117,6 +120,15 @@ def test_multiprocess_maintenance_chaos(spark, tmp_path):
         f"orphaned segments: {segs - set(meta['assign'].values())}"
     )
     assert quants == {meta["quantizer_dir"]}
+    tix.refresh()
+    tix.vacuum(keep_versions=1, min_age_sec=0)
+    tmeta = tix._load_meta()
+    tsegs = {
+        n for n in vi._list_dir(tix.path) if n.startswith("seg-")
+    }
+    assert tsegs == set(tmeta["assign"].values()), (
+        f"orphaned text segments: {tsegs - set(tmeta['assign'].values())}"
+    )
 
     # final consistency: the served index returns exactly the primary's
     # ids per title (scan the codes table directly — k-NN top-k would
@@ -130,3 +142,12 @@ def test_multiprocess_maintenance_chaos(spark, tmp_path):
         sdf = df.filter(cond) if cond is not None else df
         served |= {(r["id"], r["title"]) for r in sdf.select("id", "title").collect()}
     assert served == primary
+    # lexical final consistency: doclens rows == primary rows
+    tserved = set()
+    for df, ts, rv in tix._segment_frames(tmeta, "doclens"):
+        cond = tix._serving_filter(ts, rv)
+        sdf = df.filter(cond) if cond is not None else df
+        tserved |= {
+            (r["id"], r["title"]) for r in sdf.select("id", "title").collect()
+        }
+    assert tserved == primary
