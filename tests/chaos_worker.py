@@ -90,10 +90,11 @@ def main() -> int:
                         tix.compact()
                     except StaleIndexError:
                         stats["stale_refusals"] += 1  # raced a commit: fine
-                if stats["ops"] % 4 == 3:
+                if stats["ops"] % 4 == 1:
                     # quantizer RETRAIN mid-storm: versioned sidecar
                     # dirs must keep concurrent leased readers coherent
                     ann.retrain()
+                    stats["retrains"] = stats.get("retrains", 0) + 1
                 ann.vacuum(keep_versions=1, min_age_sec=10)
                 tix.vacuum(keep_versions=1, min_age_sec=10)
                 vi.vacuum(keep_versions=2, min_age_sec=10)

@@ -104,7 +104,8 @@ def test_multiprocess_maintenance_chaos(spark, tmp_path):
     # every worker made real progress (a wedged role would pass the
     # zero-errors assertion vacuously)
     assert by_role["writer"][0]["ops"] >= 3
-    assert by_role["maintainer"][0]["ops"] >= 2
+    assert by_role["maintainer"][0]["ops"] >= 2  # the retrain branch ran
+    assert by_role["maintainer"][0].get("retrains", 0) >= 1
     assert all(r["ops"] >= 5 for r in by_role["reader"])
 
     # post-mortem: catch up, zero-slack vacuum, then each derived tree
