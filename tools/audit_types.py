@@ -38,6 +38,10 @@ def canon(t: pa.DataType) -> str:
         return f"decimal({t.precision},{t.scale})"
     if pa.types.is_timestamp(t):
         return "timestamp"  # tz-naive wall clock agreed via session tz
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        # the inner FIELD NAME is renderer trivia ("element" from
+        # Spark, "l" from a DuckDB parquet read) — compare value types
+        return f"list<{canon(t.value_type)}>"
     return str(t)
 
 
