@@ -152,3 +152,16 @@ def test_multiprocess_maintenance_chaos(spark, tmp_path):
             (r["id"], r["title"]) for r in sdf.select("id", "title").collect()
         }
     assert tserved == primary
+
+    # and the integrity checker agrees across all three trees
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.index_fsck import (
+        fsck_derived,
+        fsck_primary,
+    )
+
+    for rep in (
+        fsck_primary(vi, deep=True),
+        fsck_derived(ann, deep=True),
+        fsck_derived(tix, deep=True),
+    ):
+        assert rep["errors"] == [], rep
