@@ -71,6 +71,23 @@ def _cmd_ask(args) -> int:
     return 0
 
 
+def _cmd_fsck(args) -> int:
+    from .operators.index_fsck import fsck_derived, fsck_primary
+    from .operators.index_maintenance import VectorIndex
+    from .operators.index_sync import SyncedIvfpqIndex, SyncedTextIndex
+
+    spark = get_spark("fsck")
+    vi = VectorIndex(spark, args.index)
+    reports = [fsck_primary(vi, deep=args.deep)]
+    for path in args.ivfpq or []:
+        reports.append(fsck_derived(SyncedIvfpqIndex(vi, path), deep=args.deep))
+    for path in args.text or []:
+        reports.append(fsck_derived(SyncedTextIndex(vi, path), deep=args.deep))
+    for r in reports:
+        print(json.dumps(r))
+    return 1 if any(r["errors"] for r in reports) else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="assignment3-spark-engine")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -97,6 +114,13 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--forms", default=None)
     pa.add_argument("--top-k", type=int, default=2)
     pa.set_defaults(fn=_cmd_ask)
+
+    pf = sub.add_parser("fsck", help="index tree integrity check")
+    pf.add_argument("--index", required=True, help="primary VectorIndex path")
+    pf.add_argument("--ivfpq", action="append", help="SyncedIvfpqIndex path")
+    pf.add_argument("--text", action="append", help="SyncedTextIndex path")
+    pf.add_argument("--deep", action="store_true", help="row-level parity")
+    pf.set_defaults(fn=_cmd_fsck)
     return p
 
 

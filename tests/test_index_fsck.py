@@ -141,3 +141,22 @@ def test_deep_mode_catches_served_primary_divergence(tree, spark):
     ann._publish_meta(meta["meta_version"] + 1, forged)
     rep = fsck_derived(ann, deep=True)
     assert any("served id-set != primary" in e for e in rep["errors"])
+
+
+def test_cli_fsck_subcommand(tree, capsys):
+    import json as _json
+
+    from assignment3_qachatapplication_vectorembeddings_spark.cli import (
+        main as cli_main,
+    )
+
+    vi, ann, tix = tree
+    rc = cli_main(
+        ["fsck", "--index", vi.path, "--ivfpq", ann.path, "--text", tix.path]
+    )
+    assert rc == 0
+    reports = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert len(reports) == 3 and all(r["errors"] == [] for r in reports)
