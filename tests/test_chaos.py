@@ -165,3 +165,69 @@ def test_multiprocess_maintenance_chaos(spark, tmp_path):
         fsck_derived(tix, deep=True),
     ):
         assert rep["errors"] == [], rep
+
+
+def test_crash_injection_writer_and_maintainer(spark, tmp_path):
+    """Crash-safety claims, tested by actually crashing: SIGKILL a
+    writer and a maintainer mid-operation, then assert the tree is
+    still servable (torn newest manifest/meta falls back one version),
+    fsck reports NO errors (only in-flight/orphan warnings), and
+    normal maintenance resumes and converges."""
+    import os
+    import signal
+    import time
+
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.index_fsck import (
+        fsck_derived,
+        fsck_primary,
+    )
+
+    base = str(tmp_path / "crash")
+    vi = VectorIndex(spark, f"{base}/primary")
+    vi.upsert(
+        spark.createDataFrame(
+            [
+                (f"{t}_seed_{j}", pattern(i), t, f"{t} seed {j}")
+                for i, t in enumerate(TITLES)
+                for j in range(3)
+            ],
+            SCHEMA,
+        )
+    )
+    ann = SyncedIvfpqIndex(vi, f"{base}/ann", nlist=4, m=4, nbits=4)
+    ann.build()
+    before = {
+        r["id"] for r in ann.search(pattern(0), 2, nprobe=4).collect()
+    }
+    assert before
+
+    worker = str(Path(__file__).parent / "chaos_worker.py")
+    for role, seed, kill_after in (("writer", 11, 14.0), ("maintainer", 12, 14.0)):
+        p = subprocess.Popen(
+            [sys.executable, worker, role, base, "120", str(seed)],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        time.sleep(kill_after)  # JVM spin-up ~8-10s, then mid-operation
+        p.send_signal(signal.SIGKILL)
+        p.wait()
+
+    # tree still serves the ORIGINAL coherent snapshot(s) right away
+    hits = ann.search(pattern(0), 2, nprobe=4, on_stale="serve").collect()
+    assert hits and all(r["id"].startswith(TITLES[0] + "_") for r in hits)
+    rep_p = fsck_primary(vi)
+    rep_d = fsck_derived(ann)
+    assert rep_p["errors"] == [], rep_p
+    assert rep_d["errors"] == [], rep_d
+
+    # recovery: the killed writer may have died holding the primary
+    # write lock — by contract that costs at most LOCK_STALE_TTL_SEC of
+    # writer availability; shorten the TTL on this handle so the test
+    # exercises the content-conditional lock BREAKER instead of waiting
+    # an hour (readers were never blocked, as asserted above)
+    vi.LOCK_STALE_TTL_SEC = 3.0
+    ann.refresh()
+    ann.vacuum(keep_versions=1, min_age_sec=0)
+    vi.vacuum(keep_versions=1, min_age_sec=0)
+    for rep in (fsck_primary(vi, deep=True), fsck_derived(ann, deep=True)):
+        assert rep["errors"] == [], rep
