@@ -50,6 +50,9 @@ def main() -> int:
         float(sys.argv[3]),
         int(sys.argv[4]),
     )
+    # optional 5th arg: an object-store scheme prefix ("mocks3://") —
+    # the same chaos over the Hadoop-FS code paths instead of file://
+    scheme = sys.argv[5] if len(sys.argv) > 5 else ""
     from assignment3_qachatapplication_vectorembeddings_spark.operators.index_maintenance import (
         VectorIndex,
     )
@@ -60,15 +63,25 @@ def main() -> int:
     )
     from assignment3_qachatapplication_vectorembeddings_spark.session import get_spark
 
+    extra = {"spark.driver.memory": "2g"}
+    if scheme:
+        sys.path.insert(0, str(_REPO / "tests"))
+        from conftest import ensure_mockfs_classes
+
+        cls_dir = ensure_mockfs_classes()
+        if cls_dir is None:
+            raise RuntimeError("mockfs classes unavailable in chaos child")
+        extra["spark.driver.extraClassPath"] = cls_dir
+        extra["spark.hadoop.fs.mocks3.impl"] = "sparkgraft.MockS3FileSystem"
     spark = get_spark(
         f"chaos-{role}-{seed}",
         master="local[3]",
         shuffle_partitions=2,
-        extra_conf={"spark.driver.memory": "2g"},
+        extra_conf=extra,
     )
-    vi = VectorIndex(spark, f"{base}/primary")
-    ann = SyncedIvfpqIndex(vi, f"{base}/ann", nlist=4, m=4, nbits=4)
-    tix = SyncedTextIndex(vi, f"{base}/tix", buckets=8)
+    vi = VectorIndex(spark, f"{scheme}{base}/primary")
+    ann = SyncedIvfpqIndex(vi, f"{scheme}{base}/ann", nlist=4, m=4, nbits=4)
+    tix = SyncedTextIndex(vi, f"{scheme}{base}/tix", buckets=8)
     rng = random.Random(seed)
     stats = {"role": role, "ops": 0, "stale_refusals": 0, "errors": []}
     deadline = time.time() + run_sec  # clock starts AFTER session spin-up
@@ -149,7 +162,7 @@ def main() -> int:
             stats["ops"] += 1
         except Exception:
             stats["errors"].append(traceback.format_exc()[-2000:])
-    Path(f"{base}/result_{role}_{seed}.json").write_text(json.dumps(stats))
+    Path(f"{base}/result_{role}_{seed}.json").write_text(json.dumps(stats))  # local path even under a scheme
     spark.stop()
     return 0
 

@@ -45,9 +45,9 @@ RUN_SEC = 25.0
 JOIN_TIMEOUT = 240.0
 
 
-def test_multiprocess_maintenance_chaos(spark, tmp_path):
+def _run_chaos(spark, tmp_path, scheme=""):
     base = str(tmp_path / "chaos")
-    vi = VectorIndex(spark, f"{base}/primary")
+    vi = VectorIndex(spark, f"{scheme}{base}/primary")
     vi.upsert(
         spark.createDataFrame(
             [
@@ -58,9 +58,9 @@ def test_multiprocess_maintenance_chaos(spark, tmp_path):
             SCHEMA,
         )
     )
-    ann = SyncedIvfpqIndex(vi, f"{base}/ann", nlist=4, m=4, nbits=4)
+    ann = SyncedIvfpqIndex(vi, f"{scheme}{base}/ann", nlist=4, m=4, nbits=4)
     ann.build()
-    tix = SyncedTextIndex(vi, f"{base}/tix", buckets=8)
+    tix = SyncedTextIndex(vi, f"{scheme}{base}/tix", buckets=8)
     tix.build()
 
     # NOTE: reader k (2) must never exceed the minimum per-title row
@@ -71,7 +71,8 @@ def test_multiprocess_maintenance_chaos(spark, tmp_path):
     roles = [("writer", 1), ("maintainer", 2), ("reader", 3), ("reader", 4)]
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, role, base, str(RUN_SEC), str(seed)],
+            [sys.executable, worker, role, base, str(RUN_SEC), str(seed)]
+            + ([scheme] if scheme else []),
             stdout=subprocess.DEVNULL,
             stderr=subprocess.PIPE,
         )
@@ -165,6 +166,19 @@ def test_multiprocess_maintenance_chaos(spark, tmp_path):
         fsck_derived(tix, deep=True),
     ):
         assert rep["errors"] == [], rep
+
+
+def test_multiprocess_maintenance_chaos(spark, tmp_path):
+    _run_chaos(spark, tmp_path)
+
+
+def test_multiprocess_chaos_over_mocks3(spark, mocks3, tmp_path):
+    """The same storm over the registered object-store scheme: every
+    manifest/meta/lease/segment IO goes through the Hadoop FileSystem
+    API instead of the local-file fast paths — the one environment
+    axis the file:// chaos run can't cover. (RawLocalFileSystem-backed,
+    so the processes still share one consistent store.)"""
+    _run_chaos(spark, tmp_path, scheme=mocks3)
 
 
 def test_crash_injection_writer_and_maintainer(spark, tmp_path):
