@@ -82,7 +82,6 @@ def fsck_primary(vindex, *, deep: bool = False) -> dict:
         return report
     report["info"]["exists"] = True
 
-    listing = set(vindex._list_dir(vindex.path))
     data_listing = {
         f"data/{n}" for n in vindex._list_dir(f"{vindex.path}/data")
     }
@@ -111,10 +110,18 @@ def fsck_primary(vindex, *, deep: bool = False) -> dict:
                     "fall back one version)"
                 )
             continue
+        partitions = payload.get("partitions")
+        if not isinstance(partitions, dict):
+            # parseable-but-malformed: exactly the corruption class fsck
+            # exists to classify — report, don't crash (round-8 ADVICE)
+            report["errors"].append(
+                f"manifest v{v} parses but has no usable 'partitions' map "
+                "— corrupt metadata (readers would crash resolving it)"
+            )
+            continue
         complete[v] = payload
         missing = sorted(
-            d for d in set(payload["partitions"].values())
-            if d not in data_listing
+            d for d in set(partitions.values()) if d not in data_listing
         )
         if missing:
             report["errors"].append(
@@ -200,9 +207,16 @@ def fsck_derived(index, *, deep: bool = False) -> dict:
             else:
                 report["warnings"].append(f"meta v{v} torn and superseded")
             continue
+        assign = payload.get("assign")
+        if not isinstance(assign, dict) or "data_version" not in payload:
+            report["errors"].append(
+                f"meta v{v} parses but is missing a usable 'assign' map "
+                "or 'data_version' — corrupt metadata"
+            )
+            continue
         metas[v] = payload
         missing = sorted(
-            s for s in set(payload["assign"].values()) if s not in listing
+            s for s in set(assign.values()) if s not in listing
         )
         if missing:
             report["errors"].append(
@@ -215,9 +229,7 @@ def fsck_derived(index, *, deep: bool = False) -> dict:
             )
         revoked = payload.get("revoked")
         if revoked is not None:
-            extra = sorted(
-                set(revoked) - set(payload["assign"].values())
-            )
+            extra = sorted(set(revoked) - set(assign.values()))
             if extra:
                 report["errors"].append(
                     f"meta v{v} revoked-map names unassigned segment(s) {extra}"
@@ -263,27 +275,41 @@ def fsck_derived(index, *, deep: bool = False) -> dict:
         head = metas[max(metas)]
         payload = vindex._load_manifest_version(head["data_version"])
         if payload is not None:
-            primary_ids = {
-                r["id"]
-                for r in vindex._read_manifest_payload(payload)
-                .select("id")
-                .collect()
-            }
+            # id-set parity as distributed anti-joins: only counts plus a
+            # bounded divergence sample ever reach the driver, so deep
+            # fsck stays usable at the corpus sizes the index modules
+            # advertise (round-8 ADVICE — was two O(corpus) python sets)
+            primary_ids = (
+                vindex._read_manifest_payload(payload).select("id").distinct()
+            )
             subdir = "" if index.KIND == "ivfpq" else "doclens"
             schema = (
                 index.SEGMENT_SCHEMA if index.KIND == "ivfpq" else None
             )
-            served = set()
+            served_frames = []
             for df, ts, rv in index._segment_frames(head, subdir, schema):
                 cond = index._serving_filter(ts, rv)
                 sdf = df.filter(cond) if cond is not None else df
-                served |= {r["id"] for r in sdf.select("id").collect()}
-            if served != primary_ids:
+                served_frames.append(sdf.select("id"))
+            if served_frames:
+                served = served_frames[0]
+                for f in served_frames[1:]:
+                    served = served.unionByName(f)
+                served = served.distinct()
+            else:
+                served = primary_ids.limit(0)
+            extra = served.join(primary_ids, "id", "left_anti")
+            missing = primary_ids.join(served, "id", "left_anti")
+            n_extra, n_missing = extra.count(), missing.count()
+            if n_extra or n_missing:
+                sample = sorted(
+                    r["id"] for r in extra.limit(3).collect()
+                ) + sorted(r["id"] for r in missing.limit(3).collect())
                 report["errors"].append(
                     f"deep: served id-set != primary snapshot "
-                    f"({len(served - primary_ids)} extra, "
-                    f"{len(primary_ids - served)} missing)"
+                    f"({n_extra} extra, {n_missing} missing; "
+                    f"sample {sample})"
                 )
             else:
-                report["info"]["deep_ids_checked"] = len(primary_ids)
+                report["info"]["deep_ids_checked"] = primary_ids.count()
     return report

@@ -691,16 +691,22 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         # a bare .limit() can draw the whole sample from one title/
         # partition, making drift_ratio (and the sticky
         # retrain_recommended flag) hostage to a single outlier title.
-        # Ordering by xxhash64(id) is a seed-free uniform shuffle of the
-        # candidate rows, so the sample reflects the whole refreshed set
-        # while staying reproducible across runs.
+        # xxhash64(id) is a seed-free uniform shuffle of the candidate
+        # rows; instead of ranking ALL of them (a per-row vector-payload
+        # top-k over the whole build at build() scale — round-8 ADVICE),
+        # a hash-range filter first thins the candidates to ~4x the
+        # sample (pmod(h, N) == 0 keeps a deterministic uniform 1/N
+        # slice), and only that small subset is rank-limited. One cheap
+        # id-only count() sizes N; small candidate sets skip the filter.
         rows = reader(titles=None if titles is None else list(titles))
-        pdf = (
-            rows.select("vector", F.xxhash64("id").alias("__h"))
-            .orderBy("__h")
-            .limit(self.DRIFT_SAMPLE)
-            .toPandas()
-        )
+        oversample = self.DRIFT_SAMPLE * 4
+        n = rows.select("id").count()
+        sub = rows.select("vector", F.xxhash64("id").alias("__h"))
+        if n > oversample:
+            sub = sub.filter(
+                F.pmod(F.col("__h"), F.lit(max(1, n // oversample))) == 0
+            )
+        pdf = sub.orderBy("__h").limit(self.DRIFT_SAMPLE).toPandas()
         return pdf["vector"]
 
     # -- quantizer sidecars -------------------------------------------------

@@ -45,6 +45,12 @@ class QuerySpec:
     #: gate (tools/check_corpus.py) prints and thresholds these so ANN
     #: recall is asserted per run, not only in the pytest bounds
     quality: Optional[Callable[[SparkSession, str, list], dict]] = None
+    #: True when ``oracle`` is a committed golden-parquet pin dispatched
+    #: on the scale-factor fingerprint (see ``_golden_oracle``): tools
+    #: that need to know (bench_ratio's dual-engine filter, the gate's
+    #: "no golden committed for this scale" reporting) test THIS flag
+    #: instead of sniffing the SQL text (round-8 ADVICE)
+    golden: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -74,6 +80,10 @@ _GOLDEN_KEYS: dict[str, tuple[str, dict[str, int]]] = {
     "embeddings": (
         "(SELECT count(*) * 100000 + sum(label) FROM embeddings)",
         {"0_001": 50002268, "0_01": 50002270, "0_1": 200009063},
+    ),
+    "lineitem": (
+        "(SELECT count(*) * 1000 + sum(l_linenumber) FROM lineitem)",
+        {"0_001": 6024257, "0_01": 60240315, "0_1": 602400337},
     ),
 }
 
@@ -5700,14 +5710,19 @@ CORPUS: dict[str, QuerySpec] = {
         q_embedding_near_dup, _SQL_EMBEDDING_NEAR_DUP, "top-20 cosine-closest pairs"
     ),
     "semdedup_summary": QuerySpec(
-        q_semdedup, None,
-        "SemDeDup: k-means cells + cluster-local cosine dedup (arXiv:2303.09540)",
+        q_semdedup, _golden_oracle("semdedup_summary", table="embeddings"),
+        "SemDeDup: k-means cells + cluster-local cosine dedup "
+        "(arXiv:2303.09540; seeded k-means → golden-parquet oracle)",
+        golden=True,
     ),
     "dedup_components": QuerySpec(
         q_dedup_components, _SQL_DEDUP_COMPONENTS, "duplicate clusters via CC"
     ),
     "curation_summary": QuerySpec(
-        q_curation_summary, None, "full curation pipeline accounting"
+        q_curation_summary, _golden_oracle("curation_summary"),
+        "full curation pipeline accounting (deterministic heuristics → "
+        "golden-parquet oracle)",
+        golden=True,
     ),
     "quality_scores": QuerySpec(q_quality, _SQL_QUALITY, "text quality features"),
     "line_dedup": QuerySpec(
@@ -5749,7 +5764,10 @@ CORPUS: dict[str, QuerySpec] = {
         "deterministic md5-bucket per-stratum sampling",
     ),
     "approx_distinct": QuerySpec(
-        q_approx_distinct, None, "HLL++ approximate distinct counts"
+        q_approx_distinct, _golden_oracle("approx_distinct", table="lineitem"),
+        "HLL++ approximate distinct counts (deterministic sketch → "
+        "golden-parquet oracle)",
+        golden=True,
     ),
     "range_join_pairs": QuerySpec(
         q_range_join, _SQL_RANGE_JOIN, "bucketed interval join (exact)"
@@ -5791,33 +5809,43 @@ CORPUS: dict[str, QuerySpec] = {
     "json_props_extract": QuerySpec(
         q_json_props, _SQL_JSON_PROPS, "JSON prop extraction + agg"
     ),
+    # ANN family: seeded fits + exact re-rank make every entry
+    # deterministic on the fixed testdata, so each is BOTH
+    # golden-parquet value-pinned AND recall-gated per run
     "ann_ivf_topk": QuerySpec(
-        q_ann_ivf, None, "IVF (k-means cells) approx top-k",
-        quality=ann_recall_at_10,
+        q_ann_ivf, _golden_oracle("ann_ivf_topk", table="embeddings"),
+        "IVF (k-means cells) approx top-k (golden-parquet oracle)",
+        quality=ann_recall_at_10, golden=True,
     ),
     "ann_lsh_topk": QuerySpec(
-        q_ann_lsh, None, "hyperplane-LSH approx top-k",
-        quality=ann_recall_at_10,
+        q_ann_lsh, _golden_oracle("ann_lsh_topk", table="embeddings"),
+        "hyperplane-LSH approx top-k (golden-parquet oracle)",
+        quality=ann_recall_at_10, golden=True,
     ),
     "ann_pq_topk": QuerySpec(
-        q_ann_pq, None, "product-quantization ADC top-k + exact re-rank",
-        quality=ann_recall_at_10,
+        q_ann_pq, _golden_oracle("ann_pq_topk", table="embeddings"),
+        "product-quantization ADC top-k + exact re-rank (golden oracle)",
+        quality=ann_recall_at_10, golden=True,
     ),
     "ann_ivfpq_topk": QuerySpec(
-        q_ann_ivfpq, None, "IVF cells + residual-PQ ADC top-k + exact re-rank",
-        quality=ann_recall_at_10,
+        q_ann_ivfpq, _golden_oracle("ann_ivfpq_topk", table="embeddings"),
+        "IVF cells + residual-PQ ADC top-k + exact re-rank (golden oracle)",
+        quality=ann_recall_at_10, golden=True,
     ),
     "ann_sq8_topk": QuerySpec(
-        q_ann_sq8, None, "scalar-quantization byte-code top-k + exact re-rank",
-        quality=ann_recall_at_10,
+        q_ann_sq8, _golden_oracle("ann_sq8_topk", table="embeddings"),
+        "scalar-quantization byte-code top-k + exact re-rank (golden oracle)",
+        quality=ann_recall_at_10, golden=True,
     ),
     "pypdf_chunks": QuerySpec(
         q_pypdf_chunks, _golden_oracle("pypdf_chunks"),
         "F2/F3 two-pass chunk pack (golden-parquet oracle)",
+        golden=True,
     ),
     "nougat_chunks": QuerySpec(
         q_nougat_chunks, _golden_oracle("nougat_chunks"),
         "F4/F5/F6/W2/A1 nougat pack (golden-parquet oracle)",
+        golden=True,
     ),
     "lang_id": QuerySpec(
         q_lang_id, _lang_id_oracle(), "stopword-argmax language identification"
@@ -5837,14 +5865,17 @@ CORPUS: dict[str, QuerySpec] = {
     "bpe_token_counts": QuerySpec(
         q_bpe_token_counts, _golden_oracle("bpe_token_counts"),
         "BPE-ish pre-tokenizer counts (pandas UDF, golden-parquet oracle)",
+        golden=True,
     ),
     "embed_documents": QuerySpec(
         q_embed_documents, _golden_oracle("embed_documents"),
         "M1 batch embedding generation (hashing embedder, golden oracle)",
+        golden=True,
     ),
     "multimodal_features": QuerySpec(
         q_multimodal_features, _golden_oracle("multimodal_features"),
         "binary decode → feature extract plumbing (golden-parquet oracle)",
+        golden=True,
     ),
     "forecast_revenue": QuerySpec(
         q_forecast_revenue, _SQL_FORECAST_REVENUE, "TPC-H Q6 shape, pushdown showcase"
@@ -6044,6 +6075,7 @@ CORPUS: dict[str, QuerySpec] = {
     "bpe_train_merges": QuerySpec(
         q_bpe_train_merges, _golden_oracle("bpe_train_merges"),
         "distributed byte-level BPE training (golden-parquet oracle)",
+        golden=True,
     ),
     "weighted_sample": QuerySpec(
         q_weighted_sample, _SQL_WEIGHTED_SAMPLE,
@@ -6081,6 +6113,7 @@ CORPUS: dict[str, QuerySpec] = {
         q_pca_embeddings, _golden_oracle("pca_embeddings", table="embeddings"),
         "PCA whitening (FAISS PCAMatrix stage): sample fit, Arrow apply",
         quality=_pca_quality,
+        golden=True,
     ),
     "cross_source_overlap": QuerySpec(
         q_cross_source_overlap, _SQL_CROSS_SOURCE_OVERLAP,

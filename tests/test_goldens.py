@@ -22,9 +22,17 @@ from assignment3_qachatapplication_vectorembeddings_spark.plans.corpus import CO
 GOLDEN_DIR = Path(__file__).parent / "fixtures" / "golden"
 SF_DIR = "/root/testdata/sf0.001"
 
-# the cheap-at-sf0.001 subset; pypdf/nougat/multimodal/pca cost more
-# and are covered by the same mechanism in the driver gate
-CHEAP = ["bpe_token_counts", "embed_documents", "bpe_train_merges"]
+# the cheap-at-sf0.001 subset; pypdf/nougat/multimodal/pca/curation and
+# the remaining ANN entries cost more and are covered by the same
+# mechanism in the driver gate
+CHEAP = [
+    "bpe_token_counts",
+    "embed_documents",
+    "bpe_train_merges",
+    "approx_distinct",
+    "semdedup_summary",
+    "ann_ivfpq_topk",
+]
 
 
 @pytest.mark.parametrize("name", CHEAP)

@@ -84,11 +84,7 @@ def main() -> int:
     # "oracle" side would read an empty constant, making the ratio
     # meaningless. The Spark side of those queries is still benched by
     # bench.py; here we compare only real dual-engine workloads.
-    names = rest or [
-        n
-        for n, s in CORPUS.items()
-        if s.oracle and "tests/fixtures/golden" not in s.oracle
-    ]
+    names = rest or [n for n, s in CORPUS.items() if s.oracle and not s.golden]
 
     import os as _os0
 
