@@ -9,7 +9,10 @@ Spark-first: one DataFrame expression — partition-pruned scan (title
 filter) → cosine score → TakeOrderedAndProject limit k → context
 assembly via ``concat_ws`` aggregation. The answer model is injected
 (``answer_fn``); the default is a deterministic extractive stub so the
-whole path runs offline.
+whole path runs offline. Production wires
+:class:`~..functions.answering.OpenAIShapedAnswerer` — the ready-made
+``/v1/chat/completions`` adapter (reference chat shape, temperature 0,
+429/5xx backoff, loud failure) — as ``answer_fn``.
 """
 
 from __future__ import annotations
