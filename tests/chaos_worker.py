@@ -43,6 +43,26 @@ def pattern(i: int) -> list[float]:
     return [1.0 if j // (DIM // len(TITLES)) == i else 0.0 for j in range(DIM)]
 
 
+def posix_conditional_put(path: str, content: bytes) -> bool:
+    """Conditional write primitive for the mocks3na:// chaos leg (S3
+    PutObject + ``If-None-Match: *`` semantics): atomic
+    create-if-absent implemented OUTSIDE the deliberately-broken Hadoop
+    create path, like a real S3 client would. Module-level so every
+    chaos child process resolves the SAME primitive against the shared
+    local store."""
+    import os
+
+    local = path.split("://", 1)[1]
+    os.makedirs(os.path.dirname(local) or "/", exist_ok=True)
+    try:
+        fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "wb") as f:
+        f.write(content)
+    return True
+
+
 def main() -> int:
     role, base, run_sec, seed = (
         sys.argv[1],
@@ -73,13 +93,17 @@ def main() -> int:
             raise RuntimeError("mockfs classes unavailable in chaos child")
         extra["spark.driver.extraClassPath"] = cls_dir
         extra["spark.hadoop.fs.mocks3.impl"] = "sparkgraft.MockS3FileSystem"
+        extra["spark.hadoop.fs.mocks3na.impl"] = "sparkgraft.MockS3LaxFileSystem"
     spark = get_spark(
         f"chaos-{role}-{seed}",
         master="local[3]",
         shuffle_partitions=2,
         extra_conf=extra,
     )
-    vi = VectorIndex(spark, f"{scheme}{base}/primary")
+    # the non-atomic scheme refuses to lock without a conditional-put
+    # primitive — supply the S3-shaped one, same as production would
+    cput = posix_conditional_put if scheme.startswith("mocks3na") else None
+    vi = VectorIndex(spark, f"{scheme}{base}/primary", conditional_put=cput)
     ann = SyncedIvfpqIndex(vi, f"{scheme}{base}/ann", nlist=4, m=4, nbits=4)
     tix = SyncedTextIndex(vi, f"{scheme}{base}/tix", buckets=8)
     rng = random.Random(seed)

@@ -39,15 +39,17 @@ from assignment3_qachatapplication_vectorembeddings_spark.operators.index_sync i
     SyncedTextIndex,
 )
 
-from chaos_worker import SCHEMA, TITLES, pattern
+from chaos_worker import SCHEMA, TITLES, pattern, posix_conditional_put
 
 RUN_SEC = 25.0
 JOIN_TIMEOUT = 240.0
 
 
-def _run_chaos(spark, tmp_path, scheme=""):
+def _run_chaos(spark, tmp_path, scheme="", conditional_put=None):
     base = str(tmp_path / "chaos")
-    vi = VectorIndex(spark, f"{scheme}{base}/primary")
+    vi = VectorIndex(
+        spark, f"{scheme}{base}/primary", conditional_put=conditional_put
+    )
     vi.upsert(
         spark.createDataFrame(
             [
@@ -181,13 +183,25 @@ def test_multiprocess_chaos_over_mocks3(spark, mocks3, tmp_path):
     _run_chaos(spark, tmp_path, scheme=mocks3)
 
 
-def test_crash_injection_writer_and_maintainer(spark, tmp_path):
+def test_multiprocess_chaos_over_mocks3na(spark, mocks3na, tmp_path):
+    """Third leg (round-8 verdict ask #4): the same storm over the
+    NON-ATOMIC scheme (plain S3 PUT semantics — create-if-absent
+    silently overwrites), with writer mutual exclusion and the
+    manifest fence riding entirely on the ``conditional_put`` hook
+    (S3 ``If-None-Match: *``). Exercises the S3-plain-PUT lock path
+    end-to-end under real cross-process contention."""
+    _run_chaos(
+        spark, tmp_path, scheme=mocks3na,
+        conditional_put=posix_conditional_put,
+    )
+
+
+def _run_crash_injection(spark, tmp_path, scheme="", conditional_put=None):
     """Crash-safety claims, tested by actually crashing: SIGKILL a
     writer and a maintainer mid-operation, then assert the tree is
     still servable (torn newest manifest/meta falls back one version),
     fsck reports NO errors (only in-flight/orphan warnings), and
     normal maintenance resumes and converges."""
-    import os
     import signal
     import time
 
@@ -197,7 +211,9 @@ def test_crash_injection_writer_and_maintainer(spark, tmp_path):
     )
 
     base = str(tmp_path / "crash")
-    vi = VectorIndex(spark, f"{base}/primary")
+    vi = VectorIndex(
+        spark, f"{scheme}{base}/primary", conditional_put=conditional_put
+    )
     vi.upsert(
         spark.createDataFrame(
             [
@@ -208,7 +224,7 @@ def test_crash_injection_writer_and_maintainer(spark, tmp_path):
             SCHEMA,
         )
     )
-    ann = SyncedIvfpqIndex(vi, f"{base}/ann", nlist=4, m=4, nbits=4)
+    ann = SyncedIvfpqIndex(vi, f"{scheme}{base}/ann", nlist=4, m=4, nbits=4)
     ann.build()
     before = {
         r["id"] for r in ann.search(pattern(0), 2, nprobe=4).collect()
@@ -218,7 +234,8 @@ def test_crash_injection_writer_and_maintainer(spark, tmp_path):
     worker = str(Path(__file__).parent / "chaos_worker.py")
     for role, seed, kill_after in (("writer", 11, 14.0), ("maintainer", 12, 14.0)):
         p = subprocess.Popen(
-            [sys.executable, worker, role, base, "120", str(seed)],
+            [sys.executable, worker, role, base, "120", str(seed)]
+            + ([scheme] if scheme else []),
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
         )
@@ -245,3 +262,19 @@ def test_crash_injection_writer_and_maintainer(spark, tmp_path):
     vi.vacuum(keep_versions=1, min_age_sec=0)
     for rep in (fsck_primary(vi, deep=True), fsck_derived(ann, deep=True)):
         assert rep["errors"] == [], rep
+
+
+def test_crash_injection_writer_and_maintainer(spark, tmp_path):
+    _run_crash_injection(spark, tmp_path)
+
+
+def test_crash_injection_over_mocks3na(spark, mocks3na, tmp_path):
+    """Crash injection over the non-atomic scheme: a SIGKILLed writer
+    dies holding a conditional-put lock object — recovery must go
+    through the content-conditional stale-lock breaker ON TOP OF the
+    hook (delete + re-claim via conditional_put), not the posix
+    fast path."""
+    _run_crash_injection(
+        spark, tmp_path, scheme=mocks3na,
+        conditional_put=posix_conditional_put,
+    )
