@@ -67,9 +67,12 @@ def cosine_sim(a: Column, b: Column) -> Column:
 
     ada-002 vectors are unit-norm so the reference's cosine ranking is
     a dot product; we normalize anyway so the operator is correct for
-    arbitrary embedding columns.
-    """
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    arbitrary embedding columns — including all-zero vectors, which
+    score 0.0 (the CASE guard keeps ANSI mode from raising
+    DIVIDE_BY_ZERO; same convention as ``cosine_scores_pandas`` and the
+    ADC scorers, and a zero vector is "similar to nothing" anyway)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot_product(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def cosine_scores_pandas(query: Sequence[float]):

@@ -227,6 +227,20 @@ def fsck_derived(index, *, deep: bool = False) -> dict:
             report["errors"].append(
                 f"meta v{v} references missing quantizer dir {qdir!r}"
             )
+        for seg, sq in (payload.get("seg_quantizer") or {}).items():
+            # per-segment pins (partial retrain): a missing pinned
+            # quantizer makes that segment's ADC scores garbage
+            if isinstance(sq, (list, tuple)) and len(sq) == 2:
+                if sq[1] and sq[1] not in listing:
+                    report["errors"].append(
+                        f"meta v{v} pins segment {seg!r} to missing "
+                        f"quantizer dir {sq[1]!r}"
+                    )
+            else:
+                report["errors"].append(
+                    f"meta v{v} has a malformed seg_quantizer entry "
+                    f"for {seg!r}: {sq!r}"
+                )
         revoked = payload.get("revoked")
         if revoked is not None:
             extra = sorted(set(revoked) - set(assign.values()))
@@ -257,6 +271,9 @@ def fsck_derived(index, *, deep: bool = False) -> dict:
             referenced.update(p["assign"].values())
             if p.get("quantizer_dir"):
                 referenced.add(p["quantizer_dir"])
+            for sq in (p.get("seg_quantizer") or {}).values():
+                if isinstance(sq, (list, tuple)) and len(sq) == 2 and sq[1]:
+                    referenced.add(sq[1])
         orphans = sorted(
             n
             for n in listing

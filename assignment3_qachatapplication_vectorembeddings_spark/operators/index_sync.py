@@ -162,6 +162,9 @@ class _SyncedIndexBase:
             want = set(payload.get("assign", {}).values())
             if payload.get("quantizer_dir"):
                 want.add(payload["quantizer_dir"])
+            # per-segment quantizer pins (partial retrain) must exist too
+            for _qid, qdir in (payload.get("seg_quantizer") or {}).values():
+                want.add(qdir)
             missing = sorted(want - set(live))
             if missing:
                 raise StaleIndexError(
@@ -441,6 +444,11 @@ class _SyncedIndexBase:
                 referenced.update(m["assign"].values())
                 if m.get("quantizer_dir"):
                     referenced.add(m["quantizer_dir"])
+                # per-segment quantizer pins (partial retrain): every
+                # quantizer a retained meta's segment was encoded under
+                # must survive, or its ADC scores turn to garbage
+                for _qid, qdir in (m.get("seg_quantizer") or {}).values():
+                    referenced.add(qdir)
                 newest_data_version = max(
                     newest_data_version, int(m.get("data_version", -1))
                 )
@@ -495,8 +503,12 @@ class _SyncedIndexBase:
     # -- segment-union read -------------------------------------------------
 
     def _segment_frames(
-        self, meta: dict, subdir: str = "", schema: str | None = None
-    ) -> list[tuple[DataFrame, list[str], list[str] | None]]:
+        self,
+        meta: dict,
+        subdir: str = "",
+        schema: str | None = None,
+        names: bool = False,
+    ) -> list:
         """[(segment DataFrame, assigned titles, revoked titles)] —
         each segment read restricted to the titles the meta currently
         assigns to it, so superseded rows parked in older segments are
@@ -505,7 +517,9 @@ class _SyncedIndexBase:
         pays one driver job PER SEGMENT just to learn a layout this
         module wrote itself (round-6: serving-path plan construction is
         job-free). ``revoked`` is ``None`` for legacy metas (caller
-        must filter by the assigned list)."""
+        must filter by the assigned list). ``names=True`` prepends the
+        segment dir name to each tuple (per-segment quantizer routing
+        needs it; default stays 3-tuples for existing callers)."""
         by_seg: dict[str, list[str]] = {}
         for t, seg in meta["assign"].items():
             by_seg.setdefault(seg, []).append(t)
@@ -516,7 +530,8 @@ class _SyncedIndexBase:
             p = f"{self.path}/{seg}" + (f"/{subdir}" if subdir else "")
             reader = spark.read.schema(schema) if schema else spark.read
             revoked = None if revoked_map is None else revoked_map.get(seg, [])
-            out.append((reader.parquet(p), titles, revoked))
+            row = (reader.parquet(p), titles, revoked)
+            out.append((seg, *row) if names else row)
         return out
 
     @staticmethod
@@ -758,9 +773,16 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         # superseded quantizer. ``quantizer_dir`` (meta key since round
         # 7) selects the versioned sidecar dir; a legacy meta without it
         # reads the original fixed paths.
-        cached = getattr(self, "_quantizer_cache", None)
-        if cached is not None and cached[0] == quantizer_id:
-            return cached[1], cached[2]
+        # small keyed cache (not a single slot): partial retrain makes
+        # MULTIPLE quantizers live at once — per-segment pinning — and a
+        # single-entry cache would thrash reloading two quantizers on
+        # every mixed-generation search
+        cache = getattr(self, "_quantizer_cache_map", None)
+        if cache is None:
+            cache = self._quantizer_cache_map = {}
+        hit = cache.get(quantizer_id)
+        if hit is not None:
+            return hit
         spark = self.vindex.spark
         if quantizer_dir is not None:
             cent_path = f"{self.path}/{quantizer_dir}/centroids"
@@ -777,8 +799,40 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         codebooks = np.empty((m, ksub, dsub))
         for r in cb:
             codebooks[r["subspace"], r["code"]] = r["centroid"]
-        self._quantizer_cache = (quantizer_id, centroids, codebooks)
+        cache[quantizer_id] = (centroids, codebooks)
+        while len(cache) > 4:  # bound: a handful of generations max
+            cache.pop(next(iter(cache)))
         return centroids, codebooks
+
+    def _seg_quantizer_map(self, meta: dict) -> dict[str, tuple]:
+        """{segment: (quantizer_id, quantizer_dir)} for every live
+        segment. Partial retrain (:meth:`retrain` with ``titles``)
+        leaves older segments encoded under older quantizers — each
+        segment's codes are only meaningful under the quantizer that
+        produced them, so serving routes per segment. Legacy metas (no
+        ``seg_quantizer``) map every segment to the meta's top-level
+        quantizer — exactly the old single-quantizer behavior."""
+        default = (meta.get("quantizer_id"), meta.get("quantizer_dir"))
+        sq = meta.get("seg_quantizer") or {}
+        return {
+            seg: tuple(sq.get(seg, default))
+            for seg in set(meta["assign"].values())
+        }
+
+    def _next_seg_quantizer(self, meta: dict, assign_new: dict) -> dict:
+        """Carry the per-segment quantizer pins forward through a
+        refresh: retained segments keep their entry, dropped segments
+        lose theirs (their quantizer stays alive only while an OLDER
+        retained meta references it — vacuum handles that), and NEW
+        segments — not in the previous map — are pinned to the meta's
+        head quantizer, which is what the caller encodes them under.
+        The result is MATERIALIZED for every live segment so a later
+        head change (partial retrain) can never silently re-route an
+        old segment's codes to a quantizer that didn't produce them."""
+        prev = self._seg_quantizer_map(meta)
+        head = (meta.get("quantizer_id"), meta.get("quantizer_dir"))
+        live = set(assign_new.values())
+        return {seg: list(prev.get(seg, head)) for seg in sorted(live)}
 
     # -- build / refresh ----------------------------------------------------
 
@@ -826,7 +880,10 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             quantizer_id = uuid.uuid4().hex[:12]
             qdir = self._new_quantizer_dir(quantizer_id)
             self._write_quantizer(centroids, codebooks, qdir)
-            self._quantizer_cache = (quantizer_id, centroids, codebooks)
+            cache = getattr(self, "_quantizer_cache_map", None)
+            if cache is None:
+                cache = self._quantizer_cache_map = {}
+            cache[quantizer_id] = (centroids, codebooks)
             seg = self._new_segment(version)
             self._encode_titles(None, centroids, codebooks, seg, reader=snap.read)
             # drift baseline: reconstruction error of a bounded sample
@@ -845,6 +902,7 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             "revoked": {seg: []},
             "quantizer_id": quantizer_id,
             "quantizer_dir": qdir,
+            "seg_quantizer": {seg: [quantizer_id, qdir]},
             "recon_baseline": baseline,
             "params": {
                 "nlist": self.nlist,
@@ -856,14 +914,29 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         self._publish_meta(next_meta, meta)
         return meta
 
-    def retrain(self) -> dict:
+    def retrain(self, titles: Sequence[str] | None = None) -> dict:
         """Drift remedy: refit the quantizer on the CURRENT leased
-        snapshot, re-encode every live row under the new codebooks, and
-        publish the result as ONE meta commit — the orchestrated answer
+        snapshot and publish ONE meta commit — the orchestrated answer
         to the refresh-time drift guard's ``retrain_recommended`` flag
         (FAISS practice: add-without-retrain until reconstruction error
         degrades, then retrain; the reference outsources this lifecycle
-        to Pinecone entirely). Serving stays available throughout:
+        to Pinecone entirely).
+
+        ``titles=None`` re-encodes EVERY live row under the new
+        codebooks — a full :meth:`build`, O(corpus).
+
+        ``titles=[...]`` is the PARTIAL path (round-8): only the given
+        titles (typically the meta's ``drift_titles`` ledger) are
+        re-encoded under the new quantizer; every other segment keeps
+        serving its existing codes under the quantizer that produced
+        them, via the meta's per-segment pins (``seg_quantizer``).
+        Cost drops from O(corpus) to O(drifted titles) + one bounded
+        quantizer fit. Mixed-generation serving is handled by routing
+        each segment's ADC scoring through its own quantizer (see
+        :meth:`search`); :meth:`compact` later migrates everything to
+        the head quantizer, after which vacuum retires the old sidecar.
+
+        Serving stays available throughout on both paths:
 
         - the new quantizer lands in a fresh VERSIONED sidecar dir
           (``quantizer-t<ms>-<qid>/``) so readers of the previous meta
@@ -872,21 +945,89 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
           (the standard publish ordering), so a reader never resolves a
           meta whose data is missing;
         - leased readers pin their meta version; vacuum retains pinned
-          metas, their segments, AND their quantizer dirs.
+          metas, their segments, AND every quantizer dir they pin.
 
-        Cost is O(corpus) like :meth:`build` — this IS a rebuild, named
-        for its trigger and guaranteed non-destructive to concurrent
-        readers. Clears ``retrain_recommended`` and resets
+        Like :meth:`compact`, the partial path refuses a stale index
+        (refresh first): mixing a new-snapshot subset encode with
+        old-snapshot segments would make ``data_version`` a lie.
+        Clears ``retrain_recommended``/``drift_titles`` and resets
         ``recon_baseline`` under the fresh codebooks."""
-        return self.build()
+        if titles is None:
+            return self.build()
+        from .ann import ivfpq_build
 
-    def retrain_if_recommended(self) -> dict | None:
+        m = self._load_meta()
+        if m is None:
+            return self.build()
+        want = sorted(set(titles) & set(m["assign"]))
+        if not want:
+            return self.build()  # nothing live to target: full remedy
+        with self._pinned_source() as (cur_version, _parts, snap):
+            if cur_version != m["data_version"]:
+                raise StaleIndexError(
+                    f"ivfpq index at {self.path} is stale (indexed "
+                    f"v{m['data_version']}, primary at v{cur_version}); "
+                    "refresh() before a partial retrain()"
+                )
+            rows = snap.read()
+            centroids, codebooks = ivfpq_build(
+                rows,
+                vec_col="vector",
+                nlist=self.nlist,
+                m=self.m,
+                nbits=self.nbits,
+                seed=self.seed,
+            )
+            quantizer_id = uuid.uuid4().hex[:12]
+            qdir = self._new_quantizer_dir(quantizer_id)
+            self._write_quantizer(centroids, codebooks, qdir)
+            cache = getattr(self, "_quantizer_cache_map", None)
+            if cache is None:
+                cache = self._quantizer_cache_map = {}
+            cache[quantizer_id] = (centroids, codebooks)
+            seg = self._new_segment(cur_version)
+            self._encode_titles(
+                want, centroids, codebooks, seg, reader=snap.read
+            )
+            baseline = self._recon_error(
+                self._sample_vectors(snap.read, None), centroids, codebooks
+            )
+        assign = dict(m["assign"])
+        for t in want:
+            assign[t] = seg
+        # materialize the OLD pins before the head moves: segments not
+        # re-encoded here must keep resolving the quantizer that
+        # actually produced their codes
+        seg_q = {s: list(q) for s, q in self._seg_quantizer_map(m).items()}
+        seg_q = {s: q for s, q in seg_q.items() if s in set(assign.values())}
+        seg_q[seg] = [quantizer_id, qdir]
+        meta = {
+            "data_version": cur_version,
+            "base_parts": m["base_parts"],
+            "assign": assign,
+            "revoked": self._update_revoked(m, assign, want),
+            "quantizer_id": quantizer_id,
+            "quantizer_dir": qdir,
+            "seg_quantizer": seg_q,
+            "recon_baseline": baseline,
+            "params": m["params"],
+        }
+        self._publish_meta(m["meta_version"] + 1, meta)
+        return meta
+
+    def retrain_if_recommended(self, *, partial: bool = True) -> dict | None:
         """Run :meth:`retrain` iff the newest meta carries the sticky
         drift flag; returns the new meta, or None when healthy. The
         maintenance-loop entry point: ``refresh(); retrain_if_
-        recommended(); vacuum()``."""
+        recommended(); vacuum()``. With ``partial=True`` (default) and
+        a ``drift_titles`` ledger present, only the drifted titles are
+        re-encoded — O(drifted) instead of O(corpus); ``partial=False``
+        forces the full rebuild."""
         m = self._load_meta()
         if m is not None and m.get("retrain_recommended"):
+            drifted = m.get("drift_titles")
+            if partial and drifted:
+                return self.retrain(titles=drifted)
             return self.retrain()
         return None
 
@@ -939,6 +1080,7 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             "revoked": self._update_revoked(m, assign, changed + removed),
             "quantizer_id": m.get("quantizer_id"),
             "quantizer_dir": m.get("quantizer_dir"),
+            "seg_quantizer": self._next_seg_quantizer(m, assign),
             "recon_baseline": m.get("recon_baseline"),
             "params": m["params"],
         }
@@ -960,6 +1102,13 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
                 )
         if retrain:
             meta["retrain_recommended"] = True
+            # the drifted-title ledger: every changed title since the
+            # flag was first raised (drift is measured on changed rows,
+            # so these are the titles whose codes degraded) — the
+            # partial-retrain target set for retrain_if_recommended()
+            meta["drift_titles"] = sorted(
+                (set(m.get("drift_titles") or []) | set(changed)) & set(assign)
+            )
         self._publish_meta(m["meta_version"] + 1, meta)
         return meta
 
@@ -990,7 +1139,18 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             )
             seg = self._new_segment(m["data_version"])
             self._encode_titles(live, centroids, codebooks, seg, reader=snap.read)
-        meta = dict(m, assign={t: seg for t in live}, revoked={seg: []})
+        meta = dict(
+            m,
+            assign={t: seg for t in live},
+            revoked={seg: []},
+            # compact re-encodes everything under the HEAD quantizer —
+            # this is the migration path that retires partial-retrain
+            # generations (vacuum reclaims the old sidecars once no
+            # retained meta references them)
+            seg_quantizer={
+                seg: [m.get("quantizer_id"), m.get("quantizer_dir")]
+            },
+        )
         self._publish_meta(m["meta_version"] + 1, meta)
         return meta
 
@@ -1000,16 +1160,23 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         return self._encoded_for(self._resolve(on_stale))
 
     def _encoded_for(
-        self, meta: dict, titles: Sequence[str] | None = None
+        self,
+        meta: dict,
+        titles: Sequence[str] | None = None,
+        segs: set | None = None,
     ) -> DataFrame:
         # `titles` is the reference's `$in` metadata filter (P5) on the
         # accelerated path: each segment is read with (requested ∩
-        # assigned) titles, so foreign forms never reach the scorer
+        # assigned) titles, so foreign forms never reach the scorer.
+        # `segs` restricts the union to one quantizer's segments
+        # (mixed-generation serving after a partial retrain).
         want = None if titles is None else set(titles)
         frames = []
-        for df, seg_titles, revoked in self._segment_frames(
-            meta, schema=self.SEGMENT_SCHEMA
+        for seg, df, seg_titles, revoked in self._segment_frames(
+            meta, schema=self.SEGMENT_SCHEMA, names=True
         ):
+            if segs is not None and seg not in segs:
+                continue
             if want is not None:
                 # the $in predicate: query title lists are small, the
                 # requested∩assigned isin is the right shape
@@ -1027,6 +1194,32 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
                 [], "id string, cluster int, codes array<int>, norm double"
             )
         return reduce(DataFrame.unionByName, frames)
+
+    def _quantizer_groups(
+        self, meta: dict, titles: Sequence[str] | None
+    ) -> list[tuple]:
+        """[(centroids, codebooks, encoded codes DataFrame)] — one per
+        DISTINCT quantizer among the live segments. Single-quantizer
+        metas (everything except a window between a partial retrain and
+        the next compact/build) yield exactly one group, and serving
+        takes the identical plan it always took."""
+        qmap = self._seg_quantizer_map(meta)
+        by_q: dict[tuple, set] = {}
+        for seg, q in qmap.items():
+            by_q.setdefault(q, set()).add(seg)
+        groups = []
+        for (qid, qdir), segs in sorted(by_q.items(), key=lambda kv: str(kv[0])):
+            centroids, codebooks = self._load_quantizer(qid, qdir)
+            groups.append(
+                (
+                    centroids,
+                    codebooks,
+                    self._encoded_for(
+                        meta, titles, segs=None if len(by_q) == 1 else segs
+                    ),
+                )
+            )
+        return groups
 
     def search(
         self,
@@ -1052,12 +1245,10 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         metadata predicate BEFORE scoring (P5) — on both the code scan
         and the re-rank read."""
         from .ann import ivfpq_topk
+        from .topk import topk_cosine
 
         meta = self._resolve(on_stale)
-        centroids, codebooks = self._load_quantizer(
-            meta.get("quantizer_id"), meta.get("quantizer_dir")
-        )
-        enc = self._encoded_for(meta, titles)
+        groups = self._quantizer_groups(meta, titles)
         emb = None
         if rerank:
             live = sorted(meta["assign"])
@@ -1072,17 +1263,45 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
                     "primary reader_lease across serving"
                 )
             emb = self.vindex._read_manifest_payload(payload, titles=live)
-        return ivfpq_topk(
-            enc,
-            centroids,
-            codebooks,
-            qvec,
-            k,
-            nprobe=nprobe,
-            emb=emb,
-            id_col="id",
-            vec_col="vector",
-            shortlist=shortlist,
+        if len(groups) == 1:
+            centroids, codebooks, enc = groups[0]
+            return ivfpq_topk(
+                enc,
+                centroids,
+                codebooks,
+                qvec,
+                k,
+                nprobe=nprobe,
+                emb=emb,
+                id_col="id",
+                vec_col="vector",
+                shortlist=shortlist,
+            )
+        # mixed-generation serving (between a partial retrain and the
+        # next compact): each quantizer's segments are ADC-scored under
+        # THEIR OWN codebooks, the per-group candidate lists union, and
+        # the final k comes from one ranking (exact re-rank when
+        # requested — identical in kind to the single-group path; pure
+        # ADC otherwise, where scores are comparable because every LUT
+        # approximates the same cosine)
+        s = k if emb is None else (shortlist or max(10 * k, 100))
+        cands = reduce(
+            DataFrame.unionByName,
+            [
+                ivfpq_topk(
+                    enc, centroids, codebooks, qvec, s,
+                    nprobe=nprobe, id_col="id",
+                )
+                for centroids, codebooks, enc in groups
+            ],
+        )
+        if emb is None:
+            return cands.orderBy(F.desc("score"), F.asc("id")).limit(k)
+        short = (
+            cands.orderBy(F.desc("score"), F.asc("id")).limit(s).select("id")
+        )
+        return topk_cosine(
+            emb.join(short, "id", "left_semi"), qvec, k, vec_col="vector"
         )
 
     def search_batch(
@@ -1109,10 +1328,7 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         from .ann import ivfpq_topk_batch
 
         meta = self._resolve(on_stale)
-        centroids, codebooks = self._load_quantizer(
-            meta.get("quantizer_id"), meta.get("quantizer_dir")
-        )
-        enc = self._encoded_for(meta, titles)
+        groups = self._quantizer_groups(meta, titles)
         emb = None
         if rerank:
             live = sorted(meta["assign"])
@@ -1127,20 +1343,64 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
                     "primary reader_lease across serving"
                 )
             emb = self.vindex._read_manifest_payload(payload, titles=live)
-        return ivfpq_topk_batch(
-            enc,
-            centroids,
-            codebooks,
-            queries,
-            k,
-            nprobe=nprobe,
-            emb=emb,
-            q_id_col=q_id_col,
-            q_vec_col=q_vec_col,
-            id_col="id",
-            vec_col="vector",
-            shortlist=shortlist,
-            max_queries=max_queries,
+        if len(groups) == 1:
+            centroids, codebooks, enc = groups[0]
+            return ivfpq_topk_batch(
+                enc,
+                centroids,
+                codebooks,
+                queries,
+                k,
+                nprobe=nprobe,
+                emb=emb,
+                q_id_col=q_id_col,
+                q_vec_col=q_vec_col,
+                id_col="id",
+                vec_col="vector",
+                shortlist=shortlist,
+                max_queries=max_queries,
+            )
+        # mixed-generation batch serving: per-quantizer ADC candidate
+        # lists (each group scored under its own codebooks), unioned,
+        # then one per-query ranking — exact re-rank when requested,
+        # mirroring the single-query multi-group path
+        from pyspark.sql.window import Window
+
+        from ..functions.similarity import cosine_sim
+
+        s = k if emb is None else (shortlist or max(10 * k, 100))
+        cands = reduce(
+            DataFrame.unionByName,
+            [
+                ivfpq_topk_batch(
+                    enc, centroids, codebooks, queries, s,
+                    nprobe=nprobe, q_id_col=q_id_col, q_vec_col=q_vec_col,
+                    id_col="id", max_queries=max_queries,
+                )
+                for centroids, codebooks, enc in groups
+            ],
+        )
+        w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc("id"))
+        ranked = cands.withColumn("__rn", F.row_number().over(w))
+        if emb is None:
+            return ranked.filter(F.col("__rn") <= k).drop("__rn")
+        short = ranked.filter(F.col("__rn") <= s).select(q_id_col, "id")
+        qf = F.broadcast(
+            queries.select(
+                F.col(q_id_col).alias("__qid"), F.col(q_vec_col).alias("__qvec")
+            )
+        )
+        exact = (
+            emb.join(short, "id", "inner")
+            .join(qf, F.col(q_id_col) == F.col("__qid"))
+            .withColumn("score", cosine_sim(F.col("vector"), F.col("__qvec")))
+            .drop("__qid", "__qvec", "vector")
+        )
+        we = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc("id"))
+        return (
+            exact.withColumn("__rn", F.row_number().over(we))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
         )
 
 

@@ -221,7 +221,7 @@ def test_quantizer_cache_invalidated_by_external_rebuild(vindex, tmp_path, spark
     # a's next search resolves the new meta and reloads — never scores
     # new codes with the old codebooks
     a.search(q, 3, nprobe=4).collect()
-    assert a._quantizer_cache[0] == qid_b
+    assert qid_b in a._quantizer_cache_map
 
 
 def test_refresh_uses_one_pinned_snapshot(vindex, tmp_path, spark):
@@ -619,10 +619,20 @@ def test_retrain_clears_drift_and_serving_stays_available(
             total += (df.filter(cond) if cond is not None else df).count()
         assert total == 30  # 4 patterns x 6 + 6 drift rows
 
-    # post-retrain serving: drift vectors now reconstruct exactly, and
-    # an in-distribution refresh stays unflagged (ratio ~ 0)
+    # retrain_if_recommended took the PARTIAL path (round-8): only the
+    # drifted title re-encoded, older segments still pinned to the OLD
+    # quantizer — mixed-generation serving until compact migrates
+    assert retrained.get("drift_titles") is None
+    pins = {tuple(v) for v in retrained["seg_quantizer"].values()}
+    assert len(pins) == 2
+    assert (old_qid, old_qdir) in pins
+    # post-retrain serving routes each segment through ITS quantizer:
+    # drift vectors now reconstruct exactly under the new codebooks,
+    # and the old segments keep answering under the old ones
     hits = ann.search([37.0, -24.0] * 8, 3, nprobe=8).collect()
     assert {r["id"] for r in hits} <= {f"formDrift_{i}" for i in range(6)}
+    hits_a = ann.search([1.0, 0.0] * 8, 3, nprobe=8, rerank=True).collect()
+    assert hits_a and all(r["id"].startswith("formA_") for r in hits_a)
     exact_vindex.upsert(
         spark.createDataFrame(
             [("formA_post", [1.0, 0.0] * 8, "formA", "post-retrain")],
@@ -632,7 +642,17 @@ def test_retrain_clears_drift_and_serving_stays_available(
     after = ann.refresh()
     assert "retrain_recommended" not in after
     assert after.get("drift_ratio", 0.0) < ann.drift_threshold
-    # lease released → the superseded quantizer dir is reclaimable
+    # the old quantizer stays pinned (and vacuum-protected) while any
+    # retained meta's segment was encoded under it...
+    kept = ann.vacuum(keep_versions=1, min_age_sec=0)
+    assert old_qdir not in kept
+    assert old_qdir in exact_vindex._list_dir(ann.path)
+    # ...until compact migrates every segment to the head quantizer,
+    # after which the superseded sidecar is reclaimable
+    compacted = ann.compact()
+    assert {tuple(v) for v in compacted["seg_quantizer"].values()} == {
+        (retrained["quantizer_id"], retrained["quantizer_dir"])
+    }
     removed = ann.vacuum(keep_versions=1, min_age_sec=0)
     assert old_qdir in removed
     listing = exact_vindex._list_dir(ann.path)
@@ -1031,3 +1051,127 @@ def test_search_batch_empty_queries_schema(ann, spark):
     rr = ann.search_batch(empty, 3, rerank=True)
     assert rr.columns[0] == "id" and rr.columns[-2:] == ["qid", "score"]
     assert "text" in rr.columns and rr.count() == 0
+
+
+# -- partial retrain: mixed-generation serving (round 8) ---------------------
+
+
+def test_partial_retrain_mixed_serving_matches_brute_force(
+    exact_vindex, tmp_path, spark
+):
+    """After retrain(titles=[drifted]) the index serves TWO quantizer
+    generations at once. With exact re-rank the mixed path must match
+    brute force over the primary exactly — for queries landing in the
+    retrained segment, in the old segments, and across both."""
+    import numpy as np
+
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.topk import (
+        topk_cosine,
+    )
+
+    ann = SyncedIvfpqIndex(
+        exact_vindex, str(tmp_path / "pr_ann"), nlist=8, m=4, nbits=4
+    )
+    ann.build()
+    drift_rows = [
+        (f"formDrift_{i}", [37.0, -24.0] * 8, "formDrift", f"drift {i}")
+        for i in range(6)
+    ]
+    exact_vindex.upsert(
+        spark.createDataFrame(
+            drift_rows,
+            "id string, vector array<float>, title string, text string",
+        )
+    )
+    flagged = ann.refresh()
+    assert flagged.get("retrain_recommended") is True
+    assert flagged.get("drift_titles") == ["formDrift"]
+    meta = ann.retrain(titles=["formDrift"])
+    assert len({tuple(v) for v in meta["seg_quantizer"].values()}) == 2
+    assert "retrain_recommended" not in meta
+
+    for q in ([37.0, -24.0] * 8, [1.0, 0.0] * 8, [0.6, 0.2] * 8):
+        got = [
+            r["id"]
+            for r in ann.search(q, 5, nprobe=8, rerank=True).collect()
+        ]
+        want = [
+            r["id"]
+            for r in topk_cosine(exact_vindex.read(), q, 200)
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(5)
+            .select("id")
+            .collect()
+        ]
+        assert got == want, f"query {q[:2]}: {got} != {want}"
+
+    # title $in predicate still prunes before scoring on both groups
+    hits = ann.search(
+        [0.6, 0.2] * 8, 4, nprobe=8, rerank=True,
+        titles=["formA", "formDrift"],
+    ).collect()
+    assert hits and all(
+        r["id"].startswith(("formA_", "formDrift_")) for r in hits
+    )
+
+    # fsck sees a healthy mixed-generation tree (both quantizer dirs
+    # referenced, zero errors)
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.index_fsck import (
+        fsck_derived,
+    )
+
+    rep = fsck_derived(ann, deep=True)
+    assert rep["errors"] == [], rep
+
+
+def test_partial_retrain_batch_matches_single_query_path(
+    exact_vindex, tmp_path, spark
+):
+    """search_batch on a mixed-generation index == a loop of search()
+    with the same rerank settings, id for id and score for score."""
+    ann = SyncedIvfpqIndex(
+        exact_vindex, str(tmp_path / "prb_ann"), nlist=8, m=4, nbits=4
+    )
+    ann.build()
+    exact_vindex.upsert(
+        spark.createDataFrame(
+            [
+                (f"formDrift_{i}", [37.0, -24.0] * 8, "formDrift", f"d{i}")
+                for i in range(6)
+            ],
+            "id string, vector array<float>, title string, text string",
+        )
+    )
+    ann.refresh()
+    ann.retrain(titles=["formDrift"])
+
+    queries = [
+        (0, [37.0, -24.0] * 8),
+        (1, [1.0, 0.0] * 8),
+        (2, [0.5, 0.5] * 8),
+    ]
+    qdf = spark.createDataFrame(queries, "qid int, qvec array<double>")
+    batch = ann.search_batch(qdf, 4, nprobe=8, rerank=True).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["qid"], []).append((r["id"], round(r["score"], 9)))
+    for qid, qvec in queries:
+        single = [
+            (r["id"], round(r["score"], 9))
+            for r in ann.search(qvec, 4, nprobe=8, rerank=True).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(single), f"qid {qid}"
+
+
+def test_partial_retrain_requires_fresh_index(exact_vindex, tmp_path, spark):
+    """A stale index refuses the partial path (refresh first) — same
+    contract as compact()."""
+    ann = SyncedIvfpqIndex(
+        exact_vindex, str(tmp_path / "prs_ann"), nlist=8, m=4, nbits=4
+    )
+    ann.build()
+    exact_vindex.upsert(
+        make_updates(spark, [("formA_new", "formA", "new row")])
+    )
+    with pytest.raises(StaleIndexError, match="refresh"):
+        ann.retrain(titles=["formA"])
