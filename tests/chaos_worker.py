@@ -129,9 +129,20 @@ def main() -> int:
                         stats["stale_refusals"] += 1  # raced a commit: fine
                 if stats["ops"] % 4 == 1:
                     # quantizer RETRAIN mid-storm: versioned sidecar
-                    # dirs must keep concurrent leased readers coherent
-                    ann.retrain()
-                    stats["retrains"] = stats.get("retrains", 0) + 1
+                    # dirs must keep concurrent leased readers coherent.
+                    # Alternate the FULL rebuild and the round-8 PARTIAL
+                    # path (one title re-encoded under a new quantizer,
+                    # mixed-generation serving) so readers hammer both
+                    try:
+                        if stats.get("retrains", 0) % 2 == 1:
+                            ann.retrain(titles=[TITLES[0]])
+                        else:
+                            ann.retrain()
+                        stats["retrains"] = stats.get("retrains", 0) + 1
+                    except StaleIndexError:
+                        # partial retrain raced a writer commit past the
+                        # refresh — the documented refuse-and-retry
+                        stats["stale_refusals"] += 1
                 ann.vacuum(keep_versions=1, min_age_sec=10)
                 tix.vacuum(keep_versions=1, min_age_sec=10)
                 vi.vacuum(keep_versions=2, min_age_sec=10)
