@@ -1478,7 +1478,16 @@ class SyncedTextIndex(_SyncedIndexBase):
             .withColumn("bucket", _term_bucket(F.col("word"), self.buckets))
         )
         (
+            # sortWithinPartitions(word): inside each bucket file the
+            # postings are word-clustered, so every parquet row group
+            # carries a TIGHT (min, max) on `word` and a term lookup
+            # skips all but the matching row groups — measured at the
+            # 2M-doc rehearsal, this turns tail-term latency from
+            # O(bucket residency) into near-flat. No extra shuffle:
+            # the sort is within the bucket partition the write needs
+            # anyway.
             postings.repartition("bucket")
+            .sortWithinPartitions("bucket", "word")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{self.path}/{segment}/postings")
