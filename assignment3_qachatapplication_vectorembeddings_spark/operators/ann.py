@@ -555,17 +555,25 @@ def ivfpq_build(
     coarse_iter: int = 20,
     pq_iter: int = 15,
     sample_cap: int = 100_000,
-) -> tuple[np.ndarray, np.ndarray]:
+    return_sample: bool = False,
+):
     """(centroids ``(nlist, dim)``, codebooks ``(m, ksub, dim//m)``)
     fit on ONE bounded driver sample: coarse k-means first, then
     per-subspace codebooks over the sample's residuals — matching what
-    ``ivfpq_encode`` will quantize. Encoding stays fully distributed."""
+    ``ivfpq_encode`` will quantize. Encoding stays fully distributed.
+    ``return_sample=True`` appends the fit sample matrix to the tuple
+    so callers that also need a corpus-spread sample (e.g. the synced
+    index's drift baseline) reuse THIS scan instead of paying a second
+    O(corpus) sampling pass."""
     mat = _sample_matrix(emb, vec_col, sample_cap, seed)
     rng = np.random.RandomState(seed)
     centroids = _kmeans(mat, nlist, rng, coarse_iter)
     d = (centroids * centroids).sum(axis=1)[None, :] - 2.0 * (mat @ centroids.T)
     resid = mat - centroids[np.argmin(d, axis=1)]
-    return centroids, _pq_codebooks(resid, m, nbits, rng, pq_iter)
+    codebooks = _pq_codebooks(resid, m, nbits, rng, pq_iter)
+    if return_sample:
+        return centroids, codebooks, mat
+    return centroids, codebooks
 
 
 def ivfpq_encode(

@@ -701,6 +701,14 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         denom = (V**2).sum(1) + 1e-12
         return float(np.mean(err / denom))
 
+    @classmethod
+    def _baseline_slice(cls, sample):
+        """Deterministic DRIFT_SAMPLE-row spread slice of the fit
+        sample matrix (uniformly spaced, so it reflects the whole
+        sample, not a prefix)."""
+        step = max(1, len(sample) // cls.DRIFT_SAMPLE)
+        return sample[::step][: cls.DRIFT_SAMPLE]
+
     def _sample_vectors(self, reader, titles: Sequence[str] | None):
         # deterministic SPREAD, not an arbitrary partition-order prefix:
         # a bare .limit() can draw the whole sample from one title/
@@ -869,13 +877,14 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
 
         with self._pinned_source() as (version, parts, snap):
             rows = snap.read()
-            centroids, codebooks = ivfpq_build(
+            centroids, codebooks, sample = ivfpq_build(
                 rows,
                 vec_col="vector",
                 nlist=self.nlist,
                 m=self.m,
                 nbits=self.nbits,
                 seed=self.seed,
+                return_sample=True,
             )
             quantizer_id = uuid.uuid4().hex[:12]
             qdir = self._new_quantizer_dir(quantizer_id)
@@ -886,12 +895,19 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             cache[quantizer_id] = (centroids, codebooks)
             seg = self._new_segment(version)
             self._encode_titles(None, centroids, codebooks, seg, reader=snap.read)
-            # drift baseline: reconstruction error of a bounded sample
-            # under the JUST-trained quantizer — refresh() compares its
-            # changed rows against this (build() clears any prior
-            # retrain_recommended flag by not carrying it)
+            # drift baseline: reconstruction error of a DRIFT_SAMPLE
+            # slice of the SAME corpus-spread sample the quantizer was
+            # fit on — one scan serves fit and baseline (at corpora
+            # under the sample cap the sample IS the corpus; above it
+            # the in-sample bias is negligible for a 100k-point fit
+            # while a second O(corpus) sampling pass is not). The slice
+            # matters: _recon_error's vectorized assign materializes an
+            # (n, nlist, dim) tensor — full-sample it is gigabytes.
+            # refresh() compares its changed rows against this
+            # (build() clears any prior retrain_recommended flag by
+            # not carrying it)
             baseline = self._recon_error(
-                self._sample_vectors(snap.read, None), centroids, codebooks
+                self._baseline_slice(sample), centroids, codebooks
             )
         m = self._load_meta()
         next_meta = 1 if m is None else m["meta_version"] + 1
@@ -970,13 +986,14 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
                     "refresh() before a partial retrain()"
                 )
             rows = snap.read()
-            centroids, codebooks = ivfpq_build(
+            centroids, codebooks, sample = ivfpq_build(
                 rows,
                 vec_col="vector",
                 nlist=self.nlist,
                 m=self.m,
                 nbits=self.nbits,
                 seed=self.seed,
+                return_sample=True,
             )
             quantizer_id = uuid.uuid4().hex[:12]
             qdir = self._new_quantizer_dir(quantizer_id)
@@ -989,8 +1006,11 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             self._encode_titles(
                 want, centroids, codebooks, seg, reader=snap.read
             )
+            # baseline from the fit sample — one corpus scan, not two
+            # (same reuse as build()); the partial path's total cost is
+            # the bounded fit + the drifted-title encode
             baseline = self._recon_error(
-                self._sample_vectors(snap.read, None), centroids, codebooks
+                self._baseline_slice(sample), centroids, codebooks
             )
         assign = dict(m["assign"])
         for t in want:

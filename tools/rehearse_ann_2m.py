@@ -144,6 +144,58 @@ def main() -> None:
         lambda: ann.vacuum(keep_versions=1, min_age_sec=0)
     )
     out["vacuum_removed"] = len(removed)
+
+    # -- round 8: PARTIAL retrain at scale — the O(drifted titles)
+    # drift remedy vs the O(corpus) full rebuild, plus serving latency
+    # through the mixed-generation window it opens
+    @F.pandas_udf(ArrayType(FloatType()))
+    def gen_drift_vec(ids: pd.Series) -> pd.Series:
+        # a 17th mode the trained quantizer has never seen
+        res = []
+        for i in ids:
+            i = int(i)
+            rng = np.random.RandomState((i + 7) % (2**31))
+            mode = np.full(DIM, -4.0, dtype=np.float64)
+            res.append((mode + rng.standard_normal(DIM)).astype(np.float32))
+        return pd.Series(res)
+
+    # drift volume scales with the title size so the changed-rows
+    # sample is drift-dominated at every n (2k rows against a 10k-row
+    # title at 2M would dilute the mean below the threshold)
+    drift = (
+        spark.range(max(2000, 2 * (n // N_TITLES)))
+        .select(
+            F.concat(F.lit("drift"), F.col("id")).alias("id"),
+            gen_drift_vec("id").alias("vector"),
+            F.lit("t1").alias("title"),
+            F.lit("").alias("text"),
+        )
+    )
+    vi.upsert(drift)
+    out["refresh_drift_sec"], meta = timed(ann.refresh)
+    out["drift_flagged"] = bool(meta.get("retrain_recommended"))
+    out["drift_titles"] = meta.get("drift_titles")
+    out["partial_retrain_sec"], pmeta = timed(
+        lambda: ann.retrain(titles=["t1"])
+    )
+    out["mixed_generations"] = len(
+        {tuple(v) for v in pmeta["seg_quantizer"].values()}
+    )
+    # serving through the mixed window: same probes as the single-gen
+    # measurements above — comparable latencies
+    out["adc_search_mixed_sec"], mh = timed(
+        lambda: ann.search(qvec, 10, nprobe=8).collect(), n=3
+    )
+    assert len(mh) == 10
+    qd = [float(v) for v in np.full(DIM, -4.0)]
+    dh = ann.search(qd, 10, nprobe=8, rerank=True).collect()
+    out["drift_query_hits_drift_rows"] = all(
+        r["id"].startswith("drift") for r in dh
+    )
+    out["compact_migrate_sec"], cmeta = timed(ann.compact)
+    out["post_compact_generations"] = len(
+        {tuple(v) for v in cmeta["seg_quantizer"].values()}
+    )
     out["loadavg_end"] = round(os.getloadavg()[0], 2)
     print(json.dumps(out))
     shutil.rmtree(work, ignore_errors=True)
