@@ -1020,6 +1020,154 @@ WHERE rk <= 10 ORDER BY source, rk
 """
 
 
+# --------------------------------------------------------------------------
+# PII scrubbing (round 8) — the redaction pass every publicly-documented
+# curation pipeline runs before training (C4/Dolma-style regex scrub).
+# The synthetic corpus carries no PII, so a contact line is derived
+# DETERMINISTICALLY from doc_id (the classify_paragraphs precedent) and
+# the scrub + accounting run on the derived text; patterns are chosen
+# to parse identically under Java regex (Spark) and RE2 (DuckDB).
+# Native regexp_replace/regexp_count — zero Python in the hot path; one
+# modest-cardinality shuffle for the per-source accounting.
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9][0-9-]{6,}[0-9]"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" ok"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(pii, F.lit(_PII_EMAIL), F.lit("[EMAIL]")),
+        F.lit(_PII_PHONE),
+        F.lit("[PHONE]"),
+    )
+    return (
+        docs.select(
+            "source",
+            F.regexp_count(pii, F.lit(_PII_EMAIL)).alias("n_email"),
+            F.regexp_count(pii, F.lit(_PII_PHONE)).alias("n_phone"),
+            (F.length(pii) - F.length(scrubbed)).alias("chars_delta"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("emails_redacted"),
+            F.sum("n_phone").alias("phones_redacted"),
+            F.sum("chars_delta").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_PII_SCRUB = """
+WITH p AS (
+  SELECT source,
+         text || ' contact user' || doc_id ||
+         '@example.com or +1-555-' ||
+         lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') || ' ok' AS pii
+  FROM documents),
+s AS (
+  SELECT source, pii,
+         regexp_replace(
+           regexp_replace(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                          '[EMAIL]', 'g'),
+           '\\+[0-9][0-9-]{6,}[0-9]', '[PHONE]', 'g') AS scrubbed
+  FROM p)
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(regexp_extract_all(pii,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')))::BIGINT
+         AS emails_redacted,
+       sum(len(regexp_extract_all(pii, '\\+[0-9][0-9-]{6,}[0-9]')))::BIGINT
+         AS phones_redacted,
+       sum(length(pii) - length(scrubbed))::BIGINT AS chars_removed
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# URL host blocklist filter (round 8) — the domain-blocklist gate of a
+# crawl-curation pipeline. URLs are derived deterministically from
+# doc_id; the blocklist is a real (broadcast) TABLE join, not an isin
+# literal, because production blocklists are tables of thousands of
+# hosts that update independently of the query.
+# --------------------------------------------------------------------------
+
+_URL_HOSTS = [
+    "docs.example.com",
+    "spam.example.com",
+    "cdn.example.net",
+    "ads.example.net",
+    "wiki.example.org",
+    "tracker.example.org",
+    "blog.example.io",
+    "mail.example.co",
+]
+_URL_BLOCKED = ["spam.example.com", "ads.example.net", "tracker.example.org"]
+
+
+def q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    host_arr = F.array(*[F.lit(h) for h in _URL_HOSTS])
+    url = F.concat(
+        F.lit("https://"),
+        F.element_at(host_arr, (F.col("doc_id") % 8 + 1).cast("int")),
+        F.lit("/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html"),
+    )
+    blocklist = spark.createDataFrame(
+        [(h,) for h in _URL_BLOCKED], "host string"
+    ).withColumn("blocked", F.lit(1))
+    urls = docs.select(
+        "source",
+        F.regexp_extract(url, r"^https?://([^/]+)/", 1).alias("host"),
+    )
+    return (
+        urls.join(F.broadcast(blocklist), "host", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.coalesce(F.col("blocked"), F.lit(0))).alias("n_blocked"),
+            F.sum(
+                F.when(F.col("blocked").isNull(), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_URL_HOST_FILTER = """
+WITH u AS (
+  SELECT source,
+         regexp_extract(
+           'https://' ||
+           (['docs.example.com','spam.example.com','cdn.example.net',
+             'ads.example.net','wiki.example.org','tracker.example.org',
+             'blog.example.io','mail.example.co'])[(doc_id % 8) + 1] ||
+           '/docs/' || doc_id || '.html',
+           '^https?://([^/]+)/', 1) AS host
+  FROM documents),
+b AS (SELECT unnest(['spam.example.com','ads.example.net',
+                     'tracker.example.org']) AS host, 1 AS blocked)
+SELECT u.source,
+       count(*) AS n_urls,
+       sum(coalesce(b.blocked, 0))::BIGINT AS n_blocked,
+       sum(CASE WHEN b.blocked IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM u LEFT JOIN b ON u.host = b.host
+GROUP BY u.source ORDER BY u.source
+"""
+
+
 # first-occurrence order doesn't affect any output column (clean length
 # = sum of distinct-line lengths + separators), so the oracle needs no
 # ordinality bookkeeping
@@ -5730,6 +5878,14 @@ CORPUS: dict[str, QuerySpec] = {
     ),
     "source_quota": QuerySpec(
         q_source_quota, _SQL_SOURCE_QUOTA, "per-source document quota cap"
+    ),
+    "pii_scrub": QuerySpec(
+        q_pii_scrub, _SQL_PII_SCRUB,
+        "regex PII redaction pass + per-source accounting (round 8)",
+    ),
+    "url_host_filter": QuerySpec(
+        q_url_host_filter, _SQL_URL_HOST_FILTER,
+        "URL host blocklist gate via broadcast table join (round 8)",
     ),
     "boilerplate_lines": QuerySpec(
         q_boilerplate_lines,

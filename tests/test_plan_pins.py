@@ -55,6 +55,8 @@ FLAGSHIP = [
     "gopher_quality",
     "weighted_sample",
     "sliding_passages",
+    "pii_scrub",
+    "url_host_filter",
 ]
 
 _ROW = re.compile(r"^\| (\S+) \| (\d+) \| (\d+) \| (✓?) \| (✓?) \| (\d+) \|")
