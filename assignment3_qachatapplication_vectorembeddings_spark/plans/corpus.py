@@ -3625,6 +3625,119 @@ ORDER BY rrf DESC, doc_id LIMIT 15
 """
 
 
+# MMR gate parameters: 4 query vectors, 24-candidate pools, pick 10
+# with lam = 0.7. Small numbers keep the oracle cheap; the operator's
+# scale story is per-query-bounded work distributed over query_id.
+_MMR_NQ, _MMR_POOL, _MMR_K, _MMR_LAM = 4, 24, 10, 0.7
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity re-ranking (MMR, Carbonell & Goldstein SIGIR'98) of
+    per-query cosine shortlists — the missing step between the
+    reference's raw top-k (``QA_using_pinecone.py:31-48``) and a
+    context window that isn't k near-duplicates of one chunk.
+
+    Batch shape: vec_id < 4 act as 4 concurrent queries, the rest as
+    the corpus. Pool (top-24 by rounded cosine) and intra-pool pairs
+    are built by native Catalyst expressions — the gate-proven
+    Spark↔DuckDB-equal path — then a cogrouped ``applyInPandas``
+    greedy (one shuffle per side, keyed on query_id) picks 10 per
+    query. At 100 TB: pools come from the ANN index's batch top-N and
+    the cogroup distributes over millions of queries; per-query work
+    stays O(k·N) with N bounded."""
+    from ..operators.rerank import mmr_pairs, mmr_pool, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cands = emb.filter(F.col("vec_id") >= _MMR_NQ).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vector")
+    )
+    pool = mmr_pool(queries, cands, pool_size=_MMR_POOL)
+    pool = pool.localCheckpoint(eager=False)  # reused by pairs + greedy
+    from ..runtime import register_materialized
+
+    register_materialized(pool)
+    pairs = mmr_pairs(pool)
+    out = mmr_rerank(pool, pairs, k=_MMR_K, lam=_MMR_LAM)
+    return out.orderBy("query_id", "step")
+
+
+def _mmr_oracle_sql(
+    n_queries: int = _MMR_NQ,
+    k: int = _MMR_K,
+    pool: int = _MMR_POOL,
+    lam: float = _MMR_LAM,
+) -> str:
+    """Unrolled-greedy MMR oracle: k chained CTE steps, each picking
+    the per-query argmax of lam*rel − (1−lam)*max-sim-to-selected via
+    QUALIFY. Materialized CTEs keep the chain linear (the naive form
+    inlines exponentially). Literals `0.7`/`0.3` parse to the same
+    doubles the operator re-derives from decimal text, and every
+    similarity is rounded to 6dp by the same rule on both engines, so
+    the greedy walk is engine-independent."""
+    mu = round(1.0 - lam, 10)
+    parts = [
+        f"""
+q AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {n_queries}),
+c0 AS MATERIALIZED (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id >= {n_queries}),
+rel0 AS MATERIALIZED (
+  SELECT q.query_id, c0.doc_id, c0.v,
+         round(list_cosine_similarity(c0.v, q.qv), 6) AS rel
+  FROM q CROSS JOIN c0),
+pool AS MATERIALIZED (
+  SELECT query_id, doc_id, v, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, doc_id) AS rn
+    FROM rel0) t WHERE rn <= {pool}),
+pairs AS MATERIALIZED (
+  SELECT a.query_id, a.doc_id AS a, b.doc_id AS b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS sim
+  FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+w1 AS MATERIALIZED (
+  SELECT query_id, 1 AS step, doc_id, rel AS mmr FROM pool
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY rel DESC, doc_id) = 1
+)"""
+    ]
+    union = "SELECT query_id, doc_id FROM w1"
+    for i in range(2, k + 1):
+        parts.append(f"pk{i} AS MATERIALIZED ({union})")
+        parts.append(
+            f"""
+w{i} AS MATERIALIZED (
+  SELECT query_id, {i} AS step, doc_id, mmr FROM (
+    SELECT p.query_id, p.doc_id,
+           round({lam} * p.rel - {mu} * (
+             SELECT max(pr.sim) FROM pairs pr
+             WHERE pr.query_id = p.query_id AND pr.a = p.doc_id
+               AND pr.b IN (SELECT doc_id FROM pk{i} x
+                            WHERE x.query_id = p.query_id)
+           ), 6) AS mmr
+    FROM pool p
+    WHERE NOT EXISTS (SELECT 1 FROM pk{i} x
+                      WHERE x.query_id = p.query_id
+                        AND x.doc_id = p.doc_id)) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY mmr DESC, doc_id) = 1
+)"""
+        )
+        union += f" UNION ALL SELECT query_id, doc_id FROM w{i}"
+    final = " UNION ALL ".join(f"SELECT * FROM w{i}" for i in range(1, k + 1))
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT query_id, step, doc_id, mmr FROM ({final})"
+        " ORDER BY query_id, step"
+    )
+
+
+_SQL_MMR_RERANK = _mmr_oracle_sql()
+
+
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third streaming gate entry — the stream-STATIC join operator
     class: the events file stream joins the batch customer dimension
@@ -6117,6 +6230,10 @@ CORPUS: dict[str, QuerySpec] = {
         _SQL_BM25,
         "persisted BM25 index: partial build + upsert + incremental "
         "refresh == full-corpus scores (derived-index sync contract)",
+    ),
+    "mmr_rerank": QuerySpec(
+        q_mmr_rerank, _SQL_MMR_RERANK,
+        "MMR diversity re-rank of per-query cosine shortlists (round 8)",
     ),
     "hybrid_rrf_topk": QuerySpec(
         q_hybrid_rrf, _SQL_HYBRID_RRF,
