@@ -3738,6 +3738,131 @@ w{i} AS MATERIALIZED (
 _SQL_MMR_RERANK = _mmr_oracle_sql()
 
 
+_EVAL_K = 10
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness — the measurement half the
+    reference's search stack lacks: score the BM25 ranking and the
+    RRF-hybrid ranking against graded cosine ground truth with
+    recall@10, MRR@10, nDCG@10 (one row per system).
+
+    Truth = cosine top-10 to the vec_id-0 query vector (rank j ⇒ gain
+    11−j); systems reuse the exact ranked lists the bm25_topk /
+    hybrid_rrf_topk gates already pin. Metrics are one k-bounded join
+    + per-system aggregate (``operators.retrieval_eval``); position
+    discounts are decimal-literal doubles shared verbatim with the
+    SQL oracle."""
+    from ..functions.similarity import cosine_sim, query_vector_lit
+    from ..operators.retrieval_eval import retrieval_metrics
+    from ..operators.text_search import bm25_scores, rank_by, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    bm = rank_by(
+        bm25_scores(docs, _BM25_TERMS).select(
+            "doc_id", F.round("score", 4).alias("s")
+        ),
+        [F.desc("s"), F.asc("doc_id")],
+    ).select("doc_id", "rank")
+    vec = rank_by(
+        emb.filter(F.col("vec_id") != 0).select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_sim(F.col("embedding"), query_vector_lit(qvec)), 6
+            ).alias("cos"),
+        ),
+        [F.desc("cos"), F.asc("doc_id")],
+    ).select("doc_id", "rank")
+    rrf = rank_by(
+        rrf_fuse(bm, vec).select("doc_id", F.round("rrf", 6).alias("r")),
+        [F.desc("r"), F.asc("doc_id")],
+    ).select("doc_id", "rank")
+
+    run = bm.withColumn("system", F.lit("bm25")).unionByName(
+        rrf.withColumn("system", F.lit("rrf"))
+    )
+    return retrieval_metrics(run, vec, k=_EVAL_K)
+
+
+def _retrieval_eval_oracle_sql(k: int = _EVAL_K) -> str:
+    """SQL mirror of q_retrieval_eval. The wt VALUES table carries the
+    1/log2(i+1) discounts as shortest-round-trip decimal text — the
+    same doubles the Spark expression embeds — so DCG terms are
+    bit-identical across engines before the 6-dp round."""
+    from ..operators.retrieval_eval import dcg_weight_literals
+
+    wt_rows = ", ".join(
+        f"({i + 1}, {w}::DOUBLE)"
+        for i, w in enumerate(dcg_weight_literals(k))
+    )
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS dl
+  FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tok AS (
+  SELECT doc_id, t.token
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(token)
+  WHERE t.token IN ({terms})),
+tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+idf AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+              * tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ), 4) AS s
+  FROM tf JOIN idf USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+bm AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank FROM sc),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(embedding::DOUBLE[],
+                                                 (SELECT qv FROM q)), 6) DESC,
+                    vec_id) AS rank
+  FROM embeddings WHERE vec_id <> 0),
+rrf0 AS (
+  SELECT COALESCE(bm.doc_id, vec.doc_id) AS doc_id,
+         round(COALESCE(1.0 / (60 + bm.rank), 0)
+               + COALESCE(1.0 / (60 + vec.rank), 0), 6) AS r
+  FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id),
+rrf AS (SELECT doc_id, row_number() OVER (ORDER BY r DESC, doc_id) AS rank FROM rrf0),
+run AS (
+  SELECT 'bm25' AS system, doc_id, rank FROM bm WHERE rank <= {k}
+  UNION ALL
+  SELECT 'rrf', doc_id, rank FROM rrf WHERE rank <= {k}),
+truth AS (SELECT doc_id, ({k} + 1 - rank)::DOUBLE AS gain, rank
+          FROM vec WHERE rank <= {k}),
+wt(rank, w) AS (VALUES {wt_rows}),
+j AS (SELECT r.system, r.rank AS sys_rank, t.gain
+      FROM run r LEFT JOIN truth t USING (doc_id)),
+idcg AS (SELECT sum(truth.gain * wt.w) AS v
+         FROM truth JOIN wt ON wt.rank = truth.rank),
+m AS (
+  SELECT system,
+         round(sum(CASE WHEN gain IS NOT NULL THEN 1 ELSE 0 END) / {k}.0, 6)
+           AS recall_at_{k},
+         round(coalesce(max(CASE WHEN gain IS NOT NULL
+                                 THEN 1.0 / sys_rank END), 0), 6)
+           AS mrr_at_{k},
+         sum(coalesce(gain, 0) * w.w) AS dcg
+  FROM j LEFT JOIN wt w ON w.rank = j.sys_rank
+  GROUP BY system)
+SELECT system, recall_at_{k}, mrr_at_{k},
+       round(dcg / (SELECT v FROM idcg), 6) AS ndcg_at_{k}
+FROM m ORDER BY system
+"""
+
+
+_SQL_RETRIEVAL_EVAL = _retrieval_eval_oracle_sql()
+
+
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third streaming gate entry — the stream-STATIC join operator
     class: the events file stream joins the batch customer dimension
@@ -6234,6 +6359,10 @@ CORPUS: dict[str, QuerySpec] = {
     "mmr_rerank": QuerySpec(
         q_mmr_rerank, _SQL_MMR_RERANK,
         "MMR diversity re-rank of per-query cosine shortlists (round 8)",
+    ),
+    "retrieval_eval": QuerySpec(
+        q_retrieval_eval, _SQL_RETRIEVAL_EVAL,
+        "recall/MRR/nDCG@10 of BM25 + RRF vs cosine truth (round 8)",
     ),
     "hybrid_rrf_topk": QuerySpec(
         q_hybrid_rrf, _SQL_HYBRID_RRF,
