@@ -63,6 +63,7 @@ __all__ = [
     "load_ivfpq_index",
     "sq8_train",
     "sq8_encode",
+    "sq8_scores",
     "sq8_topk",
     "ivfpq_topk",
     "ivfpq_topk_batch",
@@ -973,23 +974,17 @@ def sq8_encode(
     ).drop("_e")
 
 
-def sq8_topk(
+def sq8_scores(
     encoded: DataFrame,
     vmin: np.ndarray,
     vmax: np.ndarray,
     qvec: Sequence[float],
-    k: int,
-    *,
-    emb: DataFrame | None = None,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    shortlist: int | None = None,
 ) -> DataFrame:
-    """Approximate cosine top-k over SQ8 codes. The decode is affine,
+    """Adds the SQ8-ADC cosine ``score`` column: the decode is affine,
     so the score is ``(q.vmin + (q*step) . codes) / (|q| * norm)`` with
     the STORED exact norm — one numpy dot per Arrow batch, floats never
-    reconstructed per element. With ``emb``, SQ8 shortlists and exact
-    cosine re-ranks (FAISS ``SQ + refine``)."""
+    reconstructed per element. Shared by :func:`sq8_topk` and the
+    ``sq8_fidelity`` gate (which ranks ALL scores, not just top-k)."""
     q = np.asarray(qvec, dtype=np.float64)
     if q.shape[0] != vmin.shape[0]:
         raise ValueError(f"query dim {q.shape[0]} != range dim {vmin.shape[0]}")
@@ -1009,7 +1004,25 @@ def sq8_topk(
         denom = qn * np.maximum(n, 1e-300)
         return pd.Series(np.where(n > 0, dots / denom, 0.0))
 
-    scored = encoded.withColumn("score", _score(F.col("codes"), F.col("norm")))
+    return encoded.withColumn("score", _score(F.col("codes"), F.col("norm")))
+
+
+def sq8_topk(
+    encoded: DataFrame,
+    vmin: np.ndarray,
+    vmax: np.ndarray,
+    qvec: Sequence[float],
+    k: int,
+    *,
+    emb: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k over SQ8 codes (see :func:`sq8_scores`
+    for the affine-decode scoring). With ``emb``, SQ8 shortlists and
+    exact cosine re-ranks (FAISS ``SQ + refine``)."""
+    scored = sq8_scores(encoded, vmin, vmax, qvec)
     if emb is None:
         return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k).drop("codes")
     s = shortlist or max(10 * k, 100)

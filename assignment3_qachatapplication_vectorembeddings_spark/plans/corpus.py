@@ -3863,6 +3863,137 @@ FROM m ORDER BY system
 _SQL_RETRIEVAL_EVAL = _retrieval_eval_oracle_sql()
 
 
+def q_sq8_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-oracled gate for the SQ8 scalar quantizer
+    (``operators/ann.py::sq8_encode``/``sq8_scores``): quantize the
+    corpus to one byte per dimension, rank ALL vectors by the
+    affine-decode ADC cosine, and score that ranking against the exact
+    cosine ranking with recall/MRR/nDCG@10 — quantization QA as a
+    first-class query (the ann_sq8_topk gate pins recall; this pins
+    the quantization arithmetic by VALUE against a full SQL mirror).
+
+    The per-dimension [min, max] ranges are computed distributed
+    (posexplode + agg — 64 rows collected as the usual bounded
+    sidecar) rather than via ``sq8_train``'s driver sample, so the
+    oracle can reproduce them exactly."""
+    import numpy as np
+
+    from ..functions.similarity import cosine_sim, query_vector_lit
+    from ..operators.ann import sq8_encode, sq8_scores
+    from ..operators.retrieval_eval import retrieval_metrics
+    from ..operators.text_search import rank_by
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    rng_rows = (
+        corpus.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    rng_rows.sort(key=lambda r: r["d"])
+    vmin = np.array([r["mn"] for r in rng_rows])
+    vmax = np.array([r["mx"] for r in rng_rows])
+
+    scored = sq8_scores(sq8_encode(corpus, vmin, vmax), vmin, vmax, qvec)
+    sq8_rank = rank_by(
+        scored.select(
+            F.col("vec_id").alias("doc_id"), F.round("score", 6).alias("s")
+        ),
+        [F.desc("s"), F.asc("doc_id")],
+    ).select("doc_id", "rank")
+    truth = rank_by(
+        corpus.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_sim(F.col("embedding"), query_vector_lit(qvec)), 6
+            ).alias("cos"),
+        ),
+        [F.desc("cos"), F.asc("doc_id")],
+    ).select("doc_id", "rank")
+    run = sq8_rank.withColumn("system", F.lit("sq8"))
+    return retrieval_metrics(run, truth, k=_EVAL_K)
+
+
+def _sq8_fidelity_oracle_sql(k: int = _EVAL_K) -> str:
+    """SQL mirror of the SQ8 encode → ADC score → rank → metrics
+    pipeline. Quantization: code = clip(round((x−mn)/step), 0, 255)
+    with step = (mx−mn)/255 (1.0 on degenerate dims); score =
+    (q·vmin + Σ q_d·step_d·code_d) / (|q|·|x|) with the exact stored
+    norm. round() here is half-away vs numpy's rint half-even — they
+    differ only on exact .5 quotients, which float division of real
+    embedding data does not produce (validated by hash-equality at
+    all gate scales)."""
+    from ..operators.retrieval_eval import dcg_weight_literals
+
+    wt_rows = ", ".join(
+        f"({i + 1}, {w}::DOUBLE)"
+        for i, w in enumerate(dcg_weight_literals(k))
+    )
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+c AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+dims AS MATERIALIZED (
+  SELECT vec_id, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM c),
+steps AS MATERIALIZED (
+  SELECT i, min(x) AS mn,
+         CASE WHEN max(x) > min(x) THEN (max(x) - min(x)) / 255.0
+              ELSE 1.0 END AS st
+  FROM dims GROUP BY i),
+qd AS MATERIALIZED (
+  SELECT unnest(range(1, len(qv) + 1)) AS i, unnest(qv) AS qx FROM q),
+qstats AS MATERIALIZED (
+  SELECT sqrt(sum(qx * qx)) AS qn, sum(qx * s.mn) AS base
+  FROM qd JOIN steps s USING (i)),
+adc AS MATERIALIZED (
+  SELECT d.vec_id,
+         sum(qd.qx * s.st
+             * least(greatest(round((d.x - s.mn) / s.st), 0), 255)) AS dotc,
+         sqrt(sum(d.x * d.x)) AS norm
+  FROM dims d JOIN steps s USING (i) JOIN qd USING (i)
+  GROUP BY d.vec_id),
+sq8 AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY round(CASE WHEN norm > 0
+                               THEN (qs.base + dotc) / (qs.qn * norm)
+                               ELSE 0 END, 6) DESC, vec_id) AS rank
+  FROM adc, qstats qs),
+truth AS (
+  SELECT doc_id, ({k} + 1 - rank)::DOUBLE AS gain, rank FROM (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(v, (SELECT qv FROM q)), 6)
+                      DESC, vec_id) AS rank
+    FROM c) t WHERE rank <= {k}),
+wt(rank, w) AS (VALUES {wt_rows}),
+j AS (SELECT r.rank AS sys_rank, t.gain
+      FROM (SELECT * FROM sq8 WHERE rank <= {k}) r
+      LEFT JOIN truth t USING (doc_id)),
+idcg AS (SELECT sum(truth.gain * wt.w) AS v
+         FROM truth JOIN wt ON wt.rank = truth.rank)
+SELECT 'sq8' AS system,
+       round(sum(CASE WHEN gain IS NOT NULL THEN 1 ELSE 0 END) / {k}.0, 6)
+         AS recall_at_{k},
+       round(coalesce(max(CASE WHEN gain IS NOT NULL
+                               THEN 1.0 / sys_rank END), 0), 6)
+         AS mrr_at_{k},
+       round(sum(coalesce(gain, 0) * w.w) / (SELECT v FROM idcg), 6)
+         AS ndcg_at_{k}
+FROM j LEFT JOIN wt w ON w.rank = j.sys_rank
+"""
+
+
+_SQL_SQ8_FIDELITY = _sq8_fidelity_oracle_sql()
+
+
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third streaming gate entry — the stream-STATIC join operator
     class: the events file stream joins the batch customer dimension
@@ -6363,6 +6494,10 @@ CORPUS: dict[str, QuerySpec] = {
     "retrieval_eval": QuerySpec(
         q_retrieval_eval, _SQL_RETRIEVAL_EVAL,
         "recall/MRR/nDCG@10 of BM25 + RRF vs cosine truth (round 8)",
+    ),
+    "sq8_fidelity": QuerySpec(
+        q_sq8_fidelity, _SQL_SQ8_FIDELITY,
+        "SQ8 quantizer ranking fidelity vs exact cosine, by value (round 8)",
     ),
     "hybrid_rrf_topk": QuerySpec(
         q_hybrid_rrf, _SQL_HYBRID_RRF,
