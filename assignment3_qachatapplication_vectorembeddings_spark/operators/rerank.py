@@ -175,11 +175,13 @@ def mmr_rerank(
                 {f.name: pd.Series(dtype="object") for f in out_schema.fields}
             )
         qid = left[query_col].iloc[0]
+        # ids keep their native type (long OR string keys both work;
+        # the tiebreak below compares within one type only)
         cand = {
-            int(r[id_col]): float(r[rel_col]) for _, r in left.iterrows()
+            r[id_col]: float(r[rel_col]) for _, r in left.iterrows()
         }
         sim = {
-            (int(r["a"]), int(r["b"])): float(r["sim"])
+            (r["a"], r["b"]): float(r["sim"])
             for _, r in right.iterrows()
         }
         selected: list[int] = []

@@ -116,6 +116,52 @@ class QAPipeline:
             self.index.read(), qvec, k or self.top_k, filter_expr=filter_expr
         )
 
+    def search_diverse(
+        self,
+        question: str,
+        form_titles: Sequence[str] | None = None,
+        *,
+        candidates: int = 50,
+        lam: float = 0.7,
+        k: int | None = None,
+    ) -> DataFrame:
+        """Diversity-aware retrieval (engine-added; the reference
+        returns raw top-k): cosine shortlist of ``candidates`` — the
+        accelerated ANN path when an index is wired — then MMR
+        re-ranking (``operators/rerank.py``) down to k, so the answer
+        context isn't k near-duplicates of the best chunk. Returns
+        (id, title, text, score) in selection order with score = the
+        MMR objective; the shortlist stays bounded, so the greedy is
+        O(k·candidates) at any index size."""
+        from ..operators.rerank import mmr_pairs, mmr_rerank
+        from ..runtime import register_materialized
+
+        k = k or self.top_k
+        short = self.search(question, form_titles, k=candidates)
+        if "vector" not in short.columns:
+            short = short.join(
+                self.index.read().select("id", "vector"), "id", "left"
+            )
+        short = short.localCheckpoint(eager=False)  # pool + pairs + join
+        register_materialized(short)
+        pool = short.select(
+            F.lit(0).alias("query_id"),
+            F.col("id").alias("doc_id"),
+            F.round("score", 6).alias("rel"),
+            "vector",
+        )
+        sel = mmr_rerank(
+            pool, mmr_pairs(pool), k=k, lam=lam, id_col="doc_id"
+        )
+        return (
+            sel.join(
+                short.select("id", "title", "text"),
+                sel["doc_id"] == F.col("id"),
+            )
+            .select("id", "title", "text", F.col("mmr").alias("score"), "step")
+            .orderBy("step")
+        )
+
     def search_hybrid(
         self,
         question: str,

@@ -130,6 +130,36 @@ def test_qa_pipeline_end_to_end(index, spark):
     assert all(title == "formB" for _, title, _ in res_b["matches"])
 
 
+def test_qa_search_diverse_demotes_near_duplicates(index, spark):
+    """search_diverse: the shortlist's near-duplicate of the best match
+    must lose its rank-2 spot to a diverse chunk; k rows, selection
+    order, no repeats."""
+    rows = [
+        ("a_0", "formA", "catalyst optimizes logical plans"),
+        ("a_1", "formA", "catalyst optimizes logical plans twice"),  # near-dup
+        ("b_0", "formB", "pinecone stores dense vectors"),
+        ("b_1", "formB", "sessions group events by gap"),
+    ]
+    index.upsert(make_updates(spark, rows))
+    qa = QAPipeline(index, embedder=EMB, top_k=3)
+
+    q = "what optimizes logical plans"
+    res = qa.search_diverse(q, candidates=4, lam=0.5).collect()
+    assert [r["step"] for r in res] == [1, 2, 3]
+    picked = [r["id"] for r in res]
+    assert len(set(picked)) == 3
+    # step 1 = raw top match; its near-duplicate must NOT be step 2
+    top = qa.search(q, k=1).head()["id"]
+    assert picked[0] == top
+    dup = {"a_0": "a_1", "a_1": "a_0"}.get(top)
+    if dup is not None:
+        assert picked[1] != dup
+    # lam=1.0 degenerates to the raw cosine order
+    raw = [r["id"] for r in qa.search(q, k=3).orderBy(F.desc("score"), F.asc("id")).collect()]
+    pure = [r["id"] for r in qa.search_diverse(q, candidates=4, lam=1.0).collect()]
+    assert pure[0] == raw[0]
+
+
 def test_push_to_external_index_batches(spark):
     """S12 egress hook: every row reaches the sender exactly once, in
     <=batch_size batches, executor-side (no driver collect)."""
