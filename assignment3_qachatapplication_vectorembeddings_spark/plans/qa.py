@@ -72,6 +72,7 @@ class QAPipeline:
         ann_policy: str = "error",
         ann_nprobe: int = 4,
         text_index=None,
+        reranker=None,
     ):
         self.index = index
         self.embedder = embedder or HashingEmbedder(dim=64)
@@ -81,6 +82,7 @@ class QAPipeline:
         self.ann_policy = ann_policy
         self.ann_nprobe = ann_nprobe
         self.text_index = text_index
+        self.reranker = reranker
 
     def search(
         self,
@@ -161,6 +163,43 @@ class QAPipeline:
             .select("id", "title", "text", F.col("mmr").alias("score"), "step")
             .orderBy("step")
         )
+
+    def search_reranked(
+        self,
+        question: str,
+        form_titles: Sequence[str] | None = None,
+        *,
+        candidates: int = 50,
+        k: int | None = None,
+    ) -> list[dict]:
+        """Cross-encoder re-ranking of the cosine shortlist through the
+        injected ``reranker`` (see
+        :class:`~..functions.reranking.RerankShapedClient`) — one
+        bounded HTTP call per question, like the answer path; never a
+        per-row hop. Returns ``[{"id", "title", "text", "score"}, ...]``
+        in re-ranked order (score = the endpoint's relevance), length
+        ≤ k. A missing reranker is a wiring error, surfaced loudly."""
+        if self.reranker is None:
+            raise ValueError("search_reranked needs a reranker wired")
+        k = k or self.top_k
+        rows = (
+            self.search(question, form_titles, k=candidates)
+            .select("id", "title", "text", "score")
+            .orderBy(F.desc("score"), F.asc("id"))
+            .collect()
+        )
+        ranked = self.reranker(
+            question, [r["text"] for r in rows], top_n=k
+        )
+        return [
+            {
+                "id": rows[i]["id"],
+                "title": rows[i]["title"],
+                "text": rows[i]["text"],
+                "score": s,
+            }
+            for i, s in ranked
+        ]
 
     def search_hybrid(
         self,
