@@ -176,14 +176,18 @@ def mmr_rerank(
             )
         qid = left[query_col].iloc[0]
         # ids keep their native type (long OR string keys both work;
-        # the tiebreak below compares within one type only)
-        cand = {
-            r[id_col]: float(r[rel_col]) for _, r in left.iterrows()
-        }
-        sim = {
-            (r["a"], r["b"]): float(r["sim"])
-            for _, r in right.iterrows()
-        }
+        # the tiebreak below compares within one type only). tolist()
+        # gives plain-Python keys on both frames — and is ~100x
+        # iterrows on the pool² pair table.
+        cand = dict(
+            zip(left[id_col].tolist(), left[rel_col].astype(float).tolist())
+        )
+        sim = dict(
+            zip(
+                zip(right["a"].tolist(), right["b"].tolist()),
+                right["sim"].astype(float).tolist(),
+            )
+        )
         selected: list[int] = []
         rows = []
         while cand and len(selected) < k:
