@@ -34,11 +34,33 @@ def _load_state() -> dict:
         return {}
 
 
+def _speed_canary() -> float:
+    """Fixed single-thread DuckDB workload (hash of 20M ints, ~0.36 s
+    on the round-8 reference host): a machine-speed unit stamped into
+    every artifact. The build host's EFFECTIVE CPU speed drifts ~2x
+    between sessions even at loadavg 0 (observed round 8: identical
+    DuckDB oracle queries 2x slower on an idle host hours apart), so
+    wall totals from different runs are only comparable after
+    normalizing by their canaries; same-run ratios (bench_ratio.py)
+    need no correction."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET threads TO 1")
+    t0 = time.time()
+    con.execute(
+        "SELECT sum(h) FROM (SELECT hash(range) AS h FROM range(20000000))"
+    ).fetchone()
+    con.close()
+    return round(time.time() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     load_start = _load_state()
+    canary_start = _speed_canary()
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -95,6 +117,7 @@ def main() -> None:
         "queries_cold": cold,
         "sf": sf,
         "host_load": {"start": load_start, "end": _load_state()},
+        "speed_canary_s": {"start": canary_start, "end": _speed_canary()},
     }
     full_line = json.dumps(full, separators=(",", ":"))
     # Full per-query JSON: first line of output + persisted next to the
@@ -120,6 +143,7 @@ def main() -> None:
         "queries_full": "BENCH_full.json",
         "sf": sf,
         "host_load": {"start": load_start, "end": _load_state()},
+        "speed_canary_s": full["speed_canary_s"],
     }
     for name, sec in slowest:
         summary["queries"][name] = sec
