@@ -57,6 +57,9 @@ FLAGSHIP = [
     "sliding_passages",
     "pii_scrub",
     "url_host_filter",
+    "mmr_rerank",
+    "retrieval_eval",
+    "sq8_fidelity",
 ]
 
 _ROW = re.compile(r"^\| (\S+) \| (\d+) \| (\d+) \| (✓?) \| (✓?) \| (\d+) \|")
