@@ -76,7 +76,9 @@ def mmr_pool(
     """
     from ..functions.similarity import cosine_sim
 
-    rel = queries.crossJoin(candidates).select(
+    # broadcast the (small) query side so the candidate table never
+    # shuffles for the join — the knn_join recipe
+    rel = F.broadcast(queries).crossJoin(candidates).select(
         query_col,
         id_col,
         vec_col,
