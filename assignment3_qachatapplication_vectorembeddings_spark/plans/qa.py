@@ -164,6 +164,84 @@ class QAPipeline:
             .orderBy("step")
         )
 
+    def search_diverse_batch(
+        self,
+        questions: DataFrame,
+        *,
+        q_col: str = "question",
+        candidates: int = 50,
+        lam: float = 0.7,
+        max_queries: int = 10_000,
+    ) -> DataFrame:
+        """Diverse retrieval for MANY questions: ONE probed-cell batch
+        ANN scan (``search_batch`` with exact re-rank) produces every
+        question's shortlist, vectors join back from the primary
+        (shortlist-bounded rows), and the cogrouped MMR greedy re-ranks
+        every pool concurrently — the batch sibling of
+        :meth:`search_diverse`, same per-question semantics. Returns
+        ``(qid, question, id, title, text, score, step)``, ``top_k``
+        rows per question in selection order. Requires ``ann_index``
+        (the batch path IS the index)."""
+        from ..operators.rerank import mmr_pairs, mmr_rerank
+        from ..runtime import register_materialized
+
+        if self.ann_index is None:
+            raise ValueError("search_diverse_batch needs ann_index")
+        spark = questions.sparkSession
+        rows = questions.select(q_col).limit(max_queries + 1).collect()
+        if len(rows) > max_queries:
+            raise ValueError(f"batch exceeds max_queries={max_queries}")
+        qs = [r[q_col] for r in rows]
+        qdf_vecs = spark.createDataFrame(
+            [
+                (i, [float(v) for v in self.embedder.embed_one(q)])
+                for i, q in enumerate(qs)
+            ],
+            "qid long, qvec array<double>",
+        )
+        short = self.ann_index.search_batch(
+            qdf_vecs,
+            candidates,
+            nprobe=self.ann_nprobe,
+            rerank=True,
+            on_stale=self.ann_policy,
+            max_queries=max_queries,
+        )
+        short = short.join(
+            self.index.read().select("id", "vector"), "id", "left"
+        ).localCheckpoint(eager=False)  # pool + pairs + final join
+        register_materialized(short)
+        pool = short.select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("doc_id"),
+            F.round("score", 6).alias("rel"),
+            "vector",
+        )
+        sel = mmr_rerank(
+            pool, mmr_pairs(pool), k=self.top_k, lam=lam, id_col="doc_id"
+        )
+        qdf_names = spark.createDataFrame(
+            list(enumerate(qs)), "qid long, question string"
+        )
+        return (
+            sel.join(
+                short.select("qid", "id", "title", "text"),
+                (sel["query_id"] == F.col("qid"))
+                & (sel["doc_id"] == F.col("id")),
+            )
+            .join(qdf_names, "qid")
+            .select(
+                "qid",
+                "question",
+                "id",
+                "title",
+                "text",
+                F.col("mmr").alias("score"),
+                "step",
+            )
+            .orderBy("qid", "step")
+        )
+
     def search_reranked(
         self,
         question: str,

@@ -960,6 +960,37 @@ def test_search_hybrid_batch_matches_per_question_loop(vindex, tmp_path, spark):
         QAPipeline(vindex, embedder=EMB, ann_index=ann).search_hybrid_batch(qdf)
 
 
+def test_search_diverse_batch_matches_per_question_loop(vindex, tmp_path, spark):
+    """Batch diverse retrieval (one probed codes scan + cogrouped MMR)
+    == a loop of search_diverse over the same index. Full probing so
+    batch and single shortlists are both exact-ranked."""
+    from assignment3_qachatapplication_vectorembeddings_spark.plans.qa import (
+        QAPipeline,
+    )
+
+    ann = SyncedIvfpqIndex(vindex, str(tmp_path / "db_ann"), nlist=4, m=4, nbits=4)
+    ann.build()
+    qa = QAPipeline(vindex, embedder=EMB, ann_index=ann, ann_nprobe=4, top_k=3)
+    questions = ["spark windows", "join strategies about", "vector search"]
+    qdf = spark.createDataFrame([(q,) for q in questions], "question string")
+    batch = qa.search_diverse_batch(qdf, candidates=6)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["question"], []).append(
+            (r["step"], r["id"], round(r["score"], 9))
+        )
+    for q in questions:
+        want = [
+            (r["step"], r["id"], round(r["score"], 9))
+            for r in qa.search_diverse(q, candidates=6).collect()
+        ]
+        assert got[q] == want, f"{q!r} diverged"
+        assert len(want) == 3 and [s for s, _, _ in want] == [1, 2, 3]
+    # requires the ANN index (the batch path IS the index)
+    with pytest.raises(ValueError, match="needs ann_index"):
+        QAPipeline(vindex, embedder=EMB).search_diverse_batch(qdf)
+
+
 # -- round 6: review fixes (empty batch, dup qids, publish guard) ------------
 
 
