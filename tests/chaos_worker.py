@@ -109,7 +109,18 @@ def main() -> int:
     rng = random.Random(seed)
     stats = {"role": role, "ops": 0, "stale_refusals": 0, "errors": []}
     deadline = time.time() + run_sec  # clock starts AFTER session spin-up
-    while time.time() < deadline and len(stats["errors"]) < 5:
+    # progress floors matching test_chaos.py's min-ops assertions: on a
+    # slow/loaded host the wall window alone may not fit them, so a role
+    # that hasn't made its floor keeps going past the soft deadline —
+    # bounded by the hard cap, so a genuinely wedged role still FAILS
+    # the assertion instead of hanging
+    floor = {"writer": 3, "maintainer": 2, "reader": 5}.get(role, 0)
+    hard_deadline = time.time() + 4 * run_sec
+    while (
+        (time.time() < deadline or stats["ops"] < floor)
+        and time.time() < hard_deadline
+        and len(stats["errors"]) < 5
+    ):
         try:
             if role == "writer":
                 rnd = stats["ops"]
