@@ -81,7 +81,19 @@ class OpenAIShapedAnswerer:
         self.timeout_sec = timeout_sec
         self.min_interval = 60.0 / requests_per_minute
         self.max_retries = max_retries
-        self._last_request = 0.0  # pacer state; reset harmlessly on unpickle
+        self._last_request = 0.0  # pacer state; never pickled (see __getstate__)
+
+    def __getstate__(self):
+        """Drop pacer state before pickling.
+
+        ``time.monotonic()`` has a per-process/per-host origin, so a
+        ``_last_request`` captured on the driver is meaningless (and can
+        be a huge positive offset) on an executor.  The pacer restarts
+        from 0.0 in every process the client is shipped to.
+        """
+        state = dict(self.__dict__)
+        state["_last_request"] = 0.0
+        return state
 
     # -- wire call ----------------------------------------------------------
 

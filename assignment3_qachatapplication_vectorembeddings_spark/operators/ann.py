@@ -961,7 +961,13 @@ def sq8_encode(
                      "norm": pd.Series([], dtype=float)})
                 continue
             mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-            codes = np.clip(np.rint((mat - lo) / step), 0, 255).astype(np.int32)
+            # half-AWAY-from-zero, the same rounding rule SQL round()
+            # uses — so the encoder and the sq8_fidelity oracle agree
+            # by construction even on exact .5 quotients (np.rint's
+            # half-to-even would diverge there)
+            quot = (mat - lo) / step
+            rounded = np.sign(quot) * np.floor(np.abs(quot) + 0.5)
+            codes = np.clip(rounded, 0, 255).astype(np.int32)
             yield pd.DataFrame(
                 {"codes": list(codes),
                  "norm": np.sqrt((mat * mat).sum(axis=1))})

@@ -145,7 +145,10 @@ def mmr_rerank(
 
     ``pool``: (query_col, id_col, rel_col) — the per-query shortlist
     with PRE-ROUNDED relevance. ``pairs``: (query_col, a, b, sim) —
-    PRE-ROUNDED pairwise sims within each pool (see :func:`mmr_pairs`).
+    PRE-ROUNDED pairwise sims within each pool (see :func:`mmr_pairs`);
+    it must be COMPLETE — every ordered pair of distinct pool members
+    present — and a missing pair raises ``KeyError`` rather than
+    silently defaulting (which would change the greedy walk).
     Returns (query_col, step, id_col, mmr) with step = 1..k in
     selection order; step 1's mmr is the raw relevance (no penalty
     exists yet), matching the standard formulation.
@@ -199,7 +202,20 @@ def mmr_rerank(
             else:
                 best, score = None, None
                 for d, rel in cand.items():
-                    pen = max(sim.get((d, s), 0.0) for s in selected)
+                    try:
+                        pen = max(sim[(d, s)] for s in selected)
+                    except KeyError as exc:
+                        # an absent pair means the caller handed an
+                        # INCOMPLETE pairs frame — substituting any
+                        # default (cosine can be negative, so even 0.0
+                        # isn't conservative) would silently change the
+                        # greedy walk vs the documented semantics/oracle
+                        raise KeyError(
+                            f"mmr_rerank: missing similarity pair "
+                            f"{exc.args[0]!r} for query {qid!r}; pairs "
+                            f"must cover every ordered candidate pair "
+                            f"(use mmr_pairs)"
+                        ) from None
                     m = _round_away(lam_f * rel - mu_f * pen, dp)
                     if best is None or m > score or (m == score and d < best):
                         best, score = d, m

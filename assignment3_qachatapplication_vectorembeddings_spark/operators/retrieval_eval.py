@@ -6,7 +6,9 @@ half — given a system's ranked list per query and a graded truth list,
 score the system. This module computes the three standard metrics as
 one distributed aggregation:
 
-- recall@k   — |system top-k ∩ truth top-k| / k
+- recall@k   — |system top-k ∩ truth top-k| / least(k, |truth top-k|)
+  (the denominator caps at the truth-list size, so a perfect system
+  scores 1.0 even when fewer than k documents are relevant)
 - MRR@k      — 1 / rank of the first relevant hit (0 if none)
 - nDCG@k     — DCG/IDCG with graded gains (truth rank j ⇒ gain k+1−j)
   and the standard 1/log2(i+1) position discount
@@ -62,6 +64,7 @@ def retrieval_metrics(
     id_col: str = "doc_id",
     rank_col: str = "rank",
     dp: int = 6,
+    systems: DataFrame | None = None,
 ) -> DataFrame:
     """Score each system's ranked list against the graded truth list.
 
@@ -70,6 +73,16 @@ def retrieval_metrics(
     rank_col) — the ground-truth ranking; truth rank j carries gain
     k+1−j. Returns one row per system: (system, recall_at_k, mrr_at_k,
     ndcg_at_k), each rounded to ``dp``.
+
+    recall@k divides by ``least(k, |truth top-k|)`` so a truth list
+    shorter than k doesn't cap a perfect system below 1.0 (an empty
+    truth list yields NULL metrics — there is nothing to recall).
+
+    A system whose rows are ALL filtered out by ``rank <= k``
+    contributes no output row by default. Pass ``systems`` (any frame
+    with ``system_col``; distinct is taken here) to pin the roster —
+    systems absent from the k-bounded run then score 0.0 across the
+    board instead of silently disappearing.
 
     IDCG is derived from the truth list itself (the ideal ordering is
     the truth ordering), so nDCG is 1.0 exactly when the system
@@ -82,10 +95,13 @@ def retrieval_metrics(
         id_col,
         (F.lit(k + 1) - F.col(rank_col)).cast("double").alias("_gain"),
     )
-    joined = run_k.join(truth_k, on=id_col, how="left")
+    # truth_k is <= k rows BY CONSTRUCTION (rank <= k filter), so the
+    # run/truth join broadcasts instead of shuffling both sides — the
+    # per-system aggregation below is then the stage's only exchange
+    joined = run_k.join(F.broadcast(truth_k), on=id_col, how="left")
     per_sys = joined.groupBy(system_col).agg(
-        (F.sum(F.when(F.col("_gain").isNotNull(), 1).otherwise(0)) / k).alias(
-            "_recall"
+        F.sum(F.when(F.col("_gain").isNotNull(), 1).otherwise(0)).alias(
+            "_hits"
         ),
         F.coalesce(
             F.max(
@@ -100,19 +116,34 @@ def retrieval_metrics(
             * _weight_at(F.col("_sys_rank"), k)
         ).alias("_dcg"),
     )
-    idcg = truth_k.select(
+    if systems is not None:
+        roster = systems.select(system_col).distinct()
+        per_sys = roster.join(per_sys, on=system_col, how="left").select(
+            system_col,
+            F.coalesce("_hits", F.lit(0)).alias("_hits"),
+            F.coalesce("_mrr", F.lit(0.0)).alias("_mrr"),
+            F.coalesce("_dcg", F.lit(0.0)).alias("_dcg"),
+        )
+    # one 1-row aggregate carries BOTH scalars the final select needs:
+    # IDCG and the truth-list size (recall's denominator cap)
+    idcg = truth_k.agg(
         F.sum(
             F.col("_gain")
             * _weight_at(
                 (F.lit(k + 1) - F.col("_gain")).cast("int"), k
             )
-        ).alias("_idcg")
+        ).alias("_idcg"),
+        F.count(F.lit(1)).alias("_ntruth"),
     )
     return (
         per_sys.crossJoin(F.broadcast(idcg))
         .select(
             system_col,
-            F.round("_recall", dp).alias(f"recall_at_{k}"),
+            F.round(
+                F.col("_hits")
+                / F.least(F.lit(k), F.col("_ntruth")).cast("double"),
+                dp,
+            ).alias(f"recall_at_{k}"),
             F.round("_mrr", dp).alias(f"mrr_at_{k}"),
             F.round(F.col("_dcg") / F.col("_idcg"), dp).alias(f"ndcg_at_{k}"),
         )

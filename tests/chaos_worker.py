@@ -116,8 +116,20 @@ def main() -> int:
     # the assertion instead of hanging
     floor = {"writer": 3, "maintainer": 2, "reader": 5}.get(role, 0)
     hard_deadline = time.time() + 4 * run_sec
+
+    def _behind_floor() -> bool:
+        if stats["ops"] < floor:
+            return True
+        # the maintainer's ops floor guarantees the retrain branch RUNS,
+        # but a single attempt can hit StaleIndexError (caught, counter
+        # not bumped) — keep going until one retrain actually LANDS,
+        # matching test_chaos.py's retrains >= 1 assertion
+        if role == "maintainer" and stats.get("retrains", 0) < 1:
+            return True
+        return False
+
     while (
-        (time.time() < deadline or stats["ops"] < floor)
+        (time.time() < deadline or _behind_floor())
         and time.time() < hard_deadline
         and len(stats["errors"]) < 5
     ):
@@ -154,9 +166,16 @@ def main() -> int:
                         # partial retrain raced a writer commit past the
                         # refresh — the documented refuse-and-retry
                         stats["stale_refusals"] += 1
-                ann.vacuum(keep_versions=1, min_age_sec=10)
-                tix.vacuum(keep_versions=1, min_age_sec=10)
-                vi.vacuum(keep_versions=2, min_age_sec=10)
+                # min-age scales with the storm window (itself canary-
+                # scaled for host speed): the unleased readers' resolve-
+                # to-scan gap grows on a slow/loaded host exactly like
+                # every other op, so a FIXED 10 s erodes the documented
+                # bargain precisely when the host is least able to
+                # afford it
+                min_age = max(10.0, 10.0 * run_sec / 25.0)
+                ann.vacuum(keep_versions=1, min_age_sec=min_age)
+                tix.vacuum(keep_versions=1, min_age_sec=min_age)
+                vi.vacuum(keep_versions=2, min_age_sec=min_age)
             elif role == "reader":
                 i = rng.randrange(len(TITLES))
                 want = TITLES[i] + "_"
@@ -189,9 +208,28 @@ def main() -> int:
                                 on_stale="serve",
                             ).collect()
                     else:
-                        hits = ann.search(
-                            pattern(i), 2, nprobe=4, on_stale="serve"
-                        ).collect()
+                        try:
+                            hits = ann.search(
+                                pattern(i), 2, nprobe=4, on_stale="serve"
+                            ).collect()
+                        except Exception as exc:
+                            # the UNLEASED serve-stale leg is the one
+                            # path the protocol documents as allowed to
+                            # fail loudly: resolve-to-scan is unpinned,
+                            # so past vacuum's min-age the segment may
+                            # be gone (the bounded check-to-read
+                            # bargain; remedy = lease or refresh). A
+                            # missing-file failure HERE is the contract
+                            # working — anywhere else it stays an error
+                            msg = f"{type(exc)} {exc}"
+                            if (
+                                "FileNotFoundException" in msg
+                                or "does not exist" in msg
+                            ):
+                                stats["stale_refusals"] += 1
+                                hits = None
+                            else:
+                                raise
                 except StaleIndexError:
                     stats["stale_refusals"] += 1  # loud refusal ≠ wrong
                     hits = None
@@ -207,7 +245,13 @@ def main() -> int:
                             )
             stats["ops"] += 1
         except Exception:
-            stats["errors"].append(traceback.format_exc()[-2000:])
+            tb = traceback.format_exc()
+            # keep the HEAD (exception type + message) as well as the
+            # tail — a pure [-2000:] slice of a deep Java stack loses
+            # the one line that says what actually went wrong
+            stats["errors"].append(
+                tb if len(tb) <= 2000 else tb[:900] + "\n...\n" + tb[-1100:]
+            )
     Path(f"{base}/result_{role}_{seed}.json").write_text(json.dumps(stats))  # local path even under a scheme
     spark.stop()
     return 0

@@ -504,3 +504,23 @@ def test_ivfpq_topk_batch_adc_only_and_recall(spark, sf_dir):
     # for PQ (measured 0.72 with these seeds); the rerank path above is
     # the precision mechanism — this floor just pins "sane shortlist"
     assert hit / (5 * K) >= 0.6
+
+
+def test_sq8_encode_rounds_half_away_from_zero(spark):
+    """Exact .5 quotients must round AWAY from zero — the same rule
+    SQL round() applies — so the encoder and the sq8_fidelity oracle
+    share one rounding rule by construction (grid-valued synthetic
+    data CAN hit exact halves; np.rint's half-to-even would diverge)."""
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.ann import (
+        sq8_encode,
+    )
+
+    # vmin=0, vmax=255 -> step=1.0 per dim: code = round(x) exactly
+    vmin = np.zeros(4)
+    vmax = np.full(4, 255.0)
+    df = spark.createDataFrame(
+        [(1, [0.5, 1.5, 2.5, 3.5])], "vec_id long, embedding array<double>"
+    )
+    codes = sq8_encode(df, vmin, vmax).head()["codes"]
+    # half-away: 1, 2, 3, 4 (half-even would give 0, 2, 2, 4)
+    assert list(codes) == [1, 2, 3, 4]

@@ -237,3 +237,21 @@ def test_plugs_into_qa_pipeline(spark, tmp_path, monkeypatch):
         assert "Question: passage number 3" in srv.bodies[-1]["messages"][-1]["content"]
     finally:
         srv.close()
+
+
+def test_pickle_drops_pacer_state(monkeypatch):
+    # monotonic origins differ across processes/hosts: stale pacer
+    # state shipped inside a pickle could sleep "forever" on an
+    # executor. __getstate__ must zero it.
+    monkeypatch.setenv("FAKE_CHAT_KEY", "k")
+    srv = _FakeChatServer()
+    try:
+        ans = OpenAIShapedAnswerer(
+            srv.url, api_key_env="FAKE_CHAT_KEY", requests_per_minute=1e9
+        )
+        ans("warm up the pacer")
+        assert ans._last_request > 0.0
+        clone = pickle.loads(pickle.dumps(ans))
+        assert clone._last_request == 0.0
+    finally:
+        srv.close()

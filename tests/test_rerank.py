@@ -160,3 +160,15 @@ def test_selection_is_deterministic_across_runs(spark):
     for q in (0, 1):
         picks = [t[2] for t in a if t[0] == q]
         assert len(set(picks)) == 5  # no repeats within a query
+
+
+def test_missing_pair_raises_loudly(spark):
+    # an incomplete pairs frame must NOT silently default the penalty
+    # (cosine can be negative; any default changes the greedy walk)
+    pool = _vecs(spark, [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7)])
+    pairs = _pairs(spark, [(1, 10, 11, 0.5), (1, 11, 10, 0.5)])  # no 12-pairs
+    import pytest as _pt
+
+    with _pt.raises(Exception) as exc:
+        mmr_rerank(pool, pairs, k=3, lam=0.7).collect()
+    assert "missing similarity pair" in str(exc.value)

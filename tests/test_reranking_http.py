@@ -181,6 +181,18 @@ def test_picklable(fake):
     assert client("optimizes", DOCS)[0][0] == 0
 
 
+def test_pickle_drops_pacer_state(fake):
+    # time.monotonic() has a per-process/per-host origin: a stale
+    # _last_request shipped to an executor could compute an enormous
+    # positive wait. Pickling must reset it to 0.0.
+    srv = fake()
+    client = RerankShapedClient(srv.url)
+    client("optimizes", DOCS)  # advances _last_request
+    assert client._last_request > 0.0
+    clone = pickle.loads(pickle.dumps(client))
+    assert clone._last_request == 0.0
+
+
 def test_qa_pipeline_search_reranked(fake, spark, tmp_path):
     from assignment3_qachatapplication_vectorembeddings_spark.functions.embedding import (
         HashingEmbedder,

@@ -87,3 +87,31 @@ def test_multiple_systems_one_row_each(spark):
     idcg = 2 * w[0] + 1 * w[1]
     # system b's hit is doc 11 = truth rank 2 = gain 1, placed at rank 1
     assert by["b"]["ndcg_at_2"] == pytest.approx(1 * w[0] / idcg, abs=1e-6)
+
+
+def test_short_truth_caps_denominator(spark):
+    # truth has only 2 relevant docs but k=5: a system that finds both
+    # is PERFECT — recall must be 2/2, not 2/5
+    truth = _truth(spark, [(10, 1), (11, 2)])
+    run = _run(spark, [("sys", 10, 1), ("sys", 11, 2), ("sys", 99, 3)])
+    row = retrieval_metrics(run, truth, k=5).collect()[0]
+    assert row["recall_at_5"] == 1.0
+    assert row["mrr_at_5"] == 1.0
+    assert row["ndcg_at_5"] == 1.0
+
+
+def test_systems_roster_emits_zero_rows(spark):
+    truth = _truth(spark, [(10, 1), (11, 2)])
+    # system "empty" only has rows beyond k — filtered out entirely
+    run = _run(spark, [("a", 10, 1), ("a", 11, 2), ("empty", 10, 9)])
+    # without a roster the filtered-out system disappears
+    got = {r["system"] for r in retrieval_metrics(run, truth, k=2).collect()}
+    assert got == {"a"}
+    # with the roster it scores explicit zeros
+    rows = retrieval_metrics(run, truth, k=2, systems=run).collect()
+    by = {r["system"]: r for r in rows}
+    assert set(by) == {"a", "empty"}
+    assert by["empty"]["recall_at_2"] == 0.0
+    assert by["empty"]["mrr_at_2"] == 0.0
+    assert by["empty"]["ndcg_at_2"] == 0.0
+    assert by["a"]["recall_at_2"] == 1.0
