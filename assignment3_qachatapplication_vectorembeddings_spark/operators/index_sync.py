@@ -866,13 +866,18 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             .parquet(f"{self.path}/{segment}")
         )
 
-    def build(self) -> dict:
+    def build(self, *, tune_to: float | None = None, tune_k: int = 10) -> dict:
         """Full (re)build from a LEASED primary snapshot: trains the
         quantizer, encodes every live row into one segment, publishes
         meta v(next). The one operation whose cost is O(corpus). The
         lease pins the snapshot for the whole train+encode, so a
         concurrent commit or vacuum can neither tear the build nor
-        mislabel its data_version."""
+        mislabel its data_version.
+
+        ``tune_to`` (optional) runs :meth:`tune` against the freshly
+        published meta — the returned dict then carries the chosen
+        search params under ``"tuned"`` and they're committed to the
+        ``_tuned/`` sidecar for :meth:`tuned_search_kwargs`."""
         from .ann import ivfpq_build
 
         with self._pinned_source() as (version, parts, snap):
@@ -928,6 +933,8 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
             },
         }
         self._publish_meta(next_meta, meta)
+        if tune_to is not None:
+            meta = dict(meta, tuned=self.tune(tune_to, k=tune_k))
         return meta
 
     def retrain(self, titles: Sequence[str] | None = None) -> dict:
@@ -1050,6 +1057,216 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
                 return self.retrain(titles=drifted)
             return self.retrain()
         return None
+
+    # -- search-parameter auto-tuning (FAISS-style) --------------------------
+
+    #: shortlist multipliers the rerank rungs of the tune ladder try;
+    #: the widest rung only ever runs when everything cheaper missed
+    #: the target (early-stop), so it costs nothing on healthy data
+    TUNE_SHORTLIST_MULTS = (10, 50, 250)
+
+    def _tuned_dir(self) -> str:
+        return f"{self.path}/_tuned"
+
+    def tuned_params(self) -> dict | None:
+        """Newest committed tune result (see :meth:`tune`), or None.
+        Stored as versioned JSON sidecars under ``{path}/_tuned/`` —
+        a name :meth:`vacuum` never reclaims (it only touches ``seg-``
+        / ``quantizer-`` prefixes), so tuned params survive refresh /
+        compact / vacuum cycles. A :meth:`retrain` changes the
+        quantizer, which can shift the recall of a pinned config —
+        re-run :meth:`tune` after retrains when the target matters."""
+        names = sorted(
+            n
+            for n in self.vindex._list_dir(self._tuned_dir())
+            if n.startswith("v") and n.endswith(".json")
+        )
+        for name in reversed(names):
+            data = self.vindex._read_small_file(f"{self._tuned_dir()}/{name}")
+            if data:
+                with contextlib.suppress(ValueError):
+                    return json.loads(data)
+        return None
+
+    def tuned_search_kwargs(self) -> dict:
+        """The newest tune result as :meth:`search` /
+        :meth:`search_batch` keyword arguments (empty dict when never
+        tuned — callers can always ``search(q, k,
+        **idx.tuned_search_kwargs())``). Note ``rerank=True`` changes
+        the output columns (exact-cosine rows from the primary), which
+        is why tuned params are opt-in rather than silently applied."""
+        t = self.tuned_params()
+        if t is None:
+            return {}
+        return {
+            "nprobe": int(t["nprobe"]),
+            "rerank": bool(t["rerank"]),
+            "shortlist": t["shortlist"],
+        }
+
+    def _publish_tuned(self, payload: dict) -> None:
+        names = [
+            n
+            for n in self.vindex._list_dir(self._tuned_dir())
+            if n.startswith("v") and n.endswith(".json")
+        ]
+        nxt = 1 + max((int(n[1:-5]) for n in names), default=0)
+        self.vindex._create_exclusive(
+            f"{self._tuned_dir()}/v{nxt:020d}.json",
+            json.dumps(payload, sort_keys=True).encode(),
+        )
+
+    def tune(
+        self,
+        target_recall: float = 0.9,
+        *,
+        k: int = 10,
+        sample_queries: int = 32,
+        titles: Sequence[str] | None = None,
+        on_stale: str = "error",
+        publish: bool = True,
+    ) -> dict:
+        """Pick the CHEAPEST search parameters meeting a recall target
+        (FAISS ``AutoTune``-style), probing a held-out query sample.
+
+        Manual ``nprobe``/``shortlist`` sizing has a documented failure
+        mode: parameters tuned on mode-structured embeddings measure
+        recall ~0.3 on near-uniform vectors, where coarse cells carry
+        no signal and only a wider probe + exact re-rank recovers the
+        true neighbors. This closes the loop with measurement:
+
+        1. sample ``sample_queries`` vectors from the PINNED primary
+           snapshot (hash-spread, deterministic — same discipline as
+           ``_sample_vectors``), bounded driver transfer;
+        2. exact ground truth per query via the brute-force
+           :func:`~.topk.knn_join` (one distributed job, queries
+           broadcast);
+        3. walk a cost-ordered ladder — for each nprobe in 1, 2, 4, …,
+           nlist: plain ADC, then exact re-rank with growing
+           shortlists (``TUNE_SHORTLIST_MULTS``×k). At scale the codes
+           scan dominates (cost ∝ probed cells), and a bounded
+           re-rank join is cheaper than doubling nprobe, so the ladder
+           order IS the cost order;
+        4. stop at the first config whose mean recall@k meets the
+           target (each evaluation is ONE ``search_batch`` job over
+           the whole sample — never a per-query loop).
+
+        Queries are drawn from the corpus, so the query row itself
+        counts as one attainable hit on both sides (the standard
+        queries⊂corpus convention); recall divides by
+        ``min(k, |truth|)``. Returns the chosen config plus the full
+        evaluation trail; when no config meets the target the BEST
+        one found is returned with ``met=False`` (and still published
+        — it is the cheapest-known-best). ``publish=True`` commits the
+        result to the ``_tuned/`` sidecar for :meth:`tuned_params`.
+        """
+        from .topk import knn_join
+
+        meta = self._resolve(on_stale)
+        payload = self.vindex._load_manifest_version(meta["data_version"])
+        if payload is None:
+            raise StaleIndexError(
+                f"primary manifest v{meta['data_version']} has been "
+                f"vacuumed at {self.vindex.path}; refresh() or lease"
+            )
+        live = sorted(meta["assign"])
+        if titles is not None:
+            live = sorted(set(titles) & set(live))
+        emb = self.vindex._read_manifest_payload(payload, titles=live)
+
+        # deterministic hash-spread query sample (bounded collect)
+        n = emb.select("id").count()
+        sub = emb.select("id", "vector", F.xxhash64("id").alias("__h"))
+        oversample = sample_queries * 4
+        if n > oversample:
+            sub = sub.filter(
+                F.pmod(F.col("__h"), F.lit(max(1, n // oversample))) == 0
+            )
+        qrows = sub.orderBy("__h").limit(sample_queries).collect()
+        if not qrows:
+            raise ValueError("tune(): empty snapshot — nothing to sample")
+        spark = emb.sparkSession
+        qdf = spark.createDataFrame(
+            [(r["id"], list(map(float, r["vector"]))) for r in qrows],
+            "qid string, qvec array<double>",
+        )
+
+        truth_rows = knn_join(
+            qdf, emb, k, q_vec_col="qvec", i_vec_col="vector",
+            tiebreak=("id",),
+        ).select("qid", "id").collect()
+        truth: dict[str, set] = {}
+        for r in truth_rows:
+            truth.setdefault(r["qid"], set()).add(r["id"])
+
+        def _recall(cfg_nprobe: int, cfg_rerank: bool, cfg_short) -> float:
+            got = (
+                self.search_batch(
+                    qdf,
+                    k,
+                    q_vec_col="qvec",
+                    nprobe=cfg_nprobe,
+                    rerank=cfg_rerank,
+                    shortlist=cfg_short,
+                    titles=titles,
+                    on_stale=on_stale,
+                )
+                .select("qid", "id")
+                .collect()
+            )
+            hits: dict[str, int] = {}
+            for r in got:
+                if r["id"] in truth.get(r["qid"], ()):
+                    hits[r["qid"]] = hits.get(r["qid"], 0) + 1
+            return sum(
+                hits.get(q, 0) / max(1, min(k, len(t)))
+                for q, t in truth.items()
+            ) / len(truth)
+
+        nlist = int(meta.get("params", {}).get("nlist", self.nlist))
+        nprobes: list[int] = []
+        p = 1
+        while p < nlist:
+            nprobes.append(p)
+            p *= 2
+        nprobes.append(nlist)
+
+        ladder: list[tuple[int, bool, int | None]] = []
+        for np_ in nprobes:
+            ladder.append((np_, False, None))
+            for mult in self.TUNE_SHORTLIST_MULTS:
+                ladder.append((np_, True, max(mult * k, 10 * mult)))
+
+        trail = []
+        chosen = None
+        best = None
+        for cfg_nprobe, cfg_rerank, cfg_short in ladder:
+            r = _recall(cfg_nprobe, cfg_rerank, cfg_short)
+            entry = {
+                "nprobe": cfg_nprobe,
+                "rerank": cfg_rerank,
+                "shortlist": cfg_short,
+                "recall": round(r, 6),
+            }
+            trail.append(entry)
+            if best is None or r > best["recall"]:
+                best = entry
+            if r >= target_recall:
+                chosen = entry
+                break
+        result = dict(
+            chosen or best,
+            met=chosen is not None,
+            target=target_recall,
+            k=k,
+            sample_queries=len(qrows),
+            data_version=meta["data_version"],
+            quantizer_id=meta.get("quantizer_id"),
+            evaluated=trail,
+        )
+        if publish:
+            self._publish_tuned(result)
+        return result
 
     def refresh(self) -> dict:
         """Incremental catch-up to the current primary snapshot:

@@ -53,23 +53,42 @@ GOLDEN_QUERIES = [
     "ann_sq8_topk",
 ]
 
-SF_TAGS = {"sf0.001": "0.001", "sf0.01": "0.01", "sf0.1": "0.1"}
+#: tag -> source dir. The "1"/"10" arms read the replicated sweep
+#: datasets (tools/make_scaled_testdata.py output — deterministic, so
+#: regeneration reproduces the same fingerprints); they are skipped
+#: with a note when the dir hasn't been materialized on this host.
+SCALES = {
+    "0.001": "/root/testdata/sf0.001",
+    "0.01": "/root/testdata/sf0.01",
+    "0.1": "/root/testdata/sf0.1",
+    "1": str(_REPO / ".testdata_sf1"),
+    "10": str(_REPO / ".testdata_sf10"),
+}
 
 GOLDEN_DIR = _REPO / "tests" / "fixtures" / "golden"
 
 
 def main() -> int:
-    names = sys.argv[1:] or GOLDEN_QUERIES
+    args = sys.argv[1:]
+    tags = list(SCALES)
+    if "--scales" in args:
+        i = args.index("--scales")
+        tags = args[i + 1].split(",")
+        del args[i : i + 2]
+    names = args or GOLDEN_QUERIES
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     spark = get_spark("make-goldens")
     for name in names:
         spec = CORPUS[name]
-        for sf_name, tag in SF_TAGS.items():
-            sf_dir = f"/root/testdata/{sf_name}"
+        for tag in tags:
+            sf_dir = SCALES[tag]
+            if not Path(sf_dir).is_dir():
+                print(f"{name} @ sf{tag}: SKIP ({sf_dir} not materialized)")
+                continue
             tbl = spec.fn(spark, sf_dir).toArrow()
             out = GOLDEN_DIR / f"{name}_{tag.replace('.', '_')}.parquet"
             pq.write_table(tbl, out, compression="zstd")
-            print(f"{name} @ {sf_name}: {tbl.num_rows} rows -> {out}")
+            print(f"{name} @ sf{tag}: {tbl.num_rows} rows -> {out}")
     return 0
 
 
