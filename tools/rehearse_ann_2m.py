@@ -196,6 +196,67 @@ def main() -> None:
     out["post_compact_generations"] = len(
         {tuple(v) for v in cmeta["seg_quantizer"].values()}
     )
+
+    # -- round 9 ask #5: segment-count / manifest-size pressure — many
+    # refresh generations and several quantizer dirs alive at once
+    # (the dimensions a single build+refresh never exercises). R churn
+    # rounds on rotating titles, a partial retrain every 8th, NO
+    # compaction until the end — then serve at peak pressure.
+    R = int(os.environ.get("SPARK_GRAFT_REHEARSE_PRESSURE_ROUNDS", "24"))
+    t0 = time.time()
+    for r in range(R):
+        churn_r = spark.range(500).select(
+            F.concat(F.lit(f"p{r}_"), F.col("id")).alias("id"),
+            gen_vec(F.col("id") + F.lit(r * 1000)).alias("vector"),
+            F.lit(f"t{r % N_TITLES}").alias("title"),
+            F.lit("").alias("text"),
+        )
+        vi.upsert(churn_r)
+        ann.refresh()
+        if r % 8 == 7:
+            ann.retrain(titles=[f"t{r % N_TITLES}"])
+    out["pressure_rounds"] = R
+    out["pressure_loop_sec"] = round(time.time() - t0, 1)
+    meta_now = ann._load_meta()
+    out["pressure_segments"] = len(set(meta_now["assign"].values()))
+    out["pressure_quantizers"] = len(
+        {tuple(v) for v in meta_now["seg_quantizer"].values()}
+    )
+    out["pressure_meta_kb"] = round(
+        len(json.dumps(meta_now).encode()) / 1024, 1
+    )
+    out["adc_search_pressure_sec"], ph = timed(
+        lambda: ann.search(qvec, 10, nprobe=8).collect(), n=3
+    )
+    assert len(ph) == 10
+    out["compact_after_pressure_sec"], _ = timed(ann.compact)
+    out["vacuum_after_pressure_sec"], removed2 = timed(
+        lambda: ann.vacuum(keep_versions=1, min_age_sec=0)
+    )
+    out["vacuum_after_pressure_removed"] = len(removed2)
+    out["adc_search_post_compact_sec"], _ = timed(
+        lambda: ann.search(qvec, 10, nprobe=8).collect(), n=3
+    )
+
+    # -- round 9 ask #8: deep fsck wall/memory at rehearsal scale —
+    # the distributed anti-join parity pass priced on the full tree
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.index_fsck import (  # noqa: E402
+        fsck_derived,
+        fsck_primary,
+    )
+
+    out["fsck_primary_deep_sec"], prep = timed(
+        lambda: fsck_primary(vi, deep=True)
+    )
+    out["fsck_primary_ok"] = not prep.get("errors")
+    out["fsck_derived_deep_sec"], drep = timed(
+        lambda: fsck_derived(ann, deep=True)
+    )
+    out["fsck_derived_ok"] = not drep.get("errors")
+    out["fsck_peak_rss_mb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+    )
+
     out["loadavg_end"] = round(os.getloadavg()[0], 2)
     print(json.dumps(out))
     shutil.rmtree(work, ignore_errors=True)
