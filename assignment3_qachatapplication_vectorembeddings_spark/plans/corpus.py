@@ -4079,7 +4079,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # complete-mode agg is stateful: the drain-scoped partition count
     # applies here exactly as in the dedup/hourly drains
-    with drain_shuffle_partitions(spark):
+    with drain_shuffle_partitions(spark, source=stream):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -4649,9 +4649,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..streaming.ingest import drain_shuffle_partitions, stream_events_table
 
+    src = stream_events_table(spark, sf_dir)  # keeps the size stamp
     views = (
-        stream_events_table(spark, sf_dir)
-        .where(F.col("event_type") == "view")
+        src.where(F.col("event_type") == "view")
         .select(
             "user_id",
             F.col("event_id").alias("view_id"),
@@ -4681,7 +4681,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )
-    with drain_shuffle_partitions(spark):
+    with drain_shuffle_partitions(spark, source=src):
         q = (
             pairs.writeStream.outputMode("append")
             .format("memory")
@@ -5312,7 +5312,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory sink would materialize the whole stream on the driver —
     # fine at sf0.01, a driver-memory wall on an unbounded feed.
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    with drain_shuffle_partitions(spark):
+    with drain_shuffle_partitions(spark, source=stream):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")

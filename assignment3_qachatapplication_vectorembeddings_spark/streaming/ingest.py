@@ -75,15 +75,54 @@ _DRAIN_PARTITIONS = int(
 )
 
 
+def _path_bytes(path: str) -> int:
+    """Total parquet bytes at ``path`` (file or Spark-written dir)."""
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def adaptive_drain_partitions(source: DataFrame | None) -> int:
+    """Drain partition count scaled to the SOURCE size: the floor
+    (``_DRAIN_PARTITIONS``) wins on small backlogs where per-store
+    commit overhead dominates, but a 10x-larger backlog wants its
+    post-shuffle/state stages on proportionally more cores — pinned
+    at 4, the sf1 drains ran their real aggregation on 4 of 32 cores.
+    One extra partition per ~2 MB of source, capped at the session's
+    parallelism. ``source`` is a stream frame stamped by the
+    ``stream_*_table`` helpers; unstamped sources keep the floor."""
+    n = _DRAIN_PARTITIONS
+    src_bytes = getattr(source, "_sgraft_source_bytes", 0) if source is not None else 0
+    if src_bytes:
+        cores = source.sparkSession.sparkContext.defaultParallelism
+        n = max(n, min(cores, int(src_bytes) // (2 << 20)))
+    return n
+
+
 @contextlib.contextmanager
-def drain_shuffle_partitions(spark: SparkSession, n: int | None = None):
-    """Scope ``spark.sql.shuffle.partitions`` down for the duration of
-    a bounded drain (must cover ``.start()`` — a streaming query pins
-    the state partition count at start). Restores the ambient value on
-    exit; batch plans evaluated after exit are unaffected."""
+def drain_shuffle_partitions(
+    spark: SparkSession,
+    n: int | None = None,
+    *,
+    source: DataFrame | None = None,
+):
+    """Scope ``spark.sql.shuffle.partitions`` for the duration of a
+    bounded drain (must cover ``.start()`` — a streaming query pins
+    the state partition count at start). ``source`` (a stamped stream
+    frame) sizes the count adaptively; an explicit ``n`` overrides.
+    Restores the ambient value on exit; batch plans evaluated after
+    exit are unaffected."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(n or _DRAIN_PARTITIONS)
+        "spark.sql.shuffle.partitions",
+        str(n or adaptive_drain_partitions(source)),
     )
     try:
         yield
@@ -267,6 +306,7 @@ def stream_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NTZ-annotated writers (isAdjustedToUTC=false) must not leak
         # TIMESTAMP_NTZ into watermarks — normalize like load_table does.
         stream = stream.withColumn(colname, F.col(colname).cast("timestamp"))
+    stream._sgraft_source_bytes = _path_bytes(path)  # sizes drains
     return stream
 
 
@@ -307,7 +347,7 @@ def run_windowed_counts_available_now(
     deterministic drain-and-stop shape.)
     """
     agg = windowed_event_counts(events_stream, window=window, watermark=watermark)
-    with drain_shuffle_partitions(spark):
+    with drain_shuffle_partitions(spark, source=events_stream):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -520,14 +560,17 @@ def run_sessionize_native_available_now(
     ``run_sessionize_available_now``, so the same SQL oracle gates
     both implementations."""
     sess = sessionize_stream_native(events_stream)
-    q = (
-        sess.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # session_window state is JVM-native: the bounded drain wants the
+    # size-scaled partition count, not the ambient batch default
+    with drain_shuffle_partitions(spark, source=events_stream):
+        q = (
+            sess.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(query_name)
         .groupBy("user_id")
@@ -634,12 +677,15 @@ def stream_embeddings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/embeddings.parquet"
     schema = _source_schema(spark, path)
     if os.path.isdir(path):
-        return spark.readStream.schema(schema).parquet(path)
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
-    )
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+        )
+    stream._sgraft_source_bytes = _path_bytes(path)  # sizes drains
+    return stream
 
 
 def run_streaming_index_ingest(
@@ -750,7 +796,7 @@ def run_streaming_index_ingest(
         # the per-batch merge repartition doesn't pay 32 near-empty
         # tasks (see drain_shuffle_partitions; production streams keep
         # the session default)
-        with drain_shuffle_partitions(spark):
+        with drain_shuffle_partitions(spark, source=emb_stream):
             q = writer.trigger(availableNow=True).start()
             q.awaitTermination()
         return idx

@@ -619,3 +619,33 @@ def test_streaming_upsert_auto_refreshes_text_index(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["id"] for r in tix.bm25(["spark"], on_stale="error").collect()}
     assert got  # index is fresh AND contains the streamed doc's chunks
+
+
+def test_adaptive_drain_partitions_scale_with_source(spark, sf_dir):
+    """The drain partition count follows the STAMPED source size: tiny
+    backlogs keep the commit-overhead floor, big ones get more cores
+    for the post-shuffle/state stages (round-9 verdict ask #6)."""
+    from assignment3_qachatapplication_vectorembeddings_spark.streaming.ingest import (
+        _DRAIN_PARTITIONS,
+        adaptive_drain_partitions,
+        drain_shuffle_partitions,
+        stream_events_table,
+    )
+
+    stream = stream_events_table(spark, sf_dir)
+    assert getattr(stream, "_sgraft_source_bytes", 0) > 0
+    # sf0.001 events are tiny: the floor must win
+    assert adaptive_drain_partitions(stream) == _DRAIN_PARTITIONS
+    # unstamped / None sources keep the floor
+    assert adaptive_drain_partitions(None) == _DRAIN_PARTITIONS
+    # a synthetic big stamp scales up, capped at parallelism
+    stream._sgraft_source_bytes = 10 << 30
+    cores = spark.sparkContext.defaultParallelism
+    assert adaptive_drain_partitions(stream) == cores
+    stream._sgraft_source_bytes = 20 * (2 << 20)  # ~40 MB -> 20 parts
+    assert adaptive_drain_partitions(stream) == min(20, cores)
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    with drain_shuffle_partitions(spark, source=stream):
+        assert spark.conf.get(key) == str(min(20, cores))
+    assert spark.conf.get(key) == old
