@@ -90,16 +90,29 @@ def _path_bytes(path: str) -> int:
 
 
 def adaptive_drain_partitions(source: DataFrame | None) -> int:
-    """Drain partition count scaled to the SOURCE size: the floor
-    (``_DRAIN_PARTITIONS``) wins on small backlogs where per-store
-    commit overhead dominates, but a 10x-larger backlog wants its
-    post-shuffle/state stages on proportionally more cores — pinned
-    at 4, the sf1 drains ran their real aggregation on 4 of 32 cores.
-    One extra partition per ~2 MB of source, capped at the session's
-    parallelism. ``source`` is a stream frame stamped by the
-    ``stream_*_table`` helpers; unstamped sources keep the floor."""
+    """Default drain partition count: the fixed floor, REGARDLESS of
+    source size. MEASURED (A/B/C at sf1, best-of-2 warm, same
+    session): for the hash-agg/dedup/join drains the floor beat
+    size-proportional scaling decisively (hourly 0.99 s at 4 parts vs
+    2.94 s at ~10) — the scan stages already parallelize at the
+    source's file splits; only the post-shuffle/state stages follow
+    this count, and their per-store commit + task overhead grows with
+    N faster than their small compute shrinks."""
+    return _DRAIN_PARTITIONS
+
+
+def sized_drain_partitions(source: DataFrame | None) -> int:
+    """Size-proportional count (1 partition per ~2 MB of stamped
+    source, floor.., cap cores) for SORT-DOMINATED stateful drains.
+    The same A/B that crowned the floor for hash-agg drains measured
+    the opposite for ``session_window`` (4.48 s at ~10 parts vs
+    5.68 s at 4): its state stage sorts each partition's rows, real
+    per-row compute that DOES scale with cores. Used explicitly by
+    the native-sessionize runner; everything else keeps the floor."""
     n = _DRAIN_PARTITIONS
-    src_bytes = getattr(source, "_sgraft_source_bytes", 0) if source is not None else 0
+    src_bytes = (
+        getattr(source, "_sgraft_source_bytes", 0) if source is not None else 0
+    )
     if src_bytes:
         cores = source.sparkSession.sparkContext.defaultParallelism
         n = max(n, min(cores, int(src_bytes) // (2 << 20)))
@@ -115,10 +128,11 @@ def drain_shuffle_partitions(
 ):
     """Scope ``spark.sql.shuffle.partitions`` for the duration of a
     bounded drain (must cover ``.start()`` — a streaming query pins
-    the state partition count at start). ``source`` (a stamped stream
-    frame) sizes the count adaptively; an explicit ``n`` overrides.
-    Restores the ambient value on exit; batch plans evaluated after
-    exit are unaffected."""
+    the state partition count at start). Default is the measured
+    floor (see :func:`adaptive_drain_partitions`); pass an explicit
+    ``n`` (e.g. :func:`sized_drain_partitions` for sort-dominated
+    state stages) to override. Restores the ambient value on exit;
+    batch plans evaluated after exit are unaffected."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
@@ -560,9 +574,11 @@ def run_sessionize_native_available_now(
     ``run_sessionize_available_now``, so the same SQL oracle gates
     both implementations."""
     sess = sessionize_stream_native(events_stream)
-    # session_window state is JVM-native: the bounded drain wants the
-    # size-scaled partition count, not the ambient batch default
-    with drain_shuffle_partitions(spark, source=events_stream):
+    # session_window's state stage SORTS each partition — the one drain
+    # shape where the size-scaled count measured faster than the floor
+    with drain_shuffle_partitions(
+        spark, sized_drain_partitions(events_stream)
+    ):
         q = (
             sess.writeStream.outputMode("complete")
             .format("memory")
