@@ -1105,15 +1105,22 @@ class SyncedIvfpqIndex(_SyncedIndexBase):
         }
 
     def _publish_tuned(self, payload: dict) -> None:
-        names = [
-            n
-            for n in self.vindex._list_dir(self._tuned_dir())
-            if n.startswith("v") and n.endswith(".json")
-        ]
-        nxt = 1 + max((int(n[1:-5]) for n in names), default=0)
-        self.vindex._create_exclusive(
-            f"{self._tuned_dir()}/v{nxt:020d}.json",
-            json.dumps(payload, sort_keys=True).encode(),
+        body = json.dumps(payload, sort_keys=True).encode()
+        for _ in range(5):
+            names = [
+                n
+                for n in self.vindex._list_dir(self._tuned_dir())
+                if n.startswith("v") and n.endswith(".json")
+            ]
+            nxt = 1 + max((int(n[1:-5]) for n in names), default=0)
+            if self.vindex._create_exclusive(
+                f"{self._tuned_dir()}/v{nxt:020d}.json", body
+            ):
+                return
+            # create-if-absent lost to a concurrent tune: re-list, bump
+        raise RuntimeError(
+            f"could not publish tune result at {self._tuned_dir()} after "
+            "5 attempts — concurrent tuners racing; retry"
         )
 
     def tune(
