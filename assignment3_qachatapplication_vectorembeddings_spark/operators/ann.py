@@ -214,7 +214,7 @@ def _sample_matrix(
 
 
 def _kmeans(
-    mat: np.ndarray, k: int, rng, max_iter: int, *, init: str = "kmeans++"
+    mat: np.ndarray, k: int, rng, max_iter: int, *, init="kmeans++"
 ) -> np.ndarray:
     """Vectorized Lloyd's (shared by the IVF coarse quantizer and the
     per-subspace PQ codebooks). ``init='kmeans++'`` is the quality
@@ -222,8 +222,17 @@ def _kmeans(
     ``'sample'`` (Forgy) skips the k sequential seeding steps — at PQ
     codebook size (k=256 × m subspaces) the seeding loop costs more
     than all Lloyd iterations and the iterations converge fine from a
-    random distinct sample."""
-    if init == "sample":
+    random distinct sample. An ndarray ``init`` WARM-STARTS Lloyd from
+    existing centroids (the partial-retrain path: the previous
+    quantizer anchors regions the new fit sample doesn't cover)."""
+    if isinstance(init, np.ndarray):
+        if init.shape != (k, mat.shape[1]):
+            raise ValueError(
+                f"warm-start centroids shape {init.shape} != "
+                f"({k}, {mat.shape[1]})"
+            )
+        cents = init.astype(np.float64, copy=True)
+    elif init == "sample":
         cents = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
         if len(cents) < k:  # ksub capped by sample size upstream
             cents = np.vstack([cents, cents[: k - len(cents)]])
@@ -418,7 +427,12 @@ def pq_train(
 
 
 def _pq_codebooks(
-    mat: np.ndarray, m: int, nbits: int, rng, max_iter: int
+    mat: np.ndarray,
+    m: int,
+    nbits: int,
+    rng,
+    max_iter: int,
+    init_codebooks: np.ndarray | None = None,
 ) -> np.ndarray:
     dim = mat.shape[1]
     if dim % m:
@@ -432,7 +446,11 @@ def _pq_codebooks(
                 ksub,
                 rng,
                 max_iter,
-                init="sample",
+                init=(
+                    init_codebooks[i][:ksub]
+                    if init_codebooks is not None
+                    else "sample"
+                ),
             )
             for i in range(m)
         ]
@@ -557,6 +575,7 @@ def ivfpq_build(
     pq_iter: int = 15,
     sample_cap: int = 100_000,
     return_sample: bool = False,
+    warm_start: tuple[np.ndarray, np.ndarray] | None = None,
 ):
     """(centroids ``(nlist, dim)``, codebooks ``(m, ksub, dim//m)``)
     fit on ONE bounded driver sample: coarse k-means first, then
@@ -565,13 +584,25 @@ def ivfpq_build(
     ``return_sample=True`` appends the fit sample matrix to the tuple
     so callers that also need a corpus-spread sample (e.g. the synced
     index's drift baseline) reuse THIS scan instead of paying a second
-    O(corpus) sampling pass."""
+    O(corpus) sampling pass.
+
+    ``warm_start=(prev_centroids, prev_codebooks)`` seeds both Lloyd
+    fits from an existing quantizer instead of kmeans++/Forgy — the
+    partial-retrain contract: ``emb`` is then only the DRIFTED slice
+    (a title-pruned scan, O(drifted) IO), and the previous quantizer's
+    centroids anchor the regions that slice doesn't cover, so the
+    refit both absorbs the new distribution and stays serviceable for
+    later refreshes/compaction of undrifted titles."""
     mat = _sample_matrix(emb, vec_col, sample_cap, seed)
     rng = np.random.RandomState(seed)
-    centroids = _kmeans(mat, nlist, rng, coarse_iter)
+    init_c, init_cb = warm_start if warm_start is not None else (None, None)
+    centroids = _kmeans(
+        mat, nlist, rng, coarse_iter,
+        init=init_c if init_c is not None else "kmeans++",
+    )
     d = (centroids * centroids).sum(axis=1)[None, :] - 2.0 * (mat @ centroids.T)
     resid = mat - centroids[np.argmin(d, axis=1)]
-    codebooks = _pq_codebooks(resid, m, nbits, rng, pq_iter)
+    codebooks = _pq_codebooks(resid, m, nbits, rng, pq_iter, init_codebooks=init_cb)
     if return_sample:
         return centroids, codebooks, mat
     return centroids, codebooks

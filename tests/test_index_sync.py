@@ -1206,3 +1206,26 @@ def test_partial_retrain_requires_fresh_index(exact_vindex, tmp_path, spark):
     )
     with pytest.raises(StaleIndexError, match="refresh"):
         ann.retrain(titles=["formA"])
+
+
+def test_maybe_compact_triggers_on_quantizer_generations(ann, vindex, spark):
+    """A partial retrain leaves 2 quantizer generations live; serving
+    unions one probed ADC scan PER generation, so maybe_compact must
+    treat generation count as a first-class trigger (the 20M pressure
+    rehearsal measured 25 segments / 4 generations at ~14x the
+    post-compact search latency)."""
+    ann.retrain(titles=["formA"])
+    m = ann._load_meta()
+    gens = {tuple(q) for q in ann._seg_quantizer_map(m).values()}
+    assert len(gens) == 2  # mixed-generation window is open
+    # segment bound alone would NOT trigger (only 2 segments)
+    assert len(set(m["assign"].values())) <= 8
+    # generations > 1 trips the new trigger
+    out = ann.maybe_compact(max_segments=8, max_generations=1)
+    assert out is not None
+    gens_after = {
+        tuple(q) for q in ann._seg_quantizer_map(ann._load_meta()).values()
+    }
+    assert len(gens_after) == 1
+    # within both bounds: no-op
+    assert ann.maybe_compact(max_segments=8, max_generations=2) is None
