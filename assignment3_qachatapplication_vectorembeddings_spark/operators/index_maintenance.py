@@ -481,6 +481,9 @@ class VectorIndex:
                 return version, copy.deepcopy(payload)
         return None
 
+    #: sentinel: "carry the current manifest's dim stamp forward"
+    _KEEP_DIM = object()
+
     def _publish_manifest(
         self,
         version: int,
@@ -488,6 +491,7 @@ class VectorIndex:
         catalog: dict[str, str],
         row_counts: dict[str, int] | None = None,
         row_count_bounds: set[str] | None = None,
+        dim=_KEEP_DIM,
     ) -> None:
         """Atomically publish manifest ``version`` via create-if-absent
         — the commit point AND the fencing token: if the version file
@@ -498,10 +502,20 @@ class VectorIndex:
         ``row_count_bounds``) rides in the manifest so the NEXT commit
         can bound its skew decision without re-executing its merge
         plan; catalog-only commits pass None and the stamps carry
-        forward (pruned to live titles)."""
+        forward (pruned to live titles).
+
+        ``dim`` (vector dimension, stamped by the first uniform upsert)
+        rides along for the same reason: :meth:`dimension` and the S11
+        dim guard read it driver-side instead of probing the data with
+        a per-upsert Spark job. Default carries the current stamp
+        forward; pass an int to set it, None to clear it (e.g. a fresh
+        index whose first batch was not provably uniform)."""
         if row_counts is None:
             row_counts = self._manifest_row_counts()
             row_count_bounds = self._manifest_count_bounds()
+        if dim is self._KEEP_DIM:
+            m = self._load_manifest()
+            dim = None if m is None else m[1].get("dim")
         row_counts = {t: int(n) for t, n in row_counts.items() if t in partitions}
         bounds_list = sorted(
             t for t in (row_count_bounds or set()) if t in row_counts
@@ -512,6 +526,7 @@ class VectorIndex:
             "catalog": catalog,
             "row_counts": row_counts,
             "row_count_bounds": bounds_list,
+            **({} if dim is None else {"dim": int(dim)}),
             "committed_utc": datetime.now(timezone.utc).isoformat(),
             # written LAST in the serialized object: a truncated
             # manifest cannot parse to complete=true
@@ -690,7 +705,17 @@ class VectorIndex:
         return self.spark.createDataFrame(rows, FORM_CATALOG_SCHEMA)
 
     def dimension(self) -> int | None:
-        """S11: dimension inferred from data (pipeline2.py:134)."""
+        """S11: index vector dimension (pipeline2.py:134). Served from
+        the manifest's ``dim`` stamp (written by the first uniform
+        upsert) — zero Spark jobs on the steady path; a manifest
+        without a stamp (mixed-dimension first batch) falls back to the
+        original data probe."""
+        m = self._load_manifest()
+        if m is None or not m[1]["partitions"]:
+            return None
+        d = m[1].get("dim")
+        if d is not None:
+            return int(d)
         row = self.read().select(F.size("vector").alias("d")).head()
         return None if row is None else row["d"]
 
@@ -710,25 +735,38 @@ class VectorIndex:
 
     def _upsert_locked(self, updates: DataFrame) -> None:
         updates = updates.select("id", "vector", "title", "text")
-        # one aggregation serves BOTH the touched-title list and the
-        # per-title update counts the skew bound needs (this used to be
-        # a bare distinct())
-        upd_counts = {
-            r["title"]: r["n"]
-            for r in updates.groupBy("title")
-            .agg(F.count(F.lit(1)).alias("n"))
+        # one aggregation serves the touched-title list, the per-title
+        # update counts the skew bound needs, AND the batch's vector
+        # dimension range (the S11 guard + the manifest dim stamp) —
+        # this used to be a distinct() plus a separate filter/count job
+        # per upsert
+        agg_rows = (
+            updates.groupBy("title")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.size("vector")).alias("d_lo"),
+                F.max(F.size("vector")).alias("d_hi"),
+            )
             .collect()
+        )
+        upd_counts = {r["title"]: r["n"] for r in agg_rows}
+        batch_dims = {
+            d
+            for r in agg_rows
+            for d in (r["d_lo"], r["d_hi"])
+            if d is not None
         }
         titles = sorted(upd_counts)
         if not titles:
             return
         version, parts, catalog = self._state()
+        fresh_index = not parts
         if parts:
             dim = self.dimension()
             if dim is not None:
                 # S11 dimension check: reject mismatched vectors upfront
-                bad = updates.filter(F.size("vector") != dim).limit(1).count()
-                if bad:
+                # (driver-side against the batch's min/max — no extra job)
+                if any(d != dim for d in batch_dims):
                     raise ValueError(f"vector dimension mismatch (index dim={dim})")
         merge_titles = set(titles)
         # tiered auto-fold: if this commit would push the live
@@ -785,13 +823,30 @@ class VectorIndex:
         old_counts.update(written)
         if not exact:
             bound_titles.update(written)
-        self._publish_manifest(
-            version + 1,
-            parts,
-            catalog,
-            row_counts=old_counts,
-            row_count_bounds=bound_titles,
-        )
+        # dim stamp: a fresh index whose first batch is provably uniform
+        # records its dimension in the manifest (later upserts/serving
+        # read it driver-side); an existing stamp carries forward
+        # unchanged (the S11 guard above keeps it true). A fresh index
+        # with a mixed/unknown first batch stamps nothing — dimension()
+        # then keeps the legacy data-probe behavior.
+        if fresh_index:
+            stamp = batch_dims.pop() if len(batch_dims) == 1 else None
+            self._publish_manifest(
+                version + 1,
+                parts,
+                catalog,
+                row_counts=old_counts,
+                row_count_bounds=bound_titles,
+                dim=stamp,
+            )
+        else:
+            self._publish_manifest(
+                version + 1,
+                parts,
+                catalog,
+                row_counts=old_counts,
+                row_count_bounds=bound_titles,
+            )
 
     # -- S13: point fetch ---------------------------------------------------
 
@@ -1119,7 +1174,15 @@ class VectorIndex:
         frames = []
         for d, ts in by_dir.items():
             df = (
-                self.spark.read.parquet(f"{self.path}/{d}")
+                # explicit schema (this module wrote the layout): skips
+                # the per-generation footer schema inference; the title
+                # partition column is declared string so "007" can never
+                # be inferred as 7 before the cast below
+                self.spark.read.schema(
+                    "id string, vector array<float>, text string, "
+                    "title string"
+                )
+                .parquet(f"{self.path}/{d}")
                 .select(
                     "id",
                     "vector",

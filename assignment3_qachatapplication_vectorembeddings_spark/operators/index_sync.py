@@ -1696,8 +1696,21 @@ class SyncedTextIndex(_SyncedIndexBase):
 
     KIND = "text"
 
-    #: what `_write_segment` writes (partition column included)
+    #: what `_write_segment` writes (partition column included).
+    #: Since round 9 postings embed the document length (``dl`` —
+    #: functionally dependent on ``id``, +8 bytes per posting): the
+    #: BM25 length norm then comes straight off the postings row and
+    #: the serving path needs NO doclens scan or join at all — one
+    #: bucket-pruned scan per query instead of scan+scan+shuffle-join.
+    #: The doclens sidecar is still written: it is the per-doc row set
+    #: fsck deep-parity and the publish-time corpus stats read (and the
+    #: only place zero-token docs appear).
     POSTINGS_SCHEMA = (
+        "word string, id string, title string, tf double, dl double, "
+        "bucket int"
+    )
+    #: pre-round-9 segments (meta lacks ``postings_dl``) — no dl column
+    POSTINGS_SCHEMA_LEGACY = (
         "word string, id string, title string, tf double, bucket int"
     )
     DOCLENS_SCHEMA = "id string, title string, dl double"
@@ -1721,10 +1734,18 @@ class SyncedTextIndex(_SyncedIndexBase):
         ]
 
     def _write_segment(
-        self, titles: Sequence[str] | None, segment: str, reader=None
+        self,
+        titles: Sequence[str] | None,
+        segment: str,
+        reader=None,
+        *,
+        include_dl: bool = True,
     ) -> dict:
         """Encode ``titles`` (None = all live) into ``segment``;
-        returns {title: [n_docs, n_dl, sum_dl]} for the meta."""
+        returns {title: [n_docs, n_dl, sum_dl]} for the meta.
+        ``include_dl`` embeds the doc length in each posting (the
+        round-9 layout); refresh/compact of a pre-round-9 index pass
+        False so every segment of one index shares one layout."""
         read = reader if reader is not None else self.vindex.read
         rows = read(
             titles=None if titles is None else list(titles)
@@ -1744,12 +1765,34 @@ class SyncedTextIndex(_SyncedIndexBase):
         doclens.write.mode("overwrite").parquet(
             f"{self.path}/{segment}/doclens"
         )
-        postings = (
-            toks.select("id", "title", F.explode("ws").alias("word"))
-            .groupBy("word", "id", "title")
-            .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-            .withColumn("bucket", _term_bucket(F.col("word"), self.buckets))
-        )
+        if include_dl:
+            # dl rides the posting row (exploded rows always have a
+            # non-null, non-empty ws, so size(ws) is the same double
+            # the doclens sidecar records for that id); it joins the
+            # group-by KEY — functionally dependent on id, so the
+            # (word, id, title) cardinality is unchanged
+            postings = (
+                toks.select(
+                    "id",
+                    "title",
+                    F.size("ws").cast("double").alias("dl"),
+                    F.explode("ws").alias("word"),
+                )
+                .groupBy("word", "id", "title", "dl")
+                .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+                .withColumn(
+                    "bucket", _term_bucket(F.col("word"), self.buckets)
+                )
+            )
+        else:
+            postings = (
+                toks.select("id", "title", F.explode("ws").alias("word"))
+                .groupBy("word", "id", "title")
+                .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+                .withColumn(
+                    "bucket", _term_bucket(F.col("word"), self.buckets)
+                )
+            )
         (
             # sortWithinPartitions(word): inside each bucket file the
             # postings are word-clustered, so every parquet row group
@@ -1766,7 +1809,10 @@ class SyncedTextIndex(_SyncedIndexBase):
             .parquet(f"{self.path}/{segment}/postings")
         )
         stats = (
-            self.vindex.spark.read.parquet(f"{self.path}/{segment}/doclens")
+            # explicit schema: this module just wrote the file; footer
+            # inference would cost one extra driver job per segment
+            self.vindex.spark.read.schema(self.DOCLENS_SCHEMA)
+            .parquet(f"{self.path}/{segment}/doclens")
             .groupBy("title")
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
@@ -1794,6 +1840,10 @@ class SyncedTextIndex(_SyncedIndexBase):
             "stats_totals": self._stats_totals(title_stats),
             "buckets": self.buckets,
             "tokenizer": TOKENIZER_VERSION,
+            # round-9 layout: dl embedded per posting (doclens-join-free
+            # serving). All-or-nothing per index: refresh/compact
+            # propagate the flag so segments never mix layouts.
+            "postings_dl": True,
         }
         self._publish_meta(1 if m is None else m["meta_version"] + 1, meta)
         return meta
@@ -1811,7 +1861,12 @@ class SyncedTextIndex(_SyncedIndexBase):
             if changed:
                 seg = self._new_segment(cur_version)
                 title_stats.update(
-                    self._write_segment(changed, seg, reader=snap.read)
+                    self._write_segment(
+                        changed,
+                        seg,
+                        reader=snap.read,
+                        include_dl=bool(m.get("postings_dl")),
+                    )
                 )
                 for t in changed:
                     assign[t] = seg
@@ -1827,6 +1882,7 @@ class SyncedTextIndex(_SyncedIndexBase):
             "stats_totals": self._stats_totals(title_stats),
             "buckets": m["buckets"],
             "tokenizer": m["tokenizer"],
+            "postings_dl": bool(m.get("postings_dl")),
         }
         self._publish_meta(m["meta_version"] + 1, meta)
         return meta
@@ -1848,6 +1904,9 @@ class SyncedTextIndex(_SyncedIndexBase):
                     "refresh() before compact()"
                 )
             seg = self._new_segment(m["data_version"])
+            # compact rewrites EVERY live segment, so it is the safe
+            # point to migrate a pre-round-9 index to the dl-embedded
+            # postings layout
             title_stats = self._write_segment(live, seg, reader=snap.read)
         meta = dict(
             m,
@@ -1855,6 +1914,7 @@ class SyncedTextIndex(_SyncedIndexBase):
             revoked={seg: []},
             title_stats=title_stats,
             stats_totals=self._stats_totals(title_stats),
+            postings_dl=True,
         )
         self._publish_meta(m["meta_version"] + 1, meta)
         return meta
@@ -2003,9 +2063,21 @@ class SyncedTextIndex(_SyncedIndexBase):
                 return F.col("title").isin(ts)
             return self._serving_filter(seg_titles, revoked)
 
+        # round-9 layout (dl embedded in postings): one bucket-pruned
+        # postings scan per query, no doclens scan and no per-query
+        # shuffle join. Legacy segments (no dl column) keep the join.
+        embedded_dl = bool(meta.get("postings_dl"))
+        post_schema = (
+            self.POSTINGS_SCHEMA if embedded_dl else self.POSTINGS_SCHEMA_LEGACY
+        )
+        hit_cols = ["word", "id", "tf", "dl"] if embedded_dl else [
+            "word",
+            "id",
+            "tf",
+        ]
         hit_frames, dl_frames = [], []
         for df, seg_titles, revoked in self._segment_frames(
-            meta, "postings", schema=self.POSTINGS_SCHEMA
+            meta, "postings", schema=post_schema
         ):
             cond = _title_cond(seg_titles, revoked)
             if cond is False:
@@ -2015,31 +2087,38 @@ class SyncedTextIndex(_SyncedIndexBase):
             ).isin(terms)
             if cond is not None:
                 pred = pred & cond
-            hit_frames.append(df.where(pred).select("word", "id", "tf"))
-        for df, seg_titles, revoked in self._segment_frames(
-            meta, "doclens", schema=self.DOCLENS_SCHEMA
-        ):
-            cond = _title_cond(seg_titles, revoked)
-            if cond is False:
-                continue
-            if cond is not None:
-                df = df.where(cond)
-            dl_frames.append(df.select("id", "dl"))
+            hit_frames.append(df.where(pred).select(*hit_cols))
+        if not embedded_dl:
+            for df, seg_titles, revoked in self._segment_frames(
+                meta, "doclens", schema=self.DOCLENS_SCHEMA
+            ):
+                cond = _title_cond(seg_titles, revoked)
+                if cond is False:
+                    continue
+                if cond is not None:
+                    df = df.where(cond)
+                dl_frames.append(df.select("id", "dl"))
         if not hit_frames:
             return None
         hits = reduce(DataFrame.unionByName, hit_frames)
-        doclens = reduce(DataFrame.unionByName, dl_frames)
+        doclens = (
+            None if embedded_dl else reduce(DataFrame.unionByName, dl_frames)
+        )
         return hits, doclens, n_docs, avgdl
 
     @staticmethod
     def _bm25_contrib(scan, k1: float, b: float):
         """(scored frame carrying word/id/tf/df/dl, per-row Okapi
-        contribution column) from a :meth:`_bm25_scan` result."""
+        contribution column) from a :meth:`_bm25_scan` result.
+        ``doclens is None`` means dl rides the postings row (round-9
+        layout) and no length-norm join is needed."""
         hits, doclens, n_docs, avgdl = scan
         dfs = hits.groupBy("word").agg(
             F.count(F.lit(1)).cast("double").alias("df")
         )
-        scored = hits.join(F.broadcast(dfs), "word").join(doclens, "id")
+        scored = hits.join(F.broadcast(dfs), "word")
+        if doclens is not None:
+            scored = scored.join(doclens, "id")
         idf = F.log(
             1 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
         )

@@ -583,3 +583,54 @@ def test_bound_stamp_reanchors_at_salt_threshold(index, spark):
     # re-anchoring this sequence would stamp 35
     assert counts["formA"] <= index.SKEW_SPLIT_ROWS
     assert index.stats()["total_vector_count"] == 10
+
+
+def test_dim_stamped_in_manifest_and_served_without_jobs(index, spark):
+    """The first uniform upsert stamps the vector dimension into the
+    manifest; dimension() then answers driver-side — ZERO Spark jobs
+    (round-9 optimization: the per-upsert data-probe job is gone)."""
+    index.upsert(make_updates(spark, [("a_0", "formA", "alpha")]))
+    m = index._load_manifest()
+    assert m is not None and m[1].get("dim") == 16
+    sc = spark.sparkContext
+    sc.setJobGroup("dim-probe", "dimension() must not launch jobs")
+    try:
+        assert index.dimension() == 16
+        ids = sc.statusTracker().getJobIdsForGroup("dim-probe")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    assert list(ids) == []
+
+
+def test_mixed_dim_first_batch_stamps_nothing_and_probes(index, spark):
+    """A first batch with mixed vector sizes must NOT stamp a dim (the
+    stamp is only written when provably uniform); dimension() falls
+    back to the legacy data probe and still answers."""
+    mixed = spark.createDataFrame(
+        [
+            ("a_0", [0.1, 0.2], "formA", "two dims"),
+            ("a_1", [0.1, 0.2, 0.3], "formA", "three dims"),
+        ],
+        "id string, vector array<float>, title string, text string",
+    )
+    index.upsert(mixed)
+    m = index._load_manifest()
+    assert m is not None and "dim" not in m[1]
+    assert index.dimension() in (2, 3)  # data probe, head row's size
+
+
+def test_dim_stamp_cleared_on_fresh_reupsert_after_full_delete(index, spark):
+    """Delete-to-empty then re-upsert with a different dimension: the
+    fresh upsert restamps the NEW dim (no stale carry-forward)."""
+    index.upsert(make_updates(spark, [("a_0", "formA", "alpha")]))
+    index.delete_by_ids(["a_0"])
+    assert index.dimension() is None
+    new = spark.createDataFrame(
+        [("b_0", [0.1, 0.2, 0.3], "formB", "three dims")],
+        "id string, vector array<float>, title string, text string",
+    )
+    index.upsert(new)
+    assert index.dimension() == 3
+    m = index._load_manifest()
+    assert m[1].get("dim") == 3

@@ -1229,3 +1229,78 @@ def test_maybe_compact_triggers_on_quantizer_generations(ann, vindex, spark):
     assert len(gens_after) == 1
     # within both bounds: no-op
     assert ann.maybe_compact(max_segments=8, max_generations=2) is None
+
+
+def test_bm25_serving_reads_postings_only(tix):
+    """Round-9 layout: dl rides the postings row, so the serving plan
+    has NO doclens scan and NO per-query length-norm join. (NB: the
+    test name must not contain the substring 'doclens' — pytest's
+    tmp_path embeds the test name, and the scan Location would then
+    trip the plan assertion.)"""
+    assert tix._load_meta().get("postings_dl") is True
+    import io as _io
+
+    df = tix.bm25(["spark", "join"])
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "doclens" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # every file scan reads the postings dir (the tf scan + the df
+    # aggregation's clone of it); the dl column comes off the posting
+    # row itself
+    locations = [
+        ln for ln in plan.splitlines() if ln.startswith("Location:")
+    ]
+    assert locations and all("postings" in ln for ln in locations)
+    assert "dl:double" in plan  # length norm read from the scan
+
+
+def test_legacy_postings_layout_still_serves_and_stays_legacy(
+    tix, vindex, spark, tmp_path
+):
+    """A pre-round-9 index (no dl column, no postings_dl flag) keeps
+    the doclens-join path and scores identically; refresh writes new
+    segments in the LEGACY layout so one index never mixes layouts;
+    compact migrates it to the new layout."""
+    legacy = SyncedTextIndex(vindex, str(tmp_path / "tix_legacy"), buckets=8)
+    with legacy._pinned_source() as (version, parts, snap):
+        seg = legacy._new_segment(version)
+        stats = legacy._write_segment(
+            None, seg, reader=snap.read, include_dl=False
+        )
+    legacy._publish_meta(
+        1,
+        {
+            "data_version": version,
+            "base_parts": parts,
+            "assign": {t: seg for t in parts},
+            "revoked": {seg: []},
+            "title_stats": stats,
+            "stats_totals": legacy._stats_totals(stats),
+            "buckets": legacy.buckets,
+            "tokenizer": legacy._load_meta()["tokenizer"]
+            if legacy._load_meta()
+            else __import__(
+                "assignment3_qachatapplication_vectorembeddings_spark.operators.index_sync",
+                fromlist=["TOKENIZER_VERSION"],
+            ).TOKENIZER_VERSION,
+        },
+    )
+    terms = ["spark", "join", "about"]
+    assert _scores(legacy.bm25(terms)) == _scores(tix.bm25(terms))
+
+    # churn one title; refresh must stay legacy and still match
+    vindex.upsert(
+        make_updates(spark, [("formA_99", "formA", "spark about joins")])
+    )
+    legacy.refresh()
+    tix.refresh()
+    assert legacy._load_meta().get("postings_dl") is False
+    assert _scores(legacy.bm25(terms)) == _scores(tix.bm25(terms))
+
+    # compact migrates to the dl-embedded layout
+    legacy.compact()
+    assert legacy._load_meta().get("postings_dl") is True
+    assert _scores(legacy.bm25(terms)) == _scores(tix.bm25(terms))
