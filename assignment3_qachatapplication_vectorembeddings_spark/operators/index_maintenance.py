@@ -1173,16 +1173,13 @@ class VectorIndex:
             by_dir.setdefault(d, []).append(t)
         frames = []
         for d, ts in by_dir.items():
+            # NB: no explicit read schema here — the vector column's
+            # element type follows whatever the caller upserted (float
+            # or double; round-9 tried pinning array<float> and the
+            # double-vector streaming-ingest suites caught it), so the
+            # footer inference is load-bearing.
             df = (
-                # explicit schema (this module wrote the layout): skips
-                # the per-generation footer schema inference; the title
-                # partition column is declared string so "007" can never
-                # be inferred as 7 before the cast below
-                self.spark.read.schema(
-                    "id string, vector array<float>, text string, "
-                    "title string"
-                )
-                .parquet(f"{self.path}/{d}")
+                self.spark.read.parquet(f"{self.path}/{d}")
                 .select(
                     "id",
                     "vector",

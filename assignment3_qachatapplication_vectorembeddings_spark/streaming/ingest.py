@@ -132,7 +132,13 @@ def drain_shuffle_partitions(
     floor (see :func:`adaptive_drain_partitions`); pass an explicit
     ``n`` (e.g. :func:`sized_drain_partitions` for sort-dominated
     state stages) to override. Restores the ambient value on exit;
-    batch plans evaluated after exit are unaffected."""
+    batch plans evaluated after exit are unaffected.
+
+    (Round-9 A/B, interleaved 5x per shape at sf0.1: scoping
+    ``spark.sql.files.minPartitionNum`` to 1 or 4 for the drain —
+    fewer scan tasks per micro-batch — measured NO effect beyond host
+    noise on hourly/sessionize/dedup drains; the default core-count
+    scan-split floor stays.)"""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
@@ -392,14 +398,12 @@ def run_sessionize_available_now(
     # per group, so it wants one partition per core — unlike JVM-state
     # ops (dedup/window aggs), where fewer partitions win on task
     # overhead. Raise to core count for this query only (fresh
-    # checkpoint per drain, so the partition count may differ per run).
+    # checkpoint per drain, so the partition count may differ per run);
+    # drain_shuffle_partitions also scopes the scan-split floor to 1.
     spark = events_stream.sparkSession
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cores = spark.sparkContext.defaultParallelism
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(max(int(old_sp), cores))
-    )
-    try:
+    with drain_shuffle_partitions(spark, max(old_sp, cores)):
         q = (
             sess.writeStream.outputMode("update")
             .format("memory")
@@ -408,8 +412,6 @@ def run_sessionize_available_now(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return (
         spark.table(query_name)
         .groupBy("user_id")
