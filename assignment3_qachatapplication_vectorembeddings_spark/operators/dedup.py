@@ -962,12 +962,17 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = edges.count()
-    if n_edges == 0:
+    # one action decides the path AND fetches the driver-path edges: a
+    # bounded limit-collect off the checkpointed blocks (the separate
+    # count-then-collect paid a whole extra job per call — pure fixed
+    # cost on every dedup/curation query). The +1 row proves overflow
+    # without transferring more than the threshold.
+    head = edges.limit(driver_threshold + 1).collect()
+    if not head:
         return pairs.sparkSession.createDataFrame(
             [], "doc_id long, component long"
         )
-    if n_edges <= driver_threshold:
+    if len(head) <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -979,7 +984,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.collect():
+        for r in head:
             ra, rb = find(r["src"]), find(r["dst"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)

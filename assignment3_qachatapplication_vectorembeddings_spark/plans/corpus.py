@@ -1677,11 +1677,19 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     deriving the coarser levels from those 6 — exact, the cents sums
     are associative longs — gets the same result with one narrow
     exchange and a third of the agg input."""
+    from ..runtime import register_materialized
+
     li = load_table(spark, sf_dir, "lineitem")
     base = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("_c"),
     )
+    # `base` feeds three union branches; without materialization Spark
+    # CLONES the whole subtree per branch (3 corpus scans + 3 aggs —
+    # the before-plan had 5 exchanges), defeating this query's entire
+    # point. Checkpoint the handful of finest-level rows once.
+    base = base.localCheckpoint(eager=False)
+    register_materialized(base)
     lvl1 = base.groupBy("l_returnflag").agg(
         F.sum("n").alias("n"), F.sum("_c").alias("_c")
     ).withColumn("l_linestatus", F.lit(None).cast("string"))
@@ -2880,13 +2888,26 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sums carried as exact long cents; the threshold compare happens on
     # the same fl(value) > fl(total)*0.0005 doubles the decimal plan (and
     # the DuckDB oracle) produces, since fl(cents/100) == fl(decimal sum)
-    per_part = li.groupBy("l_partkey").agg(
-        _cents_sum(F.col("l_extendedprice")).alias("value_d")
+    from ..runtime import register_materialized
+
+    # per-part sums carried as LONG cents (not the /100 double) so the
+    # global total can be re-derived exactly: long sums associate, so
+    # sum(per-part cents) == the straight-off-the-scan cents total
+    # bit-for-bit, while lineitem is scanned ONCE (the round-9
+    # before-plan scanned it twice — the total had its own full-scan
+    # aggregate subtree)
+    per_cents = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")).alias(
+            "cents"
+        )
+    ).localCheckpoint(eager=False)
+    register_materialized(per_cents)
+    per_part = per_cents.select(
+        "l_partkey", (F.col("cents") / F.lit(100.0)).alias("value_d")
     )
-    # global total straight off the scan — integer-cents sums associate, so
-    # sum(lineitem) == sum(per-part sums) exactly, and this avoids
-    # running the millions-of-groups aggregation twice
-    total = li.agg(_cents_sum(F.col("l_extendedprice")).alias("total_d"))
+    total = per_cents.agg(
+        (F.sum("cents") / F.lit(100.0)).alias("total_d")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("value_d") > F.col("total_d") * 0.0005)
@@ -3806,6 +3827,11 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
 
+    # bm/vec each feed two consumers, so their subtrees are cloned in
+    # the plan — measured (round-9, interleaved A/B at sf0.1): cheaper
+    # than localCheckpoint barriers, because both rank lists are
+    # shortlist-scale by construction at every SF (at corpus scale the
+    # inputs are each ranker's top-k shortlist). Left as-is.
     bm = rank_by(
         bm25_scores(docs, _BM25_TERMS).select(
             "doc_id", F.round("score", 4).alias("s")
@@ -5637,8 +5663,19 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keys (measured 1.3 s → 1.0 s at sf1). A collision would merge two
     # tokens' counts: odds ~vocab²/2⁶⁴, deterministic if ever hit (the
     # _pair_jaccard idiom).
+    from ..runtime import register_materialized
+
     toksh = toks.select("doc_id", F.xxhash64("token").alias("t"))
-    vocab = toksh.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    # vocab feeds BOTH the total and the score join-back; without
+    # materialization each consumer clones the tokenize+explode+groupBy
+    # subtree (the round-9 before-plan scanned documents 3x). The
+    # checkpoint is vocabulary-sized — bounded, tiny next to the corpus.
+    vocab = (
+        toksh.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    register_materialized(vocab)
     total = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
     lp_micro = F.round(
         F.round(F.log(F.col("cnt") / F.col("n_total")), 6) * 1e6, 0
@@ -6146,6 +6183,8 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
 
+    from ..runtime import register_materialized
+
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -6154,7 +6193,12 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("w"))
+        # edges feeds out_w AND the share join: the lazy checkpoint
+        # collapses the two plan clones of the 4-table fact join into
+        # one physical pass (the |nations|²-row result is what's kept)
+        .localCheckpoint(eager=False)
     )
+    register_materialized(edges)
     out = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     shares = (
         edges.join(out, "src")
@@ -6175,8 +6219,12 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterating Spark jobs over it wastes whole seconds of fixed
     # overhead per round; a graph over the gate iterates distributed.
     shares = shares.localCheckpoint(eager=True)
-    if shares.count() <= _PR_DRIVER_EDGE_GATE:
-        edge_list = [(r["src"], r["dst"], r["share"]) for r in shares.collect()]
+    # one bounded limit-collect decides the path AND fetches the
+    # driver-path edges (the count-then-collect pair paid an extra job
+    # per call — the connected_components idiom)
+    head = shares.limit(_PR_DRIVER_EDGE_GATE + 1).collect()
+    if len(head) <= _PR_DRIVER_EDGE_GATE:
+        edge_list = [(r["src"], r["dst"], r["share"]) for r in head]
         rank = {v: _PR_SCALE // n_nodes for v in nodes}
         for _ in range(_PR_ITERS):
             incoming = dict.fromkeys(nodes, 0)
