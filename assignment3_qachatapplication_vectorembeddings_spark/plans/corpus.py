@@ -3935,10 +3935,12 @@ FROM m ORDER BY system
 _SQL_RETRIEVAL_EVAL = _retrieval_eval_oracle_sql()
 
 
-#: sf_dir -> (vmin, vmax) — the 64-row SQ8 range sidecar, derived once
-#: per immutable gate corpus (the in-process analog of a persisted
-#: quantizer sidecar; round-9 verdict ask #4)
-_SQ8_RANGE_CACHE: dict[str, tuple] = {}
+# (round 9 optimization pass: an sf_dir-keyed memo of the SQ8 range
+# sidecar lived here briefly — removed. A module-level cache of
+# COMPUTED data keyed on the testdata dir makes warm bench runs skip a
+# corpus pass the query is supposed to price; production persists the
+# quantizer sidecar through SyncedIvfpqIndex's store, not process
+# globals. Each invocation derives the 64-row sidecar from parquet.)
 
 
 def q_sq8_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3953,10 +3955,10 @@ def q_sq8_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-dimension [min, max] ranges are computed distributed
     (posexplode + agg — 64 rows collected as the usual bounded
     sidecar) rather than via ``sq8_train``'s driver sample, so the
-    oracle can reproduce them exactly. The sidecar is MEMOIZED per
-    corpus dir (it is a training artifact of the immutable gate data,
-    exactly like a production quantizer sidecar persisted at build
-    time) — repeat runs skip the extra corpus pass."""
+    oracle can reproduce them exactly. Derived fresh per invocation:
+    every run prices the full quantize-and-rank pipeline from parquet
+    (production amortizes this by persisting the sidecar through
+    ``SyncedIvfpqIndex``'s store — not by process-global memos)."""
     import numpy as np
 
     from ..functions.similarity import cosine_sim, query_vector_lit
@@ -3968,24 +3970,18 @@ def q_sq8_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     corpus = emb.filter(F.col("vec_id") != 0)
 
-    cached = _SQ8_RANGE_CACHE.get(sf_dir)
-    if cached is None:
-        rng_rows = (
-            corpus.select(F.posexplode("embedding").alias("d", "x"))
-            .groupBy("d")
-            .agg(
-                F.min(F.col("x").cast("double")).alias("mn"),
-                F.max(F.col("x").cast("double")).alias("mx"),
-            )
-            .collect()
+    rng_rows = (
+        corpus.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
         )
-        rng_rows.sort(key=lambda r: r["d"])
-        cached = (
-            np.array([r["mn"] for r in rng_rows]),
-            np.array([r["mx"] for r in rng_rows]),
-        )
-        _SQ8_RANGE_CACHE[sf_dir] = cached
-    vmin, vmax = cached
+        .collect()
+    )
+    rng_rows.sort(key=lambda r: r["d"])
+    vmin = np.array([r["mn"] for r in rng_rows])
+    vmax = np.array([r["mx"] for r in rng_rows])
 
     scored = sq8_scores(sq8_encode(corpus, vmin, vmax), vmin, vmax, qvec)
     sq8_rank = rank_by(
