@@ -593,6 +593,15 @@ def simhash_pairs(
     sh = simhash_table(
         docs, id_col=id_col, text_col=text_col, bits=bits, hash_mode=hash_mode
     )
+    # both self-join legs reference the signature table: the lazy
+    # checkpoint collapses the two plan clones of the tokenize+hash
+    # signature subtree into one pass (measured 1.40 -> 0.93 s at
+    # sf0.1); the kept rows are doc-scale (id, 8-byte simhash) — tiny
+    # at any corpus size
+    from ..runtime import register_materialized
+
+    sh = sh.localCheckpoint(eager=False)
+    register_materialized(sh)
     nchunks = max_distance + 1
     width = (bits + nchunks - 1) // nchunks
     mask = (1 << width) - 1

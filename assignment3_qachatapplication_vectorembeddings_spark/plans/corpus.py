@@ -2749,15 +2749,27 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users bucketed by first-seen week,
     counted in each subsequent activity week. Day arithmetic is kept to
     integer datediffs so both engines agree exactly."""
+    from ..runtime import register_materialized
+
     ev = load_table(spark, sf_dir, "events")
     epoch = F.lit("2024-01-01")
-    first = ev.groupBy("user_id").agg(
-        F.floor(F.datediff(F.to_date(F.min("ts")), F.to_date(epoch)) / 7).alias(
+    # ONE events pass: the distinct (user, day) table feeds both the
+    # cohort derivation and the activity join. first_day derives from
+    # it exactly — to_date(min(ts)) == min(to_date(ts)) since the date
+    # cast is monotonic in ts (the before-plan scanned events twice:
+    # once for the per-user min, once for the distinct)
+    days = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    register_materialized(days)
+    first = days.groupBy("user_id").agg(
+        F.floor(F.datediff(F.min("day"), F.to_date(epoch)) / 7).alias(
             "cohort_week"
         ),
-        F.to_date(F.min("ts")).alias("first_day"),
+        F.min("day").alias("first_day"),
     )
-    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     return (
         days.join(first, "user_id")
         .withColumn(
@@ -3055,7 +3067,11 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000, 0
             ).cast("long")
         ).alias("rev_c")
-    )
+    ).localCheckpoint(eager=False)  # feeds max AND the ties filter:
+    # one lineitem scan+agg instead of two cloned ones
+    from ..runtime import register_materialized
+
+    register_materialized(rev)
     top = rev.agg(F.max("rev_c").alias("max_c"))
     supp = load_table(spark, sf_dir, "supplier")
     return (
@@ -3442,20 +3458,33 @@ def q_event_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     range (a few thousand rows — exploded on the driver-side 1-row agg,
     broadcast onward); islands via the classic day_number − row_number
     constant-group trick."""
+    from ..runtime import register_materialized
+
     events = load_table(spark, sf_dir, "events")
-    span = events.agg(
-        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    # ONE events pass: a per-observed-day rollup carries a qualifying
+    # flag; the span (min/max day) and the active-day set both derive
+    # from its day-scale rows (the before-plan scanned events twice —
+    # once for the span aggregate, once for the filtered distinct).
+    # to_date(min(ts)) == min(to_date(ts)): the date cast is monotonic.
+    per_day = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 99.8),
+                    1,
+                ).otherwise(0)
+            ).alias("has_q")
+        )
+        .localCheckpoint(eager=False)
     )
+    register_materialized(per_day)
+    span = per_day.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = span.select(
         F.explode(F.sequence("d0", "d1")).alias("day")
     )
-    active = (
-        events.filter(
-            (F.col("event_type") == "purchase") & (F.col("value") > 99.8)
-        )
-        .select(F.to_date("ts").alias("day"))
-        .distinct()
-    )
+    active = per_day.filter(F.col("has_q") == 1).select("day")
     gaps = spine.join(active, "day", "left_anti")
     w = Window.orderBy("day")
     runs = (
@@ -4458,7 +4487,15 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gh"),
         )
         .distinct()
+        # both self-join legs consume the distinct gram table; the lazy
+        # checkpoint collapses the two clones of the explode+md5+
+        # distinct subtree (2 corpus tokenizations + 2 distinct
+        # shuffles) into one pass over the (source, gram) vocab
+        .localCheckpoint(eager=False)
     )
+    from ..runtime import register_materialized
+
+    register_materialized(grams)
     a = grams.select(F.col("source").alias("src_a"), "gh")
     b = grams.select(F.col("source").alias("src_b"), "gh")
     return (
