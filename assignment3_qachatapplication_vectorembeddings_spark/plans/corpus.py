@@ -4848,9 +4848,14 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collision between a train gram and a distinct bench gram — odds
     # far below corpus pair counts, deterministic if ever hit (the
     # _pair_jaccard idiom).
+    from ..runtime import register_materialized
+
+    # grams feeds BOTH join sides: the lazy checkpoint stops the bench
+    # and train legs from each cloning the tokenize+hash+distinct pass
     grams = hashed_gram_table(
         docs, n=5, extra_cols=("source",), distinct=True
-    )
+    ).localCheckpoint(eager=False)
+    register_materialized(grams)
     bench_grams = grams.filter(F.col("source") == "src0").select("h").distinct()
     train_grams = grams.filter(F.col("source") != "src0").select("doc_id", "h")
     train = docs.filter(F.col("source") != "src0")
@@ -4859,11 +4864,17 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    n_train = train.count()
+    # n_train rides as a broadcast 1-row aggregate instead of an eager
+    # driver count: one action for the whole query instead of two
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
     return contaminated.agg(
-        F.lit(n_train).cast("bigint").alias("n_train"),
-        F.count(F.lit(1)).alias("n_contaminated"),
-        F.round(F.count(F.lit(1)) / F.lit(float(n_train)), 4).alias("pct"),
+        F.count(F.lit(1)).alias("n_contaminated")
+    ).crossJoin(F.broadcast(n_train)).select(
+        F.col("n_train").cast("bigint").alias("n_train"),
+        F.col("n_contaminated"),
+        F.round(
+            F.col("n_contaminated") / F.col("n_train").cast("double"), 4
+        ).alias("pct"),
     )
 
 
@@ -5013,18 +5024,27 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions. One full-outer join on the id; counts per status."""
     from ..operators.novelty import snapshot_diff
 
+    from ..runtime import register_materialized
+
     docs = load_table(spark, sf_dir, "documents")
     bucket = _md5_bucket(F.col("doc_id"), 100)
-    base = docs.select("doc_id", "text", bucket.alias("__b"))
-    old = base.filter(F.col("__b") < 90).select(
-        "doc_id", F.md5("text").alias("fp")
-    )
     edited = (F.col("__b") >= 40) & (F.col("__b") < 50)
+    # one docs scan computes the bucket and both fingerprint variants
+    # as NARROW columns (no text), then the checkpoint feeds both diff
+    # sides — the before-plan cloned the scan+md5 subtree per side
+    base = docs.select(
+        "doc_id",
+        bucket.alias("__b"),
+        F.md5("text").alias("fp_orig"),
+        F.md5(F.concat(F.col("text"), F.lit(" v2"))).alias("fp_v2"),
+    ).localCheckpoint(eager=False)
+    register_materialized(base)
+    old = base.filter(F.col("__b") < 90).select(
+        "doc_id", F.col("fp_orig").alias("fp")
+    )
     new = base.filter(F.col("__b") >= 5).select(
         "doc_id",
-        F.when(edited, F.md5(F.concat(F.col("text"), F.lit(" v2"))))
-        .otherwise(F.md5("text"))
-        .alias("fp"),
+        F.when(edited, F.col("fp_v2")).otherwise(F.col("fp_orig")).alias("fp"),
     )
     return (
         snapshot_diff(old, new, id_col="doc_id", fp_col="fp")
@@ -5079,10 +5099,17 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = _md5_bucket(F.col("token"), B)
     tb = toks.select("doc_id", "source", bucket.alias("b"))
     is_target = F.col("source") == "src0"
+    # lm feeds the totals AND the ratio table — the ≤8192-row
+    # checkpoint stops both consumers from cloning the corpus-scale
+    # tokenize+bucket+groupBy subtree (before-plan: 3 document scans,
+    # now the irreducible 2 — build the LMs, then score)
+    from ..runtime import register_materialized
+
     lm = tb.groupBy("b").agg(
         F.count(F.when(is_target, 1)).alias("ct"),
         F.count(F.when(~is_target, 1)).alias("cr"),
-    )
+    ).localCheckpoint(eager=False)
+    register_materialized(lm)
     totals = lm.agg(
         F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
     )
@@ -5202,12 +5229,17 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a long; sampled = toks * w_micro div 1e4) so both engines agree
     bit-for-bit — no double rounding at .5 boundaries. One groupBy +
     a 1-row broadcast of the corpus totals."""
+    from ..runtime import register_materialized
+
     docs = load_table(spark, sf_dir, "documents")
+    # per_src feeds the totals AND the weight table: the sources-scale
+    # checkpoint stops both from cloning the corpus token-count pass
     per_src = docs.groupBy("source").agg(
         F.sum(
             F.coalesce(token_count_col(F.col("text")), F.lit(0))
         ).alias("toks")
-    )
+    ).localCheckpoint(eager=False)
+    register_materialized(per_src)
     totals = per_src.agg(
         F.sum("toks").alias("total"),
         F.count(F.lit(1)).alias("n_sources"),
