@@ -5191,12 +5191,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAP, NB = 2048, 32
     docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     bucket = _md5_bucket(F.col("doc_id"), NB)
+    from ..runtime import register_materialized
+
     base = docs.select(
         "doc_id",
         # NULL text counts as 0 tokens on BOTH engines (see oracle)
         F.coalesce(token_count_col(F.col("text")), F.lit(0)).alias("n_tokens"),
         bucket.alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)  # feeds the packer AND the token
+    # rollup: one corpus token-count pass, kept as narrow 24-byte rows
+    register_materialized(base)
     packed = pack_sequences(base, max_tokens=CAP)
     seqs = packed.groupBy("bucket").agg(F.max("seq").alias("n_seqs"))
     tokens = base.groupBy("bucket").agg(
