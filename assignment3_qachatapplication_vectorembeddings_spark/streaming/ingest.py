@@ -769,8 +769,12 @@ def run_streaming_index_ingest(
     from pyspark import StorageLevel
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() probe: it costs a take(1) job on EVERY batch,
+        # while upsert's first action (the per-title count aggregation)
+        # already detects an empty batch and returns before any write,
+        # and refresh() of an unchanged data version is a driver-side
+        # no-op — so the probe only duplicated work on the common
+        # non-empty path
         seq = F.col(seq_col) if seq_col else F.input_file_name()
         rows = (
             batch_df.select(
@@ -796,11 +800,16 @@ def run_streaming_index_ingest(
         rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             idx.upsert(rows)
-            for synced in synced_indexes or ():
-                # first batch bootstraps (refresh of an unbuilt index
-                # builds); later batches re-encode only the touched
-                # titles' rows
-                synced.refresh()
+            # idx.exists() (driver-side manifest check) keeps an empty
+            # FIRST batch from bootstrapping a build over an empty
+            # primary; an empty LATER batch reaches refresh(), which is
+            # a driver-side no-op at an unchanged data version
+            if idx.exists():
+                for synced in synced_indexes or ():
+                    # first non-empty batch bootstraps (refresh of an
+                    # unbuilt index builds); later batches re-encode
+                    # only the touched titles' rows
+                    synced.refresh()
         finally:
             rows.unpersist()
 
