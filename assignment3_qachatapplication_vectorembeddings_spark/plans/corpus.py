@@ -4848,14 +4848,15 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collision between a train gram and a distinct bench gram — odds
     # far below corpus pair counts, deterministic if ever hit (the
     # _pair_jaccard idiom).
-    from ..runtime import register_materialized
-
-    # grams feeds BOTH join sides: the lazy checkpoint stops the bench
-    # and train legs from each cloning the tokenize+hash+distinct pass
+    # NB: the two consumers of `grams` are NOT a cloned subtree — the
+    # source filters push below the distinct, so the bench leg scans
+    # only src0 and the train leg the rest: disjoint partitions of one
+    # pass. A round-9 attempt to checkpoint the gram table regressed
+    # the query ~25% (materializing the token-scale table costs more
+    # than the split scan) and was reverted after an interleaved A/B.
     grams = hashed_gram_table(
         docs, n=5, extra_cols=("source",), distinct=True
-    ).localCheckpoint(eager=False)
-    register_materialized(grams)
+    )
     bench_grams = grams.filter(F.col("source") == "src0").select("h").distinct()
     train_grams = grams.filter(F.col("source") != "src0").select("doc_id", "h")
     train = docs.filter(F.col("source") != "src0")
