@@ -246,12 +246,27 @@ def main() -> int:
             stats["ops"] += 1
         except Exception:
             tb = traceback.format_exc()
-            # keep the HEAD (exception type + message) as well as the
-            # tail — a pure [-2000:] slice of a deep Java stack loses
-            # the one line that says what actually went wrong
-            stats["errors"].append(
-                tb if len(tb) <= 2000 else tb[:900] + "\n...\n" + tb[-1100:]
-            )
+            # keep the HEAD, the TAIL, and every root-cause line from
+            # the middle — a head+tail slice of a Py4J traceback loses
+            # the "Caused by: <java exception>" lines that say what
+            # actually went wrong (they sit mid-string, after the
+            # Python frames and before the deepest Java frames)
+            if len(tb) > 2000:
+                causes = "\n".join(
+                    ln.strip()
+                    for ln in tb.splitlines()
+                    if "Caused by" in ln
+                    or "Exception:" in ln
+                    or "Error:" in ln
+                )[:800]
+                tb = (
+                    tb[:600]
+                    + "\n--- cause lines ---\n"
+                    + causes
+                    + "\n...\n"
+                    + tb[-600:]
+                )
+            stats["errors"].append(tb)
     Path(f"{base}/result_{role}_{seed}.json").write_text(json.dumps(stats))  # local path even under a scheme
     spark.stop()
     return 0
