@@ -942,6 +942,13 @@ def _spans_broadcast(
     return arr_tbl.select(id_col, "_harr").mapInPandas(emit, schema=schema)
 
 
+#: First-probe edge cap for :func:`connected_components` — large enough
+#: that every gate-scale graph resolves in one collect, small enough
+#: that the over-threshold (distributed) path never transfers more than
+#: ~100k rows before switching.
+_PROBE_CAP = 100_000
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -975,8 +982,16 @@ def connected_components(
     # bounded limit-collect off the checkpointed blocks (the separate
     # count-then-collect paid a whole extra job per call — pure fixed
     # cost on every dedup/curation query). The +1 row proves overflow
-    # without transferring more than the threshold.
-    head = edges.limit(driver_threshold + 1).collect()
+    # without transferring more than the probe cap. Two-tier probe
+    # (round-10 advice): the first collect is capped at
+    # min(threshold, _PROBE_CAP)+1 so the OVERFLOW path of a large
+    # threshold never ships ~threshold Row objects to the driver just
+    # to discard them; only graphs in (probe_cap, threshold] pay a
+    # second (still bounded) collect.
+    probe_cap = min(driver_threshold, _PROBE_CAP)
+    head = edges.limit(probe_cap + 1).collect()
+    if len(head) > probe_cap and probe_cap < driver_threshold:
+        head = edges.limit(driver_threshold + 1).collect()
     if not head:
         return pairs.sparkSession.createDataFrame(
             [], "doc_id long, component long"

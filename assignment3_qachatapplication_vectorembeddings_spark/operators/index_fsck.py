@@ -299,12 +299,14 @@ def fsck_derived(index, *, deep: bool = False) -> dict:
             primary_ids = (
                 vindex._read_manifest_payload(payload).select("id").distinct()
             )
-            subdir = "" if index.KIND == "ivfpq" else "doclens"
-            schema = (
-                index.SEGMENT_SCHEMA if index.KIND == "ivfpq" else None
-            )
+            if index.KIND == "ivfpq":
+                frames = index._segment_frames(head, "", index.SEGMENT_SCHEMA)
+            else:
+                # layout-agnostic per-doc rows (sentinel partition or
+                # legacy doclens sidecar — round-10 fused write)
+                frames = index._doclens_frames(head)
             served_frames = []
-            for df, ts, rv in index._segment_frames(head, subdir, schema):
+            for df, ts, rv in frames:
                 cond = index._serving_filter(ts, rv)
                 sdf = df.filter(cond) if cond is not None else df
                 served_frames.append(sdf.select("id"))

@@ -1684,8 +1684,11 @@ class SyncedTextIndex(_SyncedIndexBase):
     Layout::
 
         {path}/_meta/v*.json
-        {path}/seg-v*-<nonce>/postings/bucket=<b>/   # (word, id, tf, title)
-        {path}/seg-v*-<nonce>/doclens/               # (id, dl, title)
+        {path}/seg-v*-<nonce>/postings/bucket=<b>/   # (word, id, tf, dl, title)
+        {path}/seg-v*-<nonce>/postings/bucket=-1/    # per-doc sentinel rows
+                                                     # (word NULL, id, dl, title)
+        {path}/seg-v*-<nonce>/doclens/               # pre-round-10 sidecar
+                                                     # (id, dl, title)
 
     Corpus statistics (per-title doc counts and token sums) live IN the
     meta: N and avgdl for the live title set are exact driver-side
@@ -1740,12 +1743,19 @@ class SyncedTextIndex(_SyncedIndexBase):
         reader=None,
         *,
         include_dl: bool = True,
+        sentinel: bool | None = None,
     ) -> dict:
         """Encode ``titles`` (None = all live) into ``segment``;
         returns {title: [n_docs, n_dl, sum_dl]} for the meta.
         ``include_dl`` embeds the doc length in each posting (the
-        round-9 layout); refresh/compact of a pre-round-9 index pass
-        False so every segment of one index shares one layout."""
+        round-9 layout); ``sentinel`` folds the per-doc length rows
+        into the postings write as a ``bucket=-1`` partition (the
+        round-10 layout — ONE write action and ONE tokenize pass per
+        segment instead of two of each; default: follow
+        ``include_dl``). Refresh of an older index passes the meta's
+        flags so every segment of one index shares one layout."""
+        if sentinel is None:
+            sentinel = include_dl
         read = reader if reader is not None else self.vindex.read
         rows = read(
             titles=None if titles is None else list(titles)
@@ -1755,17 +1765,61 @@ class SyncedTextIndex(_SyncedIndexBase):
             "title",
             tokens_expr(F.col("text")).alias("ws"),
         )
-        doclens = toks.select(
-            "id",
-            "title",
+        dl = (
             F.when(F.col("ws").isNotNull(), F.size("ws"))
             .cast("double")
-            .alias("dl"),
+            .alias("dl")
         )
-        doclens.write.mode("overwrite").parquet(
-            f"{self.path}/{segment}/doclens"
-        )
-        if include_dl:
+        if sentinel:
+            if not include_dl:
+                raise ValueError(
+                    "sentinel doclens layout requires dl-embedded postings"
+                )
+            # one fused action: a NULL element prepended to each doc's
+            # token array rides the same explode/groupBy/shuffle/write
+            # as the postings and lands in the bucket=-1 partition —
+            # the per-doc (id, title, dl) rows the two-write layout
+            # kept in a separate doclens/ sidecar (second tokenize
+            # pass + second commit, both pure fixed cost per segment).
+            # Postings rows are bit-identical to the two-write layout:
+            # tokens_expr filters empties and split never yields NULL,
+            # so the sentinel cannot collide with a real word. The
+            # coalesce keeps NULL-text docs (ws NULL): concat of NULL
+            # would explode to zero rows and silently drop them from
+            # the doc-length set.
+            exploded = toks.select(
+                "id",
+                "title",
+                dl,
+                F.explode(
+                    F.concat(
+                        F.array(F.lit(None).cast("string")),
+                        F.coalesce(
+                            F.col("ws"), F.array().cast("array<string>")
+                        ),
+                    )
+                ).alias("word"),
+            )
+            postings = (
+                exploded.groupBy("word", "id", "title", "dl")
+                .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+                .select(
+                    "word",
+                    "id",
+                    "title",
+                    F.when(F.col("word").isNotNull(), F.col("tf")).alias(
+                        "tf"
+                    ),
+                    "dl",
+                    F.when(
+                        F.col("word").isNotNull(),
+                        _term_bucket(F.col("word"), self.buckets),
+                    )
+                    .otherwise(F.lit(-1))
+                    .alias("bucket"),
+                )
+            )
+        elif include_dl:
             # dl rides the posting row (exploded rows always have a
             # non-null, non-empty ws, so size(ws) is the same double
             # the doclens sidecar records for that id); it joins the
@@ -1793,6 +1847,11 @@ class SyncedTextIndex(_SyncedIndexBase):
                     "bucket", _term_bucket(F.col("word"), self.buckets)
                 )
             )
+        if not sentinel:
+            doclens = toks.select("id", "title", dl)
+            doclens.write.mode("overwrite").parquet(
+                f"{self.path}/{segment}/doclens"
+            )
         (
             # sortWithinPartitions(word): inside each bucket file the
             # postings are word-clustered, so every parquet row group
@@ -1808,12 +1867,20 @@ class SyncedTextIndex(_SyncedIndexBase):
             .partitionBy("bucket")
             .parquet(f"{self.path}/{segment}/postings")
         )
+        if sentinel:
+            stats_src = (
+                # explicit schema: this module just wrote the file;
+                # footer inference would cost one extra driver job
+                self.vindex.spark.read.schema(self.POSTINGS_SCHEMA)
+                .parquet(f"{self.path}/{segment}/postings")
+                .where(F.col("bucket") == -1)
+            )
+        else:
+            stats_src = self.vindex.spark.read.schema(
+                self.DOCLENS_SCHEMA
+            ).parquet(f"{self.path}/{segment}/doclens")
         stats = (
-            # explicit schema: this module just wrote the file; footer
-            # inference would cost one extra driver job per segment
-            self.vindex.spark.read.schema(self.DOCLENS_SCHEMA)
-            .parquet(f"{self.path}/{segment}/doclens")
-            .groupBy("title")
+            stats_src.groupBy("title")
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.count("dl").alias("n_dl"),
@@ -1825,6 +1892,29 @@ class SyncedTextIndex(_SyncedIndexBase):
             r["title"]: [r["n_docs"], r["n_dl"], float(r["sum_dl"] or 0.0)]
             for r in stats
         }
+
+    def _doclens_frames(self, meta: dict) -> list:
+        """[(per-doc (id, title, dl) frame, assigned titles, revoked)]
+        for every live segment, layout-agnostic: sentinel segments
+        (round 10) serve the ``bucket=-1`` partition of ``postings/``,
+        older segments the ``doclens/`` sidecar. Shared by deep fsck,
+        the chaos/consistency suites and any stats re-derivation."""
+        if meta.get("doclens_sentinel"):
+            return [
+                (
+                    df.where(F.col("bucket") == -1).select(
+                        "id", "title", "dl"
+                    ),
+                    ts,
+                    rv,
+                )
+                for df, ts, rv in self._segment_frames(
+                    meta, "postings", schema=self.POSTINGS_SCHEMA
+                )
+            ]
+        return self._segment_frames(
+            meta, "doclens", schema=self.DOCLENS_SCHEMA
+        )
 
     def build(self) -> dict:
         with self._pinned_source() as (version, parts, snap):
@@ -1844,6 +1934,10 @@ class SyncedTextIndex(_SyncedIndexBase):
             # serving). All-or-nothing per index: refresh/compact
             # propagate the flag so segments never mix layouts.
             "postings_dl": True,
+            # round-10 layout: per-doc length rows live in the
+            # postings' bucket=-1 sentinel partition (one write action
+            # per segment). Same all-or-nothing propagation.
+            "doclens_sentinel": True,
         }
         self._publish_meta(1 if m is None else m["meta_version"] + 1, meta)
         return meta
@@ -1866,6 +1960,7 @@ class SyncedTextIndex(_SyncedIndexBase):
                         seg,
                         reader=snap.read,
                         include_dl=bool(m.get("postings_dl")),
+                        sentinel=bool(m.get("doclens_sentinel")),
                     )
                 )
                 for t in changed:
@@ -1883,6 +1978,7 @@ class SyncedTextIndex(_SyncedIndexBase):
             "buckets": m["buckets"],
             "tokenizer": m["tokenizer"],
             "postings_dl": bool(m.get("postings_dl")),
+            "doclens_sentinel": bool(m.get("doclens_sentinel")),
         }
         self._publish_meta(m["meta_version"] + 1, meta)
         return meta
@@ -1905,8 +2001,8 @@ class SyncedTextIndex(_SyncedIndexBase):
                 )
             seg = self._new_segment(m["data_version"])
             # compact rewrites EVERY live segment, so it is the safe
-            # point to migrate a pre-round-9 index to the dl-embedded
-            # postings layout
+            # point to migrate an older index to the dl-embedded,
+            # sentinel-doclens postings layout
             title_stats = self._write_segment(live, seg, reader=snap.read)
         meta = dict(
             m,
@@ -1915,6 +2011,7 @@ class SyncedTextIndex(_SyncedIndexBase):
             title_stats=title_stats,
             stats_totals=self._stats_totals(title_stats),
             postings_dl=True,
+            doclens_sentinel=True,
         )
         self._publish_meta(m["meta_version"] + 1, meta)
         return meta
@@ -2089,9 +2186,7 @@ class SyncedTextIndex(_SyncedIndexBase):
                 pred = pred & cond
             hit_frames.append(df.where(pred).select(*hit_cols))
         if not embedded_dl:
-            for df, seg_titles, revoked in self._segment_frames(
-                meta, "doclens", schema=self.DOCLENS_SCHEMA
-            ):
+            for df, seg_titles, revoked in self._doclens_frames(meta):
                 cond = _title_cond(seg_titles, revoked)
                 if cond is False:
                     continue

@@ -323,12 +323,12 @@ def text_index_bm25(
             f"{expect_data_version}; rebuild with build_text_index"
         )
     postings = spark.read.parquet(f"{path}/postings")
-    want_buckets = {
-        r["b"]
-        for r in spark.createDataFrame([(t,) for t in terms], "word string")
-        .select(_term_bucket(F.col("word"), buckets).alias("b"))
-        .collect()
-    }
+    # client-side bucket hash (parity-pinned xxhash64 twin — the same
+    # helper index_sync serves with): the createDataFrame+collect this
+    # replaces paid one Spark job per query just to hash the terms
+    from ..functions.hashing import term_bucket as py_term_bucket
+
+    want_buckets = {py_term_bucket(t, buckets) for t in terms}
     hits = postings.where(
         F.col("bucket").isin(list(want_buckets)) & F.col("word").isin(terms)
     )

@@ -398,8 +398,7 @@ def run_sessionize_available_now(
     # per group, so it wants one partition per core — unlike JVM-state
     # ops (dedup/window aggs), where fewer partitions win on task
     # overhead. Raise to core count for this query only (fresh
-    # checkpoint per drain, so the partition count may differ per run);
-    # drain_shuffle_partitions also scopes the scan-split floor to 1.
+    # checkpoint per drain, so the partition count may differ per run).
     spark = events_stream.sparkSession
     old_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cores = spark.sparkContext.defaultParallelism

@@ -48,6 +48,7 @@ def exact_ids(emb, qvec):
     }
 
 
+@pytest.mark.slow
 def test_lsh_signature_determinism_and_shape(emb):
     planes = make_planes(64, num_tables=4, bits=8)
     signed = lsh_signatures(emb, planes)
@@ -61,6 +62,7 @@ def test_lsh_signature_determinism_and_shape(emb):
     assert signed.exceptAll(again).count() == 0
 
 
+@pytest.mark.slow
 def test_lsh_candidates_prune_and_recall(emb, qvec, exact_ids):
     planes = make_planes(64, num_tables=16, bits=10)
     probes = query_signatures(qvec, planes, multiprobe=1)
@@ -377,6 +379,7 @@ def test_sq8_deterministic_and_dim_mismatch(spark, emb, qvec):
         sq8_topk(enc, vmin, vmax, qvec[:-2], K)
 
 
+@pytest.mark.slow
 def test_persisted_ivfpq_index_round_trips_and_prunes(spark, emb, qvec, tmp_path):
     """Persisted codes table + quantizer sidecar: loaded quantizers are
     bit-identical, the persisted index answers like the in-memory one,

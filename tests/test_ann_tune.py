@@ -27,6 +27,9 @@ from assignment3_qachatapplication_vectorembeddings_spark.operators.index_sync i
     SyncedIvfpqIndex,
 )
 
+# 200k-row tuning sweeps: 15-90 s each — heavy tier (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 N = 200_000
 DIM = 16
 MODES = 8

@@ -34,6 +34,7 @@ def test_jwt_roundtrip_expiry_and_garbage():
     assert verify_token("a.b.c", "secret") is None
 
 
+@pytest.mark.slow
 def test_register_login_chat_flow(spark, tmp_path):
     store = AuthStore(spark, str(tmp_path / "auth"), secret="test-secret")
 

@@ -41,6 +41,9 @@ from assignment3_qachatapplication_vectorembeddings_spark.operators.index_sync i
 
 from chaos_worker import SCHEMA, TITLES, pattern, posix_conditional_put
 
+# multi-process storms: 30-90 s each — heavy tier (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 def _host_speed_factor() -> float:
     """Single-thread DuckDB canary (the same workload bench.py stamps
     as ``speed_canary_s``; ~0.2 s on a fast host, ~0.36 s on the
@@ -171,9 +174,9 @@ def _run_chaos(spark, tmp_path, scheme="", conditional_put=None):
         sdf = df.filter(cond) if cond is not None else df
         served |= {(r["id"], r["title"]) for r in sdf.select("id", "title").collect()}
     assert served == primary
-    # lexical final consistency: doclens rows == primary rows
+    # lexical final consistency: per-doc length rows == primary rows
     tserved = set()
-    for df, ts, rv in tix._segment_frames(tmeta, "doclens"):
+    for df, ts, rv in tix._doclens_frames(tmeta):
         cond = tix._serving_filter(ts, rv)
         sdf = df.filter(cond) if cond is not None else df
         tserved |= {

@@ -124,6 +124,28 @@ def test_cc_distributed_path_equals_driver_path(spark, sf_dir):
     assert fast == dist and fast
 
 
+def test_cc_two_tier_probe_matches_single_collect(spark, monkeypatch):
+    # force the first bounded probe to overflow so the second
+    # (threshold-capped) collect runs — the mid-size-graph tier of the
+    # round-10 two-tier probe — and pin that results are unchanged
+    from assignment3_qachatapplication_vectorembeddings_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    base = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    monkeypatch.setattr(dedup, "_PROBE_CAP", 2)
+    two_tier = {
+        (r["doc_id"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert two_tier == base and base
+
+
 def test_repetition_gate_culls_duplicate_line_docs(spark):
     # 5 identical lines -> dup_char_frac = (len - len(1 line))/len ~ 0.8;
     # the clean doc has all-distinct lines -> frac 0

@@ -102,6 +102,7 @@ def test_auth_unknown_user_and_bad_token(spark, tmp_path):
     assert auth.chat_history("nobody@x.com").count() == 0
 
 
+@pytest.mark.slow
 def test_round4_close_ops_on_empty_documents(spark, tmp_path):
     """pmi/heavy-hitters/weighted-sample/kl/bpe degrade to empty
     results (never throw) when the documents table is empty."""

@@ -202,6 +202,7 @@ def test_push_to_external_index_batches(spark):
 # upserts into the SAME title partition and asserts no update is lost.
 
 
+@pytest.mark.slow
 def test_concurrent_upserts_lose_no_updates(index, spark):
     import threading
 
@@ -372,6 +373,7 @@ def test_escaped_title_round_trip_and_compact(index, spark):
     assert index.form_check("plain")
 
 
+@pytest.mark.slow
 def test_reader_snapshot_isolation_during_upserts(index, spark):
     """VERDICT round-3 gap: a reader during an in-flight upsert must
     see either the old or the new COMPLETE row-set for the replaced
@@ -565,6 +567,7 @@ def test_manifest_row_count_stamps_bound_live_rows(index, spark):
     assert live() == {"formA": 4, "formB": 1}
 
 
+@pytest.mark.slow
 def test_bound_stamp_reanchors_at_salt_threshold(index, spark):
     """A stale bound crossing SKEW_SPLIT_ROWS is re-anchored from the
     title's current files before the salt decision, so replace churn

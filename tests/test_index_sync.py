@@ -241,6 +241,7 @@ def test_refresh_uses_one_pinned_snapshot(vindex, tmp_path, spark):
 # -- QA serving facade over the synced ANN index ----------------------------
 
 
+@pytest.mark.slow
 def test_qa_pipeline_with_synced_ann(vindex, tmp_path, spark):
     """The reference's /askQuestion flow on the accelerated path:
     ANN shortlist + exact re-rank, $in title predicate, and the
@@ -273,6 +274,7 @@ def test_qa_pipeline_with_synced_ann(vindex, tmp_path, spark):
     assert res_new["matches"][0][0] == "n_0"
 
 
+@pytest.mark.slow
 def test_qa_hybrid_over_persisted_indexes(vindex, tmp_path):
     """search_hybrid with BOTH rankers on persisted synced indexes:
     the index-served BM25 must produce the same fused ranking as the
@@ -426,7 +428,7 @@ def test_derived_vacuum_retains_leased_meta(tix, vindex, spark):
     with tix.reader_lease() as pinned:
         baseline = {
             tuple(sorted(ts))
-            for _df, ts, _rv in tix._segment_frames(pinned, "doclens")
+            for _df, ts, _rv in tix._doclens_frames(pinned)
         }
         # two commits + a compact supersede every segment v1 references
         vindex.upsert(make_updates(spark, [("formA_0", "formA", "rewritten")]))
@@ -436,7 +438,7 @@ def test_derived_vacuum_retains_leased_meta(tix, vindex, spark):
         # leased meta still fully scannable: every segment it assigns
         # resolves and returns its complete title set
         total = 0
-        for df, ts, _rv in tix._segment_frames(pinned, "doclens"):
+        for df, ts, _rv in tix._doclens_frames(pinned):
             got = df.filter(F.col("title").isin(ts)).count()
             assert got > 0
             total += got
@@ -523,6 +525,7 @@ def exact_vindex(spark, tmp_path):
     return vi
 
 
+@pytest.mark.slow
 def test_drift_guard_trips_on_distribution_shift(exact_vindex, tmp_path, spark):
     ann = SyncedIvfpqIndex(
         exact_vindex, str(tmp_path / "drift_ann"), nlist=4, m=4, nbits=4
@@ -563,6 +566,7 @@ def test_drift_guard_trips_on_distribution_shift(exact_vindex, tmp_path, spark):
     assert "retrain_recommended" not in meta
 
 
+@pytest.mark.slow
 def test_retrain_clears_drift_and_serving_stays_available(
     exact_vindex, tmp_path, spark
 ):
@@ -931,6 +935,7 @@ def test_bm25_batch_matches_per_query_loop(tix, spark):
     assert all(i.startswith("formA_") for _, i in f)
 
 
+@pytest.mark.slow
 def test_search_hybrid_batch_matches_per_question_loop(vindex, tmp_path, spark):
     """Batch hybrid (one postings scan + one codes scan + per-question
     RRF) == a loop of search_hybrid over the same indexes."""
@@ -960,6 +965,7 @@ def test_search_hybrid_batch_matches_per_question_loop(vindex, tmp_path, spark):
         QAPipeline(vindex, embedder=EMB, ann_index=ann).search_hybrid_batch(qdf)
 
 
+@pytest.mark.slow
 def test_search_diverse_batch_matches_per_question_loop(vindex, tmp_path, spark):
     """Batch diverse retrieval (one probed codes scan + cogrouped MMR)
     == a loop of search_diverse over the same index. Full probing so
@@ -1067,7 +1073,7 @@ def test_reader_lease_pin_then_verify_interleaved_vacuum(
             assert fired
             assert m["meta_version"] == 2  # re-pinned the survivor
             total = 0
-            for df, ts, _rv in tix._segment_frames(m, "doclens"):
+            for df, ts, _rv in tix._doclens_frames(m):
                 total += df.filter(F.col("title").isin(ts)).count()
             assert total == len(BASE_ROWS) + 1
     finally:
@@ -1087,6 +1093,7 @@ def test_search_batch_empty_queries_schema(ann, spark):
 # -- partial retrain: mixed-generation serving (round 8) ---------------------
 
 
+@pytest.mark.slow
 def test_partial_retrain_mixed_serving_matches_brute_force(
     exact_vindex, tmp_path, spark
 ):
@@ -1155,6 +1162,7 @@ def test_partial_retrain_mixed_serving_matches_brute_force(
     assert rep["errors"] == [], rep
 
 
+@pytest.mark.slow
 def test_partial_retrain_batch_matches_single_query_path(
     exact_vindex, tmp_path, spark
 ):
@@ -1255,6 +1263,116 @@ def test_bm25_serving_reads_postings_only(tix):
     ]
     assert locations and all("postings" in ln for ln in locations)
     assert "dl:double" in plan  # length norm read from the scan
+
+
+def test_sentinel_doclens_layout_build_and_refresh(tix, vindex, spark):
+    """Round-10 layout: the per-doc length rows ride the postings write
+    as the bucket=-1 sentinel partition — ONE write action per segment,
+    no doclens/ sidecar — and refresh keeps the layout. The sentinel
+    rows must be exactly the old doclens table (one row per doc, dl =
+    token count, NULL-text docs kept with NULL dl)."""
+    import os
+
+    m = tix._load_meta()
+    assert m.get("doclens_sentinel") is True
+    base = os.path.dirname(tix.meta_dir)
+    for seg in set(m["assign"].values()):
+        assert not os.path.exists(f"{base}/{seg}/doclens")
+        assert os.path.exists(f"{base}/{seg}/postings/bucket=-1")
+    rows = []
+    for df, ts, rv in tix._doclens_frames(m):
+        cond = tix._serving_filter(ts, rv)
+        sdf = df.filter(cond) if cond is not None else df
+        rows.extend(sdf.collect())
+    assert {(r["id"], r["title"]) for r in rows} == {
+        (i, t) for i, t, _ in BASE_ROWS
+    }
+    # dl equals the tokenizer's count for every doc
+    for r in rows:
+        text = next(x for i, t, x in BASE_ROWS if i == r["id"])
+        assert r["dl"] == float(len(text.split()))
+    # refresh writes the new segment in the same layout
+    vindex.upsert(
+        make_updates(spark, [("formA_99", "formA", "spark about joins")])
+    )
+    tix.refresh()
+    m2 = tix._load_meta()
+    assert m2.get("doclens_sentinel") is True
+    new_seg = m2["assign"]["formA"]
+    assert not os.path.exists(f"{base}/{new_seg}/doclens")
+    assert os.path.exists(f"{base}/{new_seg}/postings/bucket=-1")
+
+
+def test_sentinel_layout_null_text_doc_keeps_doclens_row(vindex, spark, tmp_path):
+    """A NULL-text doc produces no postings but must still appear in
+    the sentinel per-doc rows (dl NULL) — the coalesce-guard case."""
+    vindex.upsert(
+        spark.createDataFrame(
+            [("nulldoc_0", [0.0] * 16, "formNull", None)],
+            "id string, vector array<float>, title string, text string",
+        )
+    )
+    idx = SyncedTextIndex(vindex, str(tmp_path / "tix_null"), buckets=8)
+    idx.build()
+    m = idx._load_meta()
+    got = {}
+    for df, ts, rv in idx._doclens_frames(m):
+        cond = idx._serving_filter(ts, rv)
+        sdf = df.filter(cond) if cond is not None else df
+        got.update({r["id"]: r["dl"] for r in sdf.collect()})
+    assert got["nulldoc_0"] is None
+    assert len(got) == len(BASE_ROWS) + 1
+    # stats counted it as a doc with no length (n_docs=1, n_dl=0)
+    assert m["title_stats"]["formNull"] == [1, 0, 0.0]
+
+
+def test_round9_two_dir_layout_refresh_stays_two_dir(tix, vindex, spark, tmp_path):
+    """An index whose meta says dl-embedded postings but NO sentinel
+    (a round-9 build) refreshes in its own layout — new segments keep
+    writing the doclens/ sidecar — and serves identically."""
+    import os
+
+    r9 = SyncedTextIndex(vindex, str(tmp_path / "tix_r9"), buckets=8)
+    with r9._pinned_source() as (version, parts, snap):
+        seg = r9._new_segment(version)
+        stats = r9._write_segment(
+            None, seg, reader=snap.read, include_dl=True, sentinel=False
+        )
+    from assignment3_qachatapplication_vectorembeddings_spark.operators.index_sync import (
+        TOKENIZER_VERSION,
+    )
+
+    r9._publish_meta(
+        1,
+        {
+            "data_version": version,
+            "base_parts": parts,
+            "assign": {t: seg for t in parts},
+            "revoked": {seg: []},
+            "title_stats": stats,
+            "stats_totals": r9._stats_totals(stats),
+            "buckets": r9.buckets,
+            "tokenizer": TOKENIZER_VERSION,
+            "postings_dl": True,
+        },
+    )
+    terms = ["spark", "join", "about"]
+    assert _scores(r9.bm25(terms)) == _scores(tix.bm25(terms))
+    vindex.upsert(
+        make_updates(spark, [("formA_99", "formA", "spark about joins")])
+    )
+    r9.refresh()
+    tix.refresh()
+    m = r9._load_meta()
+    assert m.get("doclens_sentinel") is False
+    new_seg = m["assign"]["formA"]
+    base = os.path.dirname(r9.meta_dir)
+    assert os.path.exists(f"{base}/{new_seg}/doclens")
+    assert _scores(r9.bm25(terms)) == _scores(tix.bm25(terms))
+    # compact migrates to the fused sentinel layout
+    r9.compact()
+    assert r9._load_meta().get("doclens_sentinel") is True
+    assert _scores(r9.bm25(terms)) == _scores(tix.bm25(terms))
 
 
 def test_legacy_postings_layout_still_serves_and_stays_legacy(

@@ -19,6 +19,7 @@ def _mk(spark, rows):
 
 
 @pytest.mark.parametrize("seed", [11, 47])
+@pytest.mark.slow
 def test_novel_rows_equals_anti_join(spark, seed):
     rng = random.Random(seed)
     corpus_keys = [f"k{i}" for i in range(200)]
@@ -152,6 +153,7 @@ def test_null_keys_match_anti_join(spark):
     assert got == expected == {11, 12}
 
 
+@pytest.mark.slow
 def test_tree_merge_many_partition_build(spark):
     """VERDICT r3 #6: force the corpus scan into many more partitions
     than the OR-merge fan-in, so the partial-bitmap tree level

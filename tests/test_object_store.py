@@ -74,6 +74,7 @@ def test_pipeline1_checkpoint_stage_on_mocks3(spark, mocks3, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_vector_index_lifecycle_on_mocks3(spark, mocks3, tmp_path):
     """Index maintenance (partitioned upsert, partition-drop delete,
     catalog sync, writer lock) entirely over the non-file scheme —
@@ -159,6 +160,7 @@ def _posix_conditional_put(path: str, content: bytes) -> bool:
     return True
 
 
+@pytest.mark.slow
 def test_lifecycle_on_non_atomic_store_with_conditional_put(
     spark, mocks3na, tmp_path
 ):

@@ -7,6 +7,8 @@ invariants proven here hold inside the distributed operators too.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -107,6 +109,7 @@ money_strategy = st.lists(
 
 @settings(max_examples=30, deadline=None)
 @given(values=money_strategy)
+@pytest.mark.slow
 def test_cents_sum_equals_decimal_sum(spark, values):
     import pyspark.sql.functions as F
 
@@ -132,6 +135,7 @@ def test_cents_sum_equals_decimal_sum(spark, values):
     n_cust=st.integers(min_value=1, max_value=4),
 )
 @settings(max_examples=20, deadline=None)
+@pytest.mark.slow
 def test_rolling_median_matches_python_reference(spark, prices, n_cust):
     """The collect_list+sort_array median composition equals a direct
     Python computation of the trailing-5 median (as 2x cents) for any

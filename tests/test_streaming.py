@@ -166,6 +166,7 @@ def test_stateful_sessionization_stream(spark, sf_dir, tmp_path, event_stream_di
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_dedup_drops_redelivered_rows(spark, tmp_path):
     """Same event rows delivered twice (at-least-once source) appear
     once downstream."""
@@ -391,6 +392,7 @@ def test_drain_shuffle_partitions_scopes_and_restores(spark):
     assert spark.conf.get(key) == ambient
 
 
+@pytest.mark.slow
 def test_streaming_vector_ingest_multibatch_and_replay(spark, tmp_path):
     """Raw-vector streaming ingest: two arrival waves drain as separate
     upsert commits; an id landing again in a later wave REPLACES its
@@ -519,6 +521,7 @@ def test_native_session_window_gap_boundary(spark, tmp_path):
     assert got == {1: (1, 2), 2: (2, 2)}
 
 
+@pytest.mark.slow
 def test_streaming_ingest_auto_refreshes_synced_indexes(spark, tmp_path):
     """synced_indexes=[...] keeps derived serving in lock-step with
     streaming ingest (round-5 verdict ask #5): after the drain, a
