@@ -132,6 +132,17 @@ def _pair_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
     # shingles in ≥2 docs — df-1 shingles (the vast majority) can't form
     # a pair, so drop them before the self-join (result-identical; the
     # aggregation is cheaper than joining the unique tail)
+    #
+    # NB (round-10 negative, measured): cnt and the df>=2 set each feed
+    # TWO consumers and LOOK cloned in the initial AQE plan (the
+    # ngram_jaccard before-plan shows the doc-frequency exchange and
+    # the per-doc-count exchange twice) — but the EXECUTED plan carries
+    # 2 ReusedExchange nodes: AQE's runtime exchange reuse computes
+    # each aggregation once and shares it. Eager-checkpointing both
+    # (the rollup/dsir idiom) was A/B'd at sf0.1: med 1.49 → 1.61 s —
+    # two extra job barriers for work that was never duplicated.
+    # Reverted; don't re-add without checking executedPlan() for
+    # ReusedExchange first.
     shared = sh.join(
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

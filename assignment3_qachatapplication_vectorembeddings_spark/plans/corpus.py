@@ -24,6 +24,11 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
+# module-level so pandas_udf type hints resolve under
+# `from __future__ import annotations` (hints become strings and are
+# looked up in MODULE globals, not the enclosing function scope)
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -5935,45 +5940,47 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "n_chars",
+        "toks",
         F.size("toks").alias("n_words"),
         F.size(F.array_distinct("toks")).alias("n_types"),
         F.length(F.array_join("toks", "")).alias("word_chars"),
-        # zip_with over two slices, NOT transform(sequence, i -> toks[i]):
-        # indexing an aliased computed array inside a lambda makes the
-        # optimizer inline the whole tokenization per ITERATION (O(n²)
-        # per doc — measured 77s for 5M bigrams at sf1, 1.5s this way);
-        # zip_with's lambda receives elements, so toks is evaluated
-        # per row only. Guard: 1-token docs short-circuit to empty.
-        F.expr(
-            "CASE WHEN size(toks) >= 2 THEN "
-            "zip_with(slice(toks, 1, size(toks) - 1), "
-            "slice(toks, 2, size(toks) - 1), "
-            "(x, y) -> concat(x, ' ', y)) "
-            "ELSE array() END"
-        ).alias("bigrams"),
     )
-    # top-bigram count as a PER-ROW higher-order expression: sort the
-    # doc's bigram array and take the longest equal-run. The explode →
-    # groupBy(doc,bg) → groupBy(doc) → join-back formulation consumed
-    # the tokenize+bigram base TWICE (two subtrees) and paid two
-    # exchanges + a join purely for this scalar; the fold touches the
-    # array once per row (the lambda reads accumulator+element, never
-    # indexes the aliased array, so the optimizer can't re-inline the
-    # tokenization per iteration — the zip_with rule above).
-    top_cnt = F.expr(
-        "CASE WHEN size(bigrams) = 0 THEN 0 ELSE "
-        "aggregate(array_sort(bigrams), "
-        "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
-        "(a, x) -> named_struct("
-        "'prev', x, "
-        "'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1), "
-        "'best', greatest(a.best, "
-        "IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1))), "
-        "a -> a.best) END"
-    )
+    # top-bigram count as an Arrow-batched token-pair Counter (guide
+    # §4.2): the per-row higher-order fold this replaces
+    # (aggregate(array_sort(bigrams), ...)) ran INTERPRETED — Spark
+    # lambda functions sit outside whole-stage codegen, and the sort
+    # comparator alone is one interpreter dispatch per comparison, so
+    # the scalar cost was O(n log n) interpreted steps per doc
+    # (round-10 interleaved A/B at sf0.1: fold 1.68/2.98 min/med vs
+    # 1.32/2.27 s — values bit-identical). Counting (tok[i], tok[i+1])
+    # tuples equals counting the concat'd bigram strings: tokens carry
+    # no whitespace by construction, so the pairing is injective. The
+    # earlier explode → groupBy(doc,bg) → join-back formulation stays
+    # rejected for the same reason as round 8: it consumed the
+    # tokenize+bigram base twice and paid two exchanges for a scalar.
+    @F.pandas_udf("int")
+    def _top_bigram_cnt(tok_arrs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(tok_arrs), dtype="int32")
+        for i, arr in enumerate(tok_arrs):
+            if arr is not None and len(arr) >= 2:
+                best = 0
+                counts: dict = {}
+                prev = arr[0]
+                for x in arr[1:]:
+                    k = (prev, x)
+                    v = counts.get(k, 0) + 1
+                    counts[k] = v
+                    if v > best:
+                        best = v
+                    prev = x
+                out[i] = best
+        return pd.Series(out)
+
     per_doc = (
-        base.withColumn("top_bigram_cnt", top_cnt)
-        .drop("bigrams")
+        base.withColumn("top_bigram_cnt", _top_bigram_cnt("toks"))
+        .drop("toks")
         .select(
             "doc_id",
             "source",
