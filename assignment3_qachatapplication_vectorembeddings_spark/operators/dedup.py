@@ -981,14 +981,19 @@ def connected_components(
       O(diameter) rounds, one join + one groupBy each, lineage cut per
       round (the standard big-graph CC shape).
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    from ..runtime import register_materialized
+
+    # materialize the RAW pair list, not the doubled+distinct edge
+    # table: union-find is direction- and duplicate-insensitive, so the
+    # (always-taken at sane scales) driver path never needed the
+    # reversed union or the distinct's exchange — round 10 measured the
+    # old shape paying one extra shuffle + 2× the checkpointed rows on
+    # every dedup_components/curation_summary call. The distributed
+    # path rebuilds the symmetric edge table from these blocks below.
+    pairs_ckpt = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    register_materialized(pairs_ckpt)
     # one action decides the path AND fetches the driver-path edges: a
     # bounded limit-collect off the checkpointed blocks (the separate
     # count-then-collect paid a whole extra job per call — pure fixed
@@ -998,11 +1003,13 @@ def connected_components(
     # min(threshold, _PROBE_CAP)+1 so the OVERFLOW path of a large
     # threshold never ships ~threshold Row objects to the driver just
     # to discard them; only graphs in (probe_cap, threshold] pay a
-    # second (still bounded) collect.
+    # second (still bounded) collect. The threshold gates raw PAIR
+    # rows (pre-dedup) — every generator in this module emits each
+    # pair once, so the gate is the same edge count as before.
     probe_cap = min(driver_threshold, _PROBE_CAP)
-    head = edges.limit(probe_cap + 1).collect()
+    head = pairs_ckpt.limit(probe_cap + 1).collect()
     if len(head) > probe_cap and probe_cap < driver_threshold:
-        head = edges.limit(driver_threshold + 1).collect()
+        head = pairs_ckpt.limit(driver_threshold + 1).collect()
     if not head:
         return pairs.sparkSession.createDataFrame(
             [], "doc_id long, component long"
@@ -1027,6 +1034,16 @@ def connected_components(
         return pairs.sparkSession.createDataFrame(
             rows, "doc_id long, component long"
         )
+    edges = (
+        pairs_ckpt.unionByName(
+            pairs_ckpt.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    register_materialized(edges)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
